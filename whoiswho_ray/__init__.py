@@ -1,0 +1,28 @@
+"""whoiswho_ray — a Ray-Data-native entity-resolution / data-processing engine.
+
+A from-scratch re-implementation of the *capabilities* of THUDM/WhoIsWho's
+SND (from-scratch name disambiguation) task — blocking → pairwise scoring →
+transitive clustering — expressed idiomatically on ``ray.data.Dataset``:
+
+* a ``groupby`` shuffle on a normalized blocking key partitions candidates
+  (analog of the per-name shards, ``/root/reference/whoiswho/dataset/
+  data_process.py:60-84``),
+* ``map_batches`` over zero-copy Arrow batches with actor pools computes
+  batched pairwise similarity features (token-Jaccard / tanimoto / TF-IDF
+  cosine / Jaro-Winkler — the feature set of
+  ``/root/reference/whoiswho/training/AutoTrainSND.py:142-161``),
+* union-find merges above-threshold edges into entity clusters, per block in
+  ``map_groups`` and globally via alternating-star contraction
+  (iterative groupby rounds) when a component spans salted sub-blocks.
+
+The input domain is the ``input_hint`` table from BASELINE.json:
+``(repo, path, commit, lang, content)`` — one row per source-file version.
+
+No code is copied from the reference; file:line citations in docstrings
+point at the behavior being re-expressed so parity can be checked.
+"""
+
+from whoiswho_ray.config import SNDConfig
+
+__all__ = ["SNDConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,113 @@
+"""Pairwise-F1 evaluation — the reference's own formula.
+
+Re-implements ``/root/reference/whoiswho/evaluation/SNDeval.py:9-70``
+semantics: per block (per name), over all record pairs,
+
+    TP      = pairs together in prediction AND truth
+    TP+FP   = pairs together in prediction
+    TP+FN   = pairs together in truth
+    P = TP/(TP+FP), R = TP/(TP+FN), F1 = 2PR/(P+R)
+
+then the **unweighted mean over blocks** (``SNDeval.py:15-43``). Pair
+counts come from the contingency table in O(N) per block via sums of
+C(n,2) — never by enumerating pairs.
+
+Also provides the labeled-pair variant used by the BASELINE.json gate
+("pairwise F1 ≥ 0.99 on labeled pairs at the same blocking key"): each
+labeled pair is predicted-same iff both records share a cluster_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _comb2(x: np.ndarray | int) -> np.ndarray | float:
+    return x * (x - 1) / 2.0
+
+
+def _block_counts(pred_label: pd.Series, true_label: pd.Series) -> tuple[float, float, float]:
+    ct = pd.crosstab(pred_label, true_label)
+    tp = float(_comb2(ct.to_numpy().astype(np.float64)).sum())
+    tp_fp = float(_comb2(ct.sum(axis=1).to_numpy().astype(np.float64)).sum())
+    tp_fn = float(_comb2(ct.sum(axis=0).to_numpy().astype(np.float64)).sum())
+    return tp, tp_fp, tp_fn
+
+
+def _f1(tp: float, tp_fp: float, tp_fn: float) -> tuple[float, float, float]:
+    p = tp / tp_fp if tp_fp > 0 else 0.0
+    r = tp / tp_fn if tp_fn > 0 else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return p, r, f1
+
+
+def pairwise_f1_frames(pred: pd.DataFrame, truth: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side evaluation on small frames.
+
+    pred: (block_key, record_id, cluster_id); truth: (block_key, record_id,
+    entity_id). Returns one row per block: precision, recall, f1 (+ mean row
+    with block_key='__mean__').
+    """
+    joined = pred.merge(truth[["record_id", "entity_id"]], on="record_id", how="inner")
+    rows = []
+    for bk, g in joined.groupby("block_key", sort=True):
+        tp, tp_fp, tp_fn = _block_counts(g["cluster_id"], g["entity_id"])
+        p, r, f1 = _f1(tp, tp_fp, tp_fn)
+        rows.append({"block_key": bk, "precision": p, "recall": r, "f1": f1})
+    out = pd.DataFrame(rows)
+    mean = {"block_key": "__mean__", "precision": out["precision"].mean(),
+            "recall": out["recall"].mean(), "f1": out["f1"].mean()}
+    return pd.concat([out, pd.DataFrame([mean])], ignore_index=True)
+
+
+def pairwise_f1_ds(pred: "ray.data.Dataset", truth: "ray.data.Dataset") -> pd.DataFrame:
+    """Distributed variant: per-block counts via one groupby shuffle, tiny
+    per-block result collected to the driver for the unweighted mean."""
+    p = pred.select_columns(["block_key", "record_id", "cluster_id"]).map_batches(
+        lambda df: df.rename(columns={"cluster_id": "label"}).assign(kind="pred"),
+        batch_format="pandas",
+    )
+    t = truth.select_columns(["block_key", "record_id", "entity_id"]).map_batches(
+        lambda df: df.rename(columns={"entity_id": "label"}).assign(kind="true"),
+        batch_format="pandas",
+    )
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index="record_id", columns="kind", values="label",
+                             aggfunc="first").dropna()
+        if len(wide) == 0:
+            return pd.DataFrame({"block_key": [], "precision": [], "recall": [], "f1": []})
+        tp, tp_fp, tp_fn = _block_counts(wide["pred"], wide["true"])
+        prec, rec, f1 = _f1(tp, tp_fp, tp_fn)
+        return pd.DataFrame({"block_key": [g["block_key"].iloc[0]],
+                             "precision": [prec], "recall": [rec], "f1": [f1]})
+
+    per = p.union(t).groupby("block_key").map_groups(per_block, batch_format="pandas").to_pandas()
+    mean = {"block_key": "__mean__", "precision": per["precision"].mean(),
+            "recall": per["recall"].mean(), "f1": per["f1"].mean()}
+    return pd.concat([per, pd.DataFrame([mean])], ignore_index=True)
+
+
+def labeled_pair_f1(pred: pd.DataFrame, pairs: pd.DataFrame) -> dict:
+    """BASELINE gate: F1 over explicit labeled pairs at the same block key.
+
+    pred: (record_id, cluster_id); pairs: (record_id_a, record_id_b,
+    same_entity). Pairs whose records are missing from pred count as
+    predicted-different (conservative).
+    """
+    cl = pred.set_index("record_id")["cluster_id"]
+    ca = pairs["record_id_a"].map(cl)
+    cb = pairs["record_id_b"].map(cl)
+    pred_same = (ca == cb) & ca.notna() & cb.notna()
+    truth = pairs["same_entity"].astype(bool)
+    tp = float((pred_same & truth).sum())
+    fp = float((pred_same & ~truth).sum())
+    fn = float((~pred_same & truth).sum())
+    p = tp / (tp + fp) if tp + fp > 0 else 0.0
+    r = tp / (tp + fn) if tp + fn > 0 else 0.0
+    f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn,
+            "n_pairs": int(len(pairs))}

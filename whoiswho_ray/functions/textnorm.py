@@ -1,0 +1,130 @@
+"""Text / name / path normalization.
+
+Re-expresses the reference's cleaning chain — ``cleaning_name``
+(``/root/reference/whoiswho/character/name_match/tool/is_chinese.py:22-43``:
+unicode→ASCII fold, lowercase, non-alpha→space), the shared text-cleaning
+chain (``/root/reference/whoiswho/dataset/data_process.py:19-31,123-131``:
+lower, strip punctuation regex, collapse spaces, drop len<2, stopword
+filter) and ``unify_name_order`` (``whoiswho/utils.py:163-178``) — for the
+source-code domain of ``input_hint``: the blocking key comes from the path
+basename instead of an author name, and content tokens play the role of
+title/keyword words.
+
+All functions are pure and designed to be applied vectorized inside
+``map_batches`` (they take/return plain Python values; the batch adapters
+live in ``whoiswho_ray.stages``).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+import unicodedata
+
+# Reference stopword lists (data_process.py:19-31) are English article/glue
+# words; for code content the analogous glue is language keywords and
+# single-letter identifiers.
+STOPWORDS = frozenset(
+    """a an the of and or for in on at to from with by is are was were be been
+    this that these those it its as if then else not no yes""".split()
+)
+CODE_STOPWORDS = frozenset(
+    """def class return import from for while if else elif try except with as
+    pass break continue lambda yield global nonlocal assert del raise in is
+    not and or none true false self fn func function var let const static void
+    int float double char bool string str public private protected new delete
+    struct enum union typedef template namespace using package interface
+    extends implements throws final abstract synchronized volatile transient
+    native println printf print main args type impl trait match loop mut ref
+    pub mod use crate super where async await go chan defer map range nil err
+    error""".split()
+)
+
+_PUNCS_RE = re.compile(r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~’”“‘]")
+_WS_RE = re.compile(r"\s+")
+_NON_ALNUM_RE = re.compile(r"[^a-z0-9]+")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+
+
+def ascii_fold(s: str) -> str:
+    """Unicode → ASCII fold (the unidecode analog of ``token.py:110-118``)."""
+    return (
+        unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+    )
+
+
+def clean_text(s: str) -> str:
+    """Reference cleaning chain (``data_process.py:123-131`` analog):
+    ASCII-fold, lowercase, punctuation→space, collapse whitespace."""
+    s = ascii_fold(s).lower()
+    s = _PUNCS_RE.sub(" ", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def tokenize_text(s: str, stopwords: frozenset[str] = STOPWORDS, min_len: int = 2) -> list[str]:
+    """Cleaned word tokens, len>=min_len, stopword-filtered
+    (``data_process.py:176-199`` semantics)."""
+    return [t for t in clean_text(s).split(" ") if len(t) >= min_len and t not in stopwords]
+
+
+def tokenize_identifiers(content: str, max_tokens: int = 256) -> list[str]:
+    """Distinct identifier tokens from source content, order of first
+    appearance, capped.
+
+    The analog of the coauthor-name set (``AutoTrainSND.py:151``): the
+    discriminative "who else appears in this record" signal. CamelCase and
+    snake_case are split, language keywords dropped, 1-char tokens dropped.
+    The cap mirrors the reference's own profile caps
+    (``adhoc_features.py:105`` caps at 256).
+    """
+    seen: dict[str, None] = {}
+    for m in _IDENT_RE.finditer(content):
+        word = m.group(0)
+        for part in _CAMEL_RE.sub(" ", word).replace("_", " ").lower().split():
+            if len(part) < 2 or part in CODE_STOPWORDS:
+                continue
+            if part not in seen:
+                seen[part] = None
+                if len(seen) >= max_tokens:
+                    return list(seen)
+    return list(seen)
+
+
+def normalize_block_key(path: str) -> str:
+    """Blocking key from a file path: lowercase basename, extension and all
+    non-alphanumerics stripped.
+
+    The analog of ``cleaning_name`` + ``unify_name_order``
+    (``is_chinese.py:22-43``, ``utils.py:163-178``): collapse surface form
+    variants of "the same name" to one key. ``src/Foo_Bar.v2.PY`` and
+    ``lib/foobar-v2.py`` both → ``foobarv2``.
+    """
+    base = posixpath.basename(path.strip().replace("\\", "/"))
+    root, ext = posixpath.splitext(base)
+    if ext and len(ext) <= 6:  # only strip things that look like extensions
+        base = root
+    return _NON_ALNUM_RE.sub("", ascii_fold(base).lower())
+
+
+def basename_of(path: str) -> str:
+    """Raw basename (extension kept) — feeds the Jaro-Winkler name feature
+    (the ``feature_process.py:368`` analog: surface-form similarity of the
+    name beyond the normalized key)."""
+    return posixpath.basename(path.strip().replace("\\", "/"))
+
+
+def repo_tokens(repo: str) -> list[str]:
+    """Org/venue-analog tokens from ``org/project`` repo slugs
+    (tanimoto feature, ``AutoTrainSND.py:152-155`` analog)."""
+    return [t for t in _NON_ALNUM_RE.split(ascii_fold(repo).lower()) if t]
+
+
+def ctx_tokens(path: str, lang: str) -> list[str]:
+    """Context tokens: language + path directory components (venue analog)."""
+    p = path.strip().replace("\\", "/")
+    dirs = posixpath.dirname(p)
+    toks = [t for t in _NON_ALNUM_RE.split(ascii_fold(dirs).lower()) if t]
+    if lang:
+        toks.append(ascii_fold(lang).lower())
+    return toks

@@ -1,0 +1,155 @@
+"""The flagship SND pipeline: blocking → pairwise scoring → transitive clustering.
+
+The Ray-Data-native re-expression of the reference's SND lifecycle
+(``/root/reference/whoiswho/training/AutoTrainSND.py:208-257`` plus its
+preprocessing, SURVEY.md §3.1), as a streaming Dataset pipeline:
+
+    read_parquet(records)
+      → normalize            map_batches, zero-copy Arrow   (stage "normalized")
+      → build_idf            pre-aggregated groupby(token)  (artifact "idf")
+      → vectorize            actor pool, broadcast IdfModel
+      → generate_pairs       groupby(block_key).map_groups  (the blocking shuffle)
+      → score_pairs          actor pool map_batches         (stage "edges")
+      → cluster_blocks       groupby(block_key).map_groups  (stage "clusters")
+
+With ``out_dir`` set, each stage checkpoints to Parquet through an atomic
+manifest (see ``state/manifest.py``) and a rerun resumes from the last
+completed stage; per-block lineage/metrics go to stage "block_metrics".
+Without ``out_dir`` the pipeline is one lazy streaming plan end-to-end.
+
+Every cluster row carries ``content_sha256`` so the BASELINE.json per-row
+invariant (output sha256 == input sha256 per record) is checkable without
+re-reading content.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from whoiswho_ray.config import SNDConfig
+from whoiswho_ray.stages.cluster import cluster_blocks
+from whoiswho_ray.stages.idf import IdfModel, build_idf
+from whoiswho_ray.stages.normalize import normalize_records
+from whoiswho_ray.stages.pairs import generate_block_metrics, generate_pairs
+from whoiswho_ray.stages.scoring import score_pairs, vectorize
+from whoiswho_ray.state.manifest import Manifest
+
+NODE_MARKER = ""  # id_b value marking a node (non-edge) row in the cluster input
+
+
+def _node_rows(normalized: "rd.Dataset") -> "rd.Dataset":
+    """Records as node rows for the cluster stage (singletons must cluster
+    too — never rely on them having edges)."""
+    def to_nodes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "block_key": t.column("block_key"),
+            "id_a": t.column("record_id"),
+            "id_b": pa.array([NODE_MARKER] * n, pa.string()),
+            "score": pa.array(np.full(n, np.nan), pa.float64()),
+            "record_id": t.column("record_id"),
+            "content_sha256": t.column("content_sha256"),
+        })
+    return normalized.map_batches(to_nodes, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _edge_rows(edges: "rd.Dataset") -> "rd.Dataset":
+    def to_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "block_key": t.column("block_key"),
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "score": t.column("score"),
+            "record_id": pa.array([""] * n, pa.string()),
+            "content_sha256": pa.array([""] * n, pa.string()),
+        })
+    return edges.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_snd(
+    records: "rd.Dataset | str",
+    cfg: SNDConfig | None = None,
+    out_dir: str | None = None,
+) -> "rd.Dataset":
+    """Run the pipeline; returns the cluster Dataset
+    ``(block_key, record_id, cluster_id, content_sha256)``.
+
+    ``records``: a Dataset or a parquet path of the input_hint table.
+    ``out_dir``: enables checkpoint/resume through a manifest.
+    """
+    cfg = cfg or SNDConfig()
+    if isinstance(records, str):
+        records = rd.read_parquet(records)
+
+    if out_dir is None:
+        normalized = normalize_records(records, cfg)
+        idf = build_idf(normalized, cfg)
+        vec = vectorize(normalized, idf, cfg)
+        edges = score_pairs(generate_pairs(vec, cfg), cfg)
+        union = _node_rows(normalized).union(_edge_rows(edges))
+        return cluster_blocks(union, cfg)
+
+    man = Manifest(out_dir, cfg.config_hash())
+
+    def checkpointed(name: str, inputs: list[str], build) -> "rd.Dataset":
+        if man.stage_done(name):
+            return rd.read_parquet(man.stage_path(name))
+        t0 = time.time()
+        ds = build()
+        tmp = man.begin_stage(name)
+        ds.write_parquet(tmp)
+        out = rd.read_parquet(tmp)
+        rows = out.count()
+        man.complete_stage(name, tmp, rows, time.time() - t0, inputs)
+        return rd.read_parquet(man.stage_path(name))
+
+    normalized = checkpointed("normalized", ["input"], lambda: normalize_records(records, cfg))
+
+    idf_path = os.path.join(out_dir, "idf.npz")
+    if man.stage_done("idf"):
+        z = np.load(man.stage_path("idf"))
+        idf = IdfModel(ids=z["ids"], idf=z["idf"], n_records=int(z["n_records"]),
+                       n_tokens_total=int(z["n_tokens_total"]), truncated=bool(z["truncated"]))
+    else:
+        t0 = time.time()
+        idf = build_idf(normalized, cfg)
+        tmp = idf_path + ".tmp.npz"
+        np.savez(tmp, ids=idf.ids, idf=idf.idf,
+                 n_records=idf.n_records, n_tokens_total=idf.n_tokens_total,
+                 truncated=idf.truncated)
+        os.replace(tmp, idf_path)
+        man.record_artifact("idf", idf_path, {
+            "vocab": int(idf.ids.size), "n_records": idf.n_records,
+            "n_tokens_total": idf.n_tokens_total, "truncated": idf.truncated,
+            "wall_sec": round(time.time() - t0, 3),
+        })
+
+    edges = checkpointed(
+        "edges", ["normalized", "idf"],
+        lambda: score_pairs(generate_pairs(vectorize(normalized, idf, cfg), cfg), cfg),
+    )
+    checkpointed(
+        "block_metrics", ["normalized"],
+        lambda: generate_block_metrics(normalized, cfg),
+    )
+    clusters = checkpointed(
+        "clusters", ["normalized", "edges"],
+        lambda: cluster_blocks(_node_rows(normalized).union(_edge_rows(edges)), cfg),
+    )
+    return clusters
+
+
+def snd_summary(out_dir: str) -> dict:
+    """Lineage/metrics summary from a checkpointed run."""
+    import json
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        return json.load(f)

@@ -1,0 +1,222 @@
+"""Transitive clustering: per-block union-find + global connected components.
+
+Two paths, as laid out in SURVEY.md §7.1(6):
+
+* **Per-block path** (the default): clusters never span blocks, so the
+  cluster step is one ``groupby(block_key).map_groups`` — embarrassingly
+  parallel across blocks, local union-find over the block's above-threshold
+  edges, O(E·α). This replaces the reference's DBSCAN on a dense
+  precomputed distance matrix (``/root/reference/whoiswho/loadmodel/
+  ClusterModels.py:5-22``) with threshold edges + union-find, which is the
+  scalable equivalent (eps-neighborhood graph connectivity ≡ single-link
+  transitive closure at the same threshold when min_samples degenerates).
+
+  The **post-match** rule is the reference's outlier attachment
+  (``whoiswho/training/AutoTrainSND.py:163-206``): a record left in a
+  singleton joins the cluster of its best-scoring partner when that score
+  ≥ tau_attach; singleton–singleton pairs ≥ tau_attach merge. Determinism:
+  ties break on (score desc, partner id asc); attachment reads cluster
+  membership from the *pre-attachment* state, exactly like the reference
+  scores outliers against the fixed DBSCAN clusters.
+
+* **Global path** — ``connected_components`` — alternating large-star /
+  small-star contraction (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC 2014; see PAPERS.md) expressed as iterative
+  ``groupby(node).map_groups`` rounds. Needed when a component may span
+  partitions (e.g. cross-block dedup edges) or a single block's edge set
+  exceeds one task's memory. Converges in O(log n) rounds.
+
+Cluster ids are content-derived (``block_key#min-record-id``), so output is
+invariant to row order, partitioning, and execution history — required for
+resume-equals-fresh-run semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from whoiswho_ray.config import SNDConfig
+
+
+class UnionFind:
+    """Path-halving union-find over dense int indices."""
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return int(x)
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller index becomes the root
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
+
+    def labels(self) -> np.ndarray:
+        return np.fromiter((self.find(i) for i in range(self.parent.size)),
+                           dtype=np.int64, count=self.parent.size)
+
+
+def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
+    """One block's node+edge rows → (block_key, record_id, cluster_id, content_sha256).
+
+    Input rows are the union of node rows (id_b == "") and scored edge rows
+    (see ``pipelines/snd.py``).
+    """
+    is_node = group["id_b"] == ""
+    nodes = group[is_node]
+    edges = group[~is_node]
+    block_key = group["block_key"].iloc[0]
+
+    rids = nodes["record_id"].to_numpy()
+    order = np.argsort(rids, kind="stable")
+    rids = rids[order]
+    shas = nodes["content_sha256"].to_numpy()[order]
+    index = {r: i for i, r in enumerate(rids.tolist())}
+    n = rids.size
+
+    uf = UnionFind(n)
+    ea = edges["id_a"].to_numpy()
+    eb = edges["id_b"].to_numpy()
+    es = edges["score"].to_numpy(dtype=np.float64)
+    strong = es >= cfg.tau_edge
+    for a, b in zip(ea[strong].tolist(), eb[strong].tolist()):
+        ia, ib = index.get(a), index.get(b)
+        if ia is not None and ib is not None:
+            uf.union(ia, ib)
+
+    labels = uf.labels()
+    # ---- post-match (AutoTrainSND.py:163-206 analog) ----
+    sizes = np.bincount(labels, minlength=n)
+    is_singleton = sizes[labels] == 1
+    if is_singleton.any() and len(edges):
+        attach = es >= cfg.tau_attach
+        best: dict[int, tuple[float, str, int]] = {}
+        for a, b, s in zip(ea[attach].tolist(), eb[attach].tolist(), es[attach].tolist()):
+            ia, ib = index.get(a), index.get(b)
+            if ia is None or ib is None:
+                continue
+            for x, y in ((ia, ib), (ib, ia)):
+                if is_singleton[x]:
+                    cand = (-s, rids[y], y)
+                    if x not in best or cand < best[x]:
+                        best[x] = cand
+        # attach against the PRE-attachment labels (reference semantics)
+        for x, (_, _, y) in best.items():
+            uf.union(x, y)
+        labels = uf.labels()
+
+    roots = rids[labels]
+    return pd.DataFrame(
+        {
+            "block_key": np.repeat(block_key, n),
+            "record_id": rids,
+            "cluster_id": np.char.add(np.char.add(str(block_key), "#"), roots.astype(str)),
+            "content_sha256": shas,
+        }
+    )
+
+
+def cluster_blocks(union_ds: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
+    cfg = cfg or SNDConfig()
+    return union_ds.groupby("block_key").map_groups(
+        lambda g: cluster_block(g, cfg), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global connected components — alternating star contraction
+# ---------------------------------------------------------------------------
+
+
+def _large_star(g: pd.DataFrame) -> pd.DataFrame:
+    u = g["u"].iloc[0]
+    nbrs = g["v"].to_numpy()
+    m = min(u, nbrs.min())
+    keep = nbrs > u
+    if not keep.any():
+        return pd.DataFrame({"u": [], "v": []}, dtype=object)
+    vv = np.unique(nbrs[keep])
+    return pd.DataFrame({"u": vv, "v": np.repeat(m, vv.size)})
+
+
+def _small_star(g: pd.DataFrame) -> pd.DataFrame:
+    # edges oriented big→small: u > all v in the group
+    u = g["u"].iloc[0]
+    nbrs = np.unique(g["v"].to_numpy())
+    m = nbrs.min()  # < u always
+    out_u = [x for x in nbrs.tolist() if x != m] + [u]
+    return pd.DataFrame({"u": out_u, "v": np.repeat(m, len(out_u))})
+
+
+def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ray.data.Dataset":
+    """Edge Dataset (columns ``u``, ``v``) → label Dataset (``node``, ``component``)
+    where ``component`` is the minimum node id of the component.
+
+    Iterative groupby rounds; each round materializes the (shrinking) edge
+    set. Isolated nodes don't appear — callers union them back as
+    self-labeled.
+    """
+    import pyarrow as pa
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u, v = t.column("u"), t.column("v")
+        return pa.table({"u": pa.concat_arrays(u.combine_chunks().chunks + v.combine_chunks().chunks),
+                         "v": pa.concat_arrays(v.combine_chunks().chunks + u.combine_chunks().chunks)})
+
+    def no_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.invert(pc.equal(t.column("u"), t.column("v"))))
+
+    cur = edges.map_batches(no_self, batch_format="pyarrow").materialize()
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star needs all orientations of each node's neighborhood
+        ls_in = cur.map_batches(both_dirs, batch_format="pyarrow")
+        cur = ls_in.groupby("u").map_groups(_large_star, batch_format="pandas")
+        cur = cur.map_batches(no_self, batch_format="pyarrow")
+        # small-star: orient big→small
+        def orient(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u, v = t.column("u"), t.column("v")
+            big = pc.max_element_wise(u, v)
+            small = pc.min_element_wise(u, v)
+            return pa.table({"u": big, "v": small})
+        cur = cur.map_batches(orient, batch_format="pyarrow")
+        cur = cur.groupby("u").map_groups(_small_star, batch_format="pandas")
+        cur = cur.map_batches(no_self, batch_format="pyarrow").materialize()
+        # convergence: stable (count, checksum) of the deduped edge multiset
+        import pyarrow.compute as pc
+        sig_parts = cur.map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                # cheap order-invariant checksum
+                "x": pa.array([int(np.bitwise_xor.reduce(
+                    np.frombuffer("".join(
+                        sorted(f"{a}|{b}" for a, b in zip(t.column("u").to_pylist(),
+                                                          t.column("v").to_pylist()))
+                    ).encode(), dtype=np.uint8).astype(np.uint64))) if t.num_rows else 0], pa.uint64()),
+            }),
+            batch_format="pyarrow",
+        ).to_pandas()
+        sig = (int(sig_parts["n"].sum()), int(np.bitwise_xor.reduce(sig_parts["x"].to_numpy().astype(np.uint64))) if len(sig_parts) else 0)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # cur is now (node, root) star edges, possibly with duplicates
+    out = cur.groupby("u").map_groups(
+        lambda g: pd.DataFrame({"node": [g["u"].iloc[0]], "component": [g["v"].min()]}),
+        batch_format="pandas",
+    )
+    return out

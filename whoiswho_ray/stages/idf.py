@@ -1,0 +1,98 @@
+"""Corpus-level IDF aggregation (operator A2 of SURVEY.md).
+
+The reference ships precomputed ``token -> idf`` dicts consumed by the
+hand-feature scorer (``/root/reference/whoiswho/character/
+feature_process.py:28-44``). Here the dictionary is built by the engine
+itself with the canonical pre-aggregated pattern: document frequencies are
+partially combined *inside* ``map_batches`` (one row per token per batch,
+not per record) so the ``groupby(token)`` shuffle moves partial counts, not
+raw token occurrences. The finished vocabulary is a small driver-side
+artifact broadcast to scorer actors via ``ray.put``.
+
+Scale levers: ``min_df`` prunes the hapax tail (which dominates raw vocab
+size), ``max_vocab`` caps the artifact by keeping the highest-df tokens —
+both logged, never silent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from whoiswho_ray.config import SNDConfig
+
+
+@dataclass
+class IdfModel:
+    """Sorted token-id vocabulary with idf weights — the broadcastable
+    artifact (analog of ``saved/paper-tf-idf/*.json``, reference
+    ``whoiswho/config.py:48``)."""
+
+    ids: np.ndarray        # int64, sorted
+    idf: np.ndarray        # float32, aligned with ids
+    n_records: int
+    n_tokens_total: int    # distinct tokens before min_df/max_vocab pruning
+    truncated: bool
+
+    def lookup(self, token_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(ids∩vocab sorted, idf weights) for one record's sorted ids."""
+        pos = np.searchsorted(self.ids, token_ids)
+        pos[pos == self.ids.size] = 0 if self.ids.size else 0
+        hit = self.ids.size > 0
+        mask = (self.ids[pos] == token_ids) if hit else np.zeros(token_ids.size, bool)
+        return token_ids[mask], self.idf[pos[mask]]
+
+
+def _partial_df(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct-token document frequencies."""
+    flat = batch.column("tok_ids")
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    values = flat.flatten().to_numpy(zero_copy_only=False)
+    n_rows = batch.num_rows
+    if values.size == 0:
+        return pa.table({"tok_id": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64()),
+                         "n_rec": pa.array([], pa.int64())})
+    ids, counts = np.unique(values, return_counts=True)  # tok_ids unique/row ⇒ df
+    n_rec = np.zeros(ids.size, dtype=np.int64)
+    n_rec[0] = n_rows  # carry the record count once per batch
+    return pa.table({"tok_id": ids, "df": counts, "n_rec": n_rec})
+
+
+def build_idf(normalized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> IdfModel:
+    """normalized Dataset → IdfModel (small, driver-side)."""
+    cfg = cfg or SNDConfig()
+    from ray.data.aggregate import Sum
+
+    partial = normalized.select_columns(["tok_ids"]).map_batches(
+        _partial_df, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial.groupby("tok_id").aggregate(
+        Sum("df", alias_name="df"), Sum("n_rec", alias_name="n_rec")
+    )
+    tbl = agg.to_arrow_refs()
+    parts = [ray.get(r) for r in tbl]
+    full = pa.concat_tables(parts)
+    ids = full.column("tok_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    df = full.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_records = int(full.column("n_rec").to_numpy(zero_copy_only=False).sum())
+    n_total = ids.size
+
+    keep = df >= cfg.min_df
+    ids, df = ids[keep], df[keep]
+    truncated = False
+    if ids.size > cfg.max_vocab:
+        order = np.argsort(-df, kind="stable")[: cfg.max_vocab]
+        ids, df = ids[order], df[order]
+        truncated = True
+    order = np.argsort(ids)
+    ids, df = ids[order], df[order]
+    idf = np.log1p(n_records / np.maximum(df, 1)).astype(np.float32)
+    return IdfModel(ids=ids, idf=idf, n_records=n_records,
+                    n_tokens_total=n_total, truncated=truncated)
