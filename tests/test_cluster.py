@@ -1,0 +1,135 @@
+"""Union-find, per-block clustering, and global connected components."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.config import SNDConfig
+from whoiswho_ray.stages.cluster import UnionFind, cluster_block, connected_components
+
+
+def brute_components(n: int, edges: list[tuple[int, int]]) -> list[int]:
+    """Reference implementation: repeated relabel to min neighbor."""
+    label = list(range(n))
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    # canonicalize
+    return [label[x] if label[x] == x else brute_root(label, x) for x in range(n)]
+
+
+def brute_root(label, x):
+    while label[x] != x:
+        x = label[x]
+    return x
+
+
+class TestUnionFind:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_brute_force(self, seed):
+        rng = np.random.RandomState(seed)
+        n = 60
+        edges = [tuple(sorted(rng.randint(0, n, 2))) for _ in range(80)]
+        edges = [e for e in edges if e[0] != e[1]]
+        uf = UnionFind(n)
+        for a, b in edges:
+            uf.union(a, b)
+        lab = uf.labels()
+        ref = brute_components(n, edges)
+        # same partition (compare co-membership)
+        assert len(set(zip(lab.tolist(), ref))) == len(set(lab.tolist())) == len(set(ref))
+
+    def test_deterministic_root_is_min(self):
+        uf = UnionFind(5)
+        uf.union(4, 2)
+        uf.union(2, 3)
+        assert uf.find(4) == uf.find(3) == 2
+
+
+def _mk_group(node_ids, edges, shas=None):
+    """Build the union-frame a cluster_block group receives."""
+    shas = shas or {r: f"sha-{r}" for r in node_ids}
+    rows = []
+    for r in node_ids:
+        rows.append({"block_key": "bk", "id_a": r, "id_b": "", "score": np.nan,
+                     "record_id": r, "content_sha256": shas[r]})
+    for a, b, s in edges:
+        rows.append({"block_key": "bk", "id_a": a, "id_b": b, "score": s,
+                     "record_id": "", "content_sha256": ""})
+    return pd.DataFrame(rows)
+
+
+class TestClusterBlock:
+    def test_basic_transitive(self):
+        cfg = SNDConfig()
+        g = _mk_group(["r1", "r2", "r3", "r4"],
+                      [("r1", "r2", 2.0), ("r2", "r3", 2.0)])
+        out = cluster_block(g, cfg)
+        cl = out.set_index("record_id")["cluster_id"]
+        assert cl["r1"] == cl["r2"] == cl["r3"]
+        assert cl["r4"] != cl["r1"]
+        assert out["content_sha256"].tolist() != [""] * 4
+
+    def test_postmatch_attach(self):
+        """An edge in [tau_attach, tau_edge) attaches a singleton to the
+        cluster of its best partner (AutoTrainSND.py:163-206 analog)."""
+        cfg = SNDConfig(tau_edge=1.5, tau_attach=1.3)
+        g = _mk_group(["r1", "r2", "r3"],
+                      [("r1", "r2", 2.0), ("r2", "r3", 1.4)])
+        out = cluster_block(g, cfg).set_index("record_id")["cluster_id"]
+        assert out["r3"] == out["r1"]
+
+    def test_postmatch_below_attach_stays_singleton(self):
+        cfg = SNDConfig(tau_edge=1.5, tau_attach=1.3)
+        g = _mk_group(["r1", "r2", "r3"],
+                      [("r1", "r2", 2.0), ("r2", "r3", 1.0)])
+        out = cluster_block(g, cfg).set_index("record_id")["cluster_id"]
+        assert out["r3"] != out["r1"]
+
+    def test_two_members_never_rewired_by_postmatch(self):
+        """Post-match only moves singletons — a weak edge between two
+        multi-member clusters must NOT merge them."""
+        cfg = SNDConfig(tau_edge=1.5, tau_attach=1.3)
+        g = _mk_group(["a1", "a2", "b1", "b2"],
+                      [("a1", "a2", 2.0), ("b1", "b2", 2.0), ("a2", "b1", 1.4)])
+        out = cluster_block(g, cfg).set_index("record_id")["cluster_id"]
+        assert out["a1"] == out["a2"]
+        assert out["b1"] == out["b2"]
+        assert out["a1"] != out["b1"]
+
+    def test_row_order_invariance(self):
+        cfg = SNDConfig()
+        g = _mk_group(["r3", "r1", "r2"], [("r2", "r3", 2.0)])
+        a = cluster_block(g, cfg).sort_values("record_id").reset_index(drop=True)
+        b = cluster_block(g.iloc[::-1].reset_index(drop=True), cfg)
+        b = b.sort_values("record_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_union_find(self, seed):
+        rng = np.random.RandomState(seed)
+        n = 40
+        raw = [tuple(sorted(rng.randint(0, n, 2))) for _ in range(45)]
+        raw = [e for e in raw if e[0] != e[1]]
+        names = [f"n{i:03d}" for i in range(n)]
+        edges = rd.from_items([{"u": names[a], "v": names[b]} for a, b in raw])
+        labels = connected_components(edges).to_pandas()
+        got = dict(zip(labels["node"], labels["component"]))
+        # reference partition from union-find
+        uf = UnionFind(n)
+        for a, b in raw:
+            uf.union(a, b)
+        ref = uf.labels()
+        touched = sorted({x for e in raw for x in e})
+        for i in touched:
+            root = names[ref[i]]
+            assert got.get(names[i], names[i]) == root

@@ -1,0 +1,72 @@
+"""End-to-end SND gate: pairwise F1 ≥ 0.99, sha256 invariant, order invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.config import SNDConfig
+from whoiswho_ray.evaluation import labeled_pair_f1, pairwise_f1_ds, pairwise_f1_frames
+from whoiswho_ray.functions.hashing import record_id_of, sha256_hex
+from whoiswho_ray.pipelines.snd import run_snd
+
+
+@pytest.fixture(scope="module")
+def snd_result(small_fixture):
+    spec, tabs = small_fixture
+    clusters = run_snd(rd.from_arrow(tabs["records"]))
+    return tabs, clusters.to_pandas()
+
+
+class TestSNDEndToEnd:
+    def test_every_record_clustered_once(self, snd_result):
+        tabs, pred = snd_result
+        assert len(pred) == tabs["records"].num_rows
+        assert pred["record_id"].is_unique
+
+    def test_pairwise_f1_gate(self, snd_result):
+        """The BASELINE.json gate: mean per-block pairwise F1 ≥ 0.99 using
+        the reference's formula (SNDeval.py:9-70 semantics)."""
+        tabs, pred = snd_result
+        ev = pairwise_f1_frames(pred, tabs["ground_truth"].to_pandas())
+        mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+        assert mean_f1 >= 0.99, ev.to_string()
+
+    def test_labeled_pair_f1_gate(self, snd_result):
+        tabs, pred = snd_result
+        res = labeled_pair_f1(pred, tabs["labeled_pairs"].to_pandas())
+        assert res["f1"] >= 0.99, res
+
+    def test_distributed_eval_matches_driver_eval(self, snd_result):
+        tabs, pred = snd_result
+        truth = tabs["ground_truth"].to_pandas()
+        driver = pairwise_f1_frames(pred, truth)
+        dist = pairwise_f1_ds(rd.from_pandas(pred), rd.from_pandas(truth))
+        a = driver.set_index("block_key")["f1"].sort_index()
+        b = dist.set_index("block_key")["f1"].sort_index()
+        pd.testing.assert_series_equal(a, b, rtol=1e-9)
+
+    def test_content_sha256_invariant(self, snd_result):
+        """Per-row invariant from BASELINE.json input_hint: every output row
+        carries the sha256 of its input content."""
+        tabs, pred = snd_result
+        rec = tabs["records"].to_pandas()
+        rec["record_id"] = [
+            record_id_of(r, p, c) for r, p, c in zip(rec["repo"], rec["path"], rec["commit"])
+        ]
+        rec["sha"] = [sha256_hex(c) for c in rec["content"]]
+        m = pred.merge(rec[["record_id", "sha"]], on="record_id", how="inner")
+        assert len(m) == len(pred)
+        assert (m["content_sha256"] == m["sha"]).all()
+
+    def test_row_order_invariance(self, small_fixture, snd_result):
+        """Clustering must not depend on input row order (the reference's
+        positional-alignment hazard, SURVEY.md §7.3.1)."""
+        spec, tabs = small_fixture
+        _, pred = snd_result
+        rec = tabs["records"].to_pandas().sample(frac=1.0, random_state=5).reset_index(drop=True)
+        pred2 = run_snd(rd.from_pandas(rec)).to_pandas()
+        a = pred.sort_values("record_id").reset_index(drop=True)
+        b = pred2.sort_values("record_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["record_id", "cluster_id"]], b[["record_id", "cluster_id"]])

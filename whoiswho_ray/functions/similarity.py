@@ -74,11 +74,11 @@ def cosine_dense(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_dist = max(len1, len2) // 2 - 1
     if match_dist < 0:
         match_dist = 0
@@ -104,7 +104,9 @@ def jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # floor, matching DuckDB/rapidfuzz: an odd number of out-of-order
+    # matches counts as (k-1)/2 transpositions
+    t = transpositions // 2
     return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
 
 

@@ -171,9 +171,10 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ra
     import pyarrow as pa
 
     def both_dirs(t: pa.Table) -> pa.Table:
-        u, v = t.column("u"), t.column("v")
-        return pa.table({"u": pa.concat_arrays(u.combine_chunks().chunks + v.combine_chunks().chunks),
-                         "v": pa.concat_arrays(v.combine_chunks().chunks + u.combine_chunks().chunks)})
+        return pa.concat_tables([
+            pa.table({"u": t.column("u"), "v": t.column("v")}),
+            pa.table({"u": t.column("v"), "v": t.column("u")}),
+        ]).combine_chunks()
 
     def no_self(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -196,21 +197,21 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ra
         cur = cur.map_batches(orient, batch_format="pyarrow")
         cur = cur.groupby("u").map_groups(_small_star, batch_format="pandas")
         cur = cur.map_batches(no_self, batch_format="pyarrow").materialize()
-        # convergence: stable (count, checksum) of the deduped edge multiset
-        import pyarrow.compute as pc
-        sig_parts = cur.map_batches(
-            lambda t: pa.table({
-                "n": pa.array([t.num_rows], pa.int64()),
-                # cheap order-invariant checksum
-                "x": pa.array([int(np.bitwise_xor.reduce(
-                    np.frombuffer("".join(
-                        sorted(f"{a}|{b}" for a, b in zip(t.column("u").to_pylist(),
-                                                          t.column("v").to_pylist()))
-                    ).encode(), dtype=np.uint8).astype(np.uint64))) if t.num_rows else 0], pa.uint64()),
-            }),
-            batch_format="pyarrow",
-        ).to_pandas()
-        sig = (int(sig_parts["n"].sum()), int(np.bitwise_xor.reduce(sig_parts["x"].to_numpy().astype(np.uint64))) if len(sig_parts) else 0)
+        # convergence: stable (count, order-invariant checksum) of the edges
+        def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                df["u"].astype(str) + "|" + df["v"].astype(str), index=False
+            ).to_numpy()
+            with np.errstate(over="ignore"):
+                s = int(np.sum(h.astype(np.uint64), dtype=np.uint64))
+            return pd.DataFrame({"n": [len(df)], "s": [np.uint64(s)]})
+
+        sig_parts = cur.map_batches(sig_batch, batch_format="pandas").to_pandas()
+        with np.errstate(over="ignore"):
+            sig = (
+                int(sig_parts["n"].sum()),
+                int(np.sum(sig_parts["s"].to_numpy().astype(np.uint64), dtype=np.uint64)),
+            )
         if sig == prev_sig:
             break
         prev_sig = sig

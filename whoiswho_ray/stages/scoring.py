@@ -71,7 +71,7 @@ def vectorize(
         fn_constructor_kwargs={"idf_ref": idf_ref},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=cfg.score_concurrency,
+        concurrency=(1, cfg.score_concurrency),
     )
 
 
@@ -150,7 +150,7 @@ def score_pairs(pairs: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
-        concurrency=cfg.score_concurrency,
+        concurrency=(1, cfg.score_concurrency),
     )
     tau = min(cfg.tau_attach, cfg.tau_edge)
     return scored.map_batches(
