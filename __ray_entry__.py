@@ -1,44 +1,634 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship SND pipeline (blocking → pairwise scoring →
+transitive clustering) on records derived from sf0.001. ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY.md §2
+plus the training-data operators (dedup / ANN / text analysis / windows);
+``oracle_sql()`` gives the DuckDB-equivalent SQL where the operator is
+SQL-expressible (approximate/stateful ops are rows-only by design and say
+so in their docstrings).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-safety convention for oracle-checked outputs: money/value sums are
+computed over integer cents (``floor(x*100+0.5)`` per row, then integer
+sum) in BOTH engines so no result depends on floating summation order;
+ratios are divisions of identical integers (IEEE-identical in both).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+N_DOC_BLOCKS = 40  # doc_id % N_DOC_BLOCKS defines the derived blocking key
+SHIP_CUTOFF = "1998-09-02"
+KNN_K = 5
+KNN_NQ = 10
+NGRAM_TAU = 0.5
+EMB_TAU = 0.35
+
+
+def _cents(x):
+    """floor(x*100+0.5) as int64 — identical in numpy and DuckDB."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from whoiswho_ray.pipelines.snd import run_snd
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    records = records_from_documents(SF_SMALL, n_blocks=N_DOC_BLOCKS)
+    return run_snd(records)
+
+
+# ---------------------------------------------------------------------------
+# individual query implementations (each takes sf_dir)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with per-batch cents conversion
+    (operator A2/A10 family; pre-aggregation pattern)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp(SHIP_CUTOFF))))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = t.column("l_tax").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_quantity": t.column("l_quantity"),
+            "base_cents": pa.array(_cents(ep)),
+            "disc_cents": pa.array(_cents(ep * (1.0 - disc))),
+            "charge_cents": pa.array(_cents(ep * (1.0 - disc) * (1.0 + tax))),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("charge_cents", alias_name="sum_charge_cents"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (operator O-family top-k)."""
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (J1 analog) + grouped aggregate."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["price_cents"] = _cents(df["o_totalprice"])
+        return df[["o_custkey", "price_cents"]]
+
+    joined = broadcast_join(orders.map_batches(add_cents, batch_format="pandas"), cust, on="o_custkey")
+    return joined.groupby("c_mktsegment").aggregate(
+        Sum("price_cents", alias_name="revenue_cents"),
+        Count(alias_name="n_orders"),
+    )
+
+
+def q_region_customers(sf_dir: str):
+    """Two-hop dimension broadcast join (customer ⋈ nation ⋈ region)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import broadcast_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+def q_supplier_volume(sf_dir: str):
+    """Partitioned shuffle hash join (both sides as Datasets) + aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).map_batches(
+        lambda df: df.rename(columns={"s_suppkey": "l_suppkey"}), batch_format="pandas"
+    )
+    joined = shuffle_hash_join(li, sup, on="l_suppkey", num_buckets=8)
+    return joined.groupby("s_name").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_items"),
+    )
+
+
+def q_distinct_flags(sf_dir: str):
+    """Exact distinct on two columns (D1 dedup semantics)."""
+    from ray.data.aggregate import Count
+
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_returnflag", "l_linestatus"])
+    )
+
+
+def q_union_keys(sf_dir: str):
+    """Union + distinct (J4 / D1 analogs)."""
+    from ray.data.aggregate import Count
+
+    from whoiswho_ray.sources.tables import read_table
+
+    c = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": t.column("c_custkey")}), batch_format="pyarrow")
+    s = read_table(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        lambda t: pa.table({"key": t.column("s_suppkey")}), batch_format="pyarrow")
+    return c.union(s).groupby("key").aggregate(Count(alias_name="_n")).select_columns(["key"])
+
+
+def q_orders_by_month(sf_dir: str):
+    """Temporal truncation + grouped aggregate (O1 year-sort analog)."""
+    from ray.data.aggregate import Count, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t.column("o_orderdate"), unit="month"),
+            "price_cents": pa.array(_cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "month").aggregate(Sum("price_cents", alias_name="revenue_cents"),
+                           Count(alias_name="n_orders"))
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling event-time window as truncate+groupby (windows operator)."""
+    from ray.data.aggregate import Count, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+            "value_cents": pa.array(_cents(t.column("value").to_numpy(zero_copy_only=False))),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (gap 30 min) per user via sorted map_groups."""
+    from ray.data.aggregate import Count, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import sessionize
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    sess = sessionize(ds, gap_minutes=30.0)
+    return sess.groupby("user_id").aggregate(
+        Count(alias_name="n_sessions"), Sum("n_events", alias_name="n_events"))
+
+
+def q_events_user_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "value_cents": pa.array(_cents(t.column("value").to_numpy(zero_copy_only=False))),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "user_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+        Min("ts_us", alias_name="min_ts_us"),
+        Max("ts_us", alias_name="max_ts_us"),
+    )
+
+
+def q_doc_token_stats(sf_dir: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import token_stats
+
+    return token_stats(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_doc_quality(sf_dir: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import quality_scores
+
+    return quality_scores(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source", "lang", "n_chars"])
+    return exact_dedup(ds).select_columns(["doc_id", "source", "lang", "n_chars"])
+
+
+def q_doc_ngram_pairs(sf_dir: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU)
+
+
+def q_doc_minhash_dedup(sf_dir: str):
+    """Approximate (LSH recall); rows-only check by design."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, threshold=0.8)
+
+
+def q_doc_simhash_dedup(sf_dir: str):
+    """Approximate (SimHash radius); rows-only check by design."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import simhash_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3)
+
+
+def q_doc_langid(sf_dir: str):
+    """Heuristic model scoring; rows-only check by design."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import lang_id
+
+    return lang_id(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowing fingerprints; deterministic but not SQL-expressible —
+    rows-only check."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import fingerprints
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return fingerprints(ds).select_columns(["doc_id", "n_fingerprints", "min_fingerprint"])
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    q = q[q["vec_id"] < KNN_NQ].sort_values("vec_id")
+    return q["vec_id"].to_numpy(), np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact brute-force cosine top-k over the embedding column."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.similarity_search import knn_brute
+
+    qids, qvecs = _load_queries(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute(ds, qids, qvecs, k=KNN_K)
+    return out.map_batches(
+        lambda df: df[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rnk"}),
+        batch_format="pandas",
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN (approximate); rows-only check by design."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.similarity_search import knn_ivf
+
+    qids, qvecs = _load_queries(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, qids, qvecs, k=KNN_K, n_cells=8, n_probe=3)
+    return out.map_batches(
+        lambda df: df[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rnk"}),
+        batch_format="pandas",
+    )
+
+
+def q_embedding_dups(sf_dir: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import embedding_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    out = embedding_dup_pairs(ds, threshold=EMB_TAU)
+    return out.map_batches(lambda df: df[["label", "key_a", "key_b"]], batch_format="pandas")
+
+
+def q_clean_names(sf_dir: str):
+    """The cleaning_name normalization chain (M1/M6) over customer names."""
+    from whoiswho_ray.functions.textnorm import clean_text
+    from whoiswho_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "clean_name": pa.array([clean_text(x or "") for x in t.column("c_name").to_pylist()],
+                                   pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def snd_normalize(sf_dir: str):
+    """The input_hint normalize stage over derived records — record_id,
+    blocking key and the content-sha256 invariant, all SQL-checkable."""
+    from whoiswho_ray.sources.tables import records_from_documents
+    from whoiswho_ray.stages.normalize import normalize_records
+
+    norm = normalize_records(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
+    return norm.select_columns(["record_id", "block_key", "content_sha256", "repo", "path"])
+
+
+def snd_block_stats(sf_dir: str):
+    """Blocking-shuffle statistics: records per block key."""
+    from ray.data.aggregate import Count
+
+    from whoiswho_ray.sources.tables import records_from_documents
+    from whoiswho_ray.stages.normalize import normalize_records
+
+    norm = normalize_records(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
+    return norm.groupby("block_key").aggregate(Count(alias_name="n_records"))
+
+
+def snd_clusters(sf_dir: str):
+    """Full flagship pipeline; clustering is similarity-driven — rows-only
+    check by design (deterministic, asserted in tests, not SQL-expressible)."""
+    from whoiswho_ray.pipelines.snd import run_snd
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_top_orders": q_top_orders,
+        "q_segment_revenue": q_segment_revenue,
+        "q_region_customers": q_region_customers,
+        "q_supplier_volume": q_supplier_volume,
+        "q_distinct_flags": q_distinct_flags,
+        "q_union_keys": q_union_keys,
+        "q_orders_by_month": q_orders_by_month,
+        "q_events_tumbling": q_events_tumbling,
+        "q_events_sessions": q_events_sessions,
+        "q_events_user_stats": q_events_user_stats,
+        "q_doc_token_stats": q_doc_token_stats,
+        "q_doc_quality": q_doc_quality,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_doc_ngram_pairs": q_doc_ngram_pairs,
+        "q_doc_minhash_dedup": q_doc_minhash_dedup,
+        "q_doc_simhash_dedup": q_doc_simhash_dedup,
+        "q_doc_langid": q_doc_langid,
+        "q_doc_fingerprints": q_doc_fingerprints,
+        "q_knn_cosine": q_knn_cosine,
+        "q_knn_ivf": q_knn_ivf,
+        "q_embedding_dups": q_embedding_dups,
+        "q_clean_names": q_clean_names,
+        "snd_normalize": snd_normalize,
+        "snd_block_stats": snd_block_stats,
+        "snd_clusters": snd_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents = "CAST(floor({x}*100+0.5) AS BIGINT)"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum({cents.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+                   CAST(sum({cents.format(x='l_extendedprice*(1-l_discount)')}) AS BIGINT) AS sum_disc_cents,
+                   CAST(sum({cents.format(x='l_extendedprice*(1-l_discount)*(1+l_tax)')}) AS BIGINT) AS sum_charge_cents,
+                   avg(l_quantity) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_segment_revenue": f"""
+            SELECT c_mktsegment,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_region_customers": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_supplier_volume": """
+            SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+        """,
+        "q_distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q_union_keys": """
+            SELECT DISTINCT key FROM (
+                SELECT c_custkey AS key FROM customer
+                UNION ALL SELECT s_suppkey AS key FROM supplier
+            )
+        """,
+        "q_orders_by_month": f"""
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "q_events_tumbling": f"""
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_sessions": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+            SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id
+        """,
+        "q_events_user_stats": f"""
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_value_cents,
+                   min(epoch_us(ts)) AS min_ts_us,
+                   max(epoch_us(ts)) AS max_ts_us
+            FROM events GROUP BY user_id
+        """,
+        "q_doc_token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                        THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                             / len(regexp_extract_all(text, '\S+'))
+                        ELSE 0.0 END AS avg_token_len
+            FROM documents
+        """,
+        "q_doc_quality": r"""
+            WITH q AS (
+                SELECT doc_id, length(text) AS ln,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                       length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN ln > 0 THEN CAST(n_alpha AS DOUBLE)/ln ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN ln > 0 THEN CAST(n_digit AS DOUBLE)/ln ELSE 0.0 END AS digit_ratio,
+                   CASE WHEN ln > 0 THEN CAST(n_punct AS DOUBLE)/ln ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN ln > 0 THEN CAST(n_upper AS DOUBLE)/ln ELSE 0.0 END AS upper_ratio,
+                   greatest(0.0, least(1.0,
+                     CASE WHEN ln > 0 THEN CAST(n_alpha AS DOUBLE)/ln - CAST(n_punct AS DOUBLE)/ln - CAST(n_digit AS DOUBLE)/ln ELSE 0.0 END
+                   )) AS quality
+            FROM q
+        """,
+        "q_doc_dedup_exact": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "q_doc_ngram_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, source,
+                       unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+                FROM documents
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.source AS source, a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS i
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT i.source AS source, key_a, key_b,
+                   CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jacc
+            FROM inter i
+            JOIN sz sa ON i.key_a = sa.doc_id
+            JOIN sz sb ON i.key_b = sb.doc_id
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {NGRAM_TAU}
+        """,
+        "q_knn_cosine": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < {KNN_NQ}),
+            s AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.v, e.v) AS cos
+                FROM q JOIN e ON e.vec_id != q.vec_id
+            ),
+            r AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+                FROM s
+            )
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {KNN_K}
+        """,
+        "q_embedding_dups": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.label AS label, a.vec_id AS key_a, b.vec_id AS key_b
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= {EMB_TAU}
+        """,
+        "q_clean_names": r"""
+            SELECT c_custkey,
+                   trim(regexp_replace(regexp_replace(lower(c_name),
+                        '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS clean_name
+            FROM customer
+        """,
+        "snd_normalize": f"""
+            WITH rec AS (
+                SELECT 'corpus/' || source AS repo,
+                       'docs/' || lang || '/doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) || '.txt' AS path,
+                       substr(sha256(text), 1, 40) AS commit,
+                       'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
+                       sha256(text) AS content_sha256
+                FROM documents
+            )
+            SELECT substr(sha256(repo || chr(31) || path || chr(31) || commit), 1, 40) AS record_id,
+                   block_key, content_sha256, repo, path
+            FROM rec
+        """,
+        "snd_block_stats": f"""
+            SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
+                   count(*) AS n_records
+            FROM documents GROUP BY 1
+        """,
+    }
