@@ -1,0 +1,154 @@
+"""Benchmark harness.
+
+Headline: the flagship SND pipeline (blocking → pairwise scoring →
+transitive clustering) over a deterministic records table sized to the
+scale factor, plus a battery of representative operator queries over
+$GRAFT_SF_DIR. Prints ONE JSON line.
+
+    python bench.py                  # sf0.1, num_cpus from $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling        # same job at num_cpus=8 and 32 in fresh
+                                     # processes; reports both + scaling efficiency
+
+The records input is generated once (Ray-parallel, seeded, cached in /tmp
+keyed by the spec) so repeated runs measure the pipeline, not the
+generator; one untimed pass warms the page cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_segment_revenue",
+    "q_supplier_volume",
+    "q_events_tumbling",
+    "q_events_sessions",
+    "q_doc_token_stats",
+    "q_doc_ngram_pairs",
+    "q_doc_minhash_dedup",
+    "q_knn_cosine",
+]
+
+
+def bench_records_path(sf: float, seed: int = 42) -> tuple[str, int]:
+    """Generate (once) and cache the bench records table; returns (path, n_blocks)."""
+    import ray.data as rd
+
+    from whoiswho_ray.fixtures import FixtureSpec, gen_block
+
+    n_blocks = max(20, int(1200 * sf * 10))  # sf0.1 → 1200 blocks ≈ 160k records
+    spec = FixtureSpec(n_blocks=n_blocks, hot_factor=20, seed=seed)
+    tag = f"whoiswho_bench_{n_blocks}_{spec.hot_factor}_{seed}"
+    path = os.path.join("/tmp", tag)
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path, n_blocks
+
+    def gen(batch):
+        import pyarrow as pa
+        cols = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+        for b in batch["id"]:
+            out = gen_block(spec, int(b))["records"]
+            for k in cols:
+                cols[k].extend(out[k])
+        return pa.table(cols)
+
+    rd.range(n_blocks).map_batches(gen, batch_size=16, batch_format="numpy").write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path, n_blocks
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.pipelines.snd import run_snd
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    rec_path, n_blocks = bench_records_path(sf)
+    # warm the page cache (untimed) and count rows
+    n_records = rd.read_parquet(rec_path).count()
+
+    cfg = SNDConfig(score_concurrency=max(2, num_cpus // 2))
+    t0 = time.time()
+    clusters = run_snd(rd.read_parquet(rec_path), cfg)
+    n_clustered = clusters.count()
+    headline = time.time() - t0
+    assert n_clustered == n_records, (n_clustered, n_records)
+
+    qtimes = {}
+    queries = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = queries[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()  # consume the full pipeline
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "snd_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "records": n_records,
+        "records_per_sec": round(n_records / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, fresh processes, two parallelism levels (the sandbox
+    evidence for the north rule's N vs 4N cluster-size criterion)."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": results[lo]["records_per_sec"],
+        f"rows_per_sec_{hi}": results[hi]["records_per_sec"],
+        "records": results[hi]["records"],
+        "sf": results[hi]["sf"],
+        "cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -1,0 +1,57 @@
+"""Driver-contract smoke: entry() + a representative subset of queries()
+against their oracle_sql() at sf0.001 (fast; the full 26-query sweep runs
+via tools/check_oracles.py at sf0.01)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entrymod
+from tools.check_oracles import TABLES, canon, compare, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q_segment_revenue",
+    "q_supplier_volume",
+    "q_events_sessions",
+    "q_doc_token_stats",
+    "q_doc_ngram_pairs",
+    "q_knn_cosine",
+    "snd_normalize",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_entry_runs_and_has_stable_schema():
+    res = to_pandas(entrymod.entry())
+    assert len(res) > 0
+    assert set(res.columns) == {"block_key", "record_id", "cluster_id", "content_sha256"}
+    assert res["record_id"].is_unique
+
+
+def test_every_query_has_callable_and_oracle_keys_subset():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, con):
+    mine = to_pandas(entrymod.queries()[name](SF))
+    oracle = con.execute(entrymod.oracle_sql()[name]).fetchdf()
+    problems = compare(name, mine, oracle)
+    assert not problems, problems

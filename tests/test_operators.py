@@ -1,0 +1,208 @@
+"""Dedup / ANN / text-analysis / window / join operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",      # exact dup of 0
+        "the quick brown fox leaps over the lazy dog",      # near dup of 0
+        "completely different content about ray data engines",
+        "completely different content about ray data engines and arrow",  # near dup of 3
+        "zzz yyy xxx www vvv uuu",
+    ]
+    df = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "source": ["s1", "s1", "s1", "s2", "s2", "s2"],
+    })
+    return rd.from_pandas(df)
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_ds):
+        from whoiswho_ray.stages.dedup import exact_dedup
+
+        kept = exact_dedup(docs_ds).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5]  # doc 1 deduped into 0
+
+    def test_minhash_lsh_groups_near_dups(self, docs_ds):
+        from whoiswho_ray.stages.dedup import minhash_lsh_dedup
+
+        comp = minhash_lsh_dedup(docs_ds, threshold=0.7, bands=16, rows=4).to_pandas()
+        g = comp.set_index("doc_id")["dup_group"]
+        assert g[0] == g[1] == g[2]      # exact + near dup clustered
+        assert g[3] == g[4]
+        assert g[0] != g[3] and g[5] not in (g[0], g[3])
+
+    def test_simhash_groups_exact_and_near(self, docs_ds):
+        from whoiswho_ray.stages.dedup import simhash_dedup
+
+        comp = simhash_dedup(docs_ds, max_hamming=6).to_pandas()
+        g = comp.set_index("doc_id")["dup_group"]
+        assert g[0] == g[1]
+        assert g[0] != g[3]
+
+    def test_ngram_jaccard_pairs_exact(self, docs_ds):
+        from whoiswho_ray.stages.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(docs_ds, threshold=0.7).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+        assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+        # exact value check: docs 0/2 differ by one token out of 9 distinct
+        row = pairs[(pairs.key_a == 0) & (pairs.key_b == 2)].iloc[0]
+        assert row["jacc"] == pytest.approx(7 / 9)
+
+    def test_embedding_dup_pairs(self):
+        from whoiswho_ray.stages.dedup import embedding_dup_pairs
+
+        vecs = [
+            [1.0, 0.0, 0.0], [0.999, 0.01, 0.0],   # near dups, label 0
+            [0.0, 1.0, 0.0],                        # distinct, label 0
+            [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],      # opposite, label 1
+        ]
+        df = pd.DataFrame({"vec_id": range(5), "embedding": vecs,
+                           "label": [0, 0, 0, 1, 1]})
+        out = embedding_dup_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
+        assert [(r.key_a, r.key_b) for r in out.itertuples()] == [(0, 1)]
+
+
+class TestKnn:
+    def test_brute_exact(self):
+        from whoiswho_ray.stages.similarity_search import knn_brute
+
+        rng = np.random.RandomState(0)
+        mat = rng.randn(200, 16)
+        df = pd.DataFrame({"vec_id": range(200), "embedding": [v for v in mat]})
+        qids = np.array([0, 1])
+        out = knn_brute(rd.from_pandas(df), qids, mat[:2], k=3).to_pandas()
+        # reference: full numpy
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = unit[:2] @ unit.T
+        for qi in (0, 1):
+            s = sims[qi].copy()
+            s[qi] = -np.inf
+            expect = np.argsort(-s, kind="stable")[:3].tolist()
+            got = out[out.query_id == qi].sort_values("rank")["neighbor_id"].tolist()
+            assert got == expect
+
+    def test_ivf_recall_reasonable(self):
+        from whoiswho_ray.stages.similarity_search import knn_brute, knn_ivf
+
+        rng = np.random.RandomState(1)
+        # clustered data so IVF cells are meaningful
+        centers = rng.randn(5, 16) * 4
+        mat = np.vstack([c + rng.randn(60, 16) for c in centers])
+        df = pd.DataFrame({"vec_id": range(len(mat)), "embedding": [v for v in mat]})
+        qids = np.arange(3)
+        exact = knn_brute(rd.from_pandas(df), qids, mat[:3], k=5).to_pandas()
+        approx = knn_ivf(rd.from_pandas(df), qids, mat[:3], k=5, n_cells=5, n_probe=2).to_pandas()
+        hits = 0
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi]["neighbor_id"])
+            a = set(approx[approx.query_id == qi]["neighbor_id"])
+            hits += len(e & a)
+        assert hits / 15 >= 0.8  # probing 2/5 cells of well-separated clusters
+
+
+class TestTextAnalysis:
+    def test_token_stats(self):
+        from whoiswho_ray.stages.text_analysis import token_stats
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["ab  cd", ""]})
+        out = token_stats(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_tokens"] == 2
+        assert out.loc[1, "n_chars"] == 6
+        assert out.loc[1, "avg_token_len"] == pytest.approx(2.0)
+        assert out.loc[2, "n_tokens"] == 0
+
+    def test_quality(self):
+        from whoiswho_ray.stages.text_analysis import quality_scores
+
+        df = pd.DataFrame({"doc_id": [1], "text": ["Ab1!"]})
+        out = quality_scores(rd.from_pandas(df)).to_pandas().iloc[0]
+        assert out["alpha_ratio"] == pytest.approx(0.5)
+        assert out["digit_ratio"] == pytest.approx(0.25)
+        assert out["punct_ratio"] == pytest.approx(0.25)
+        assert out["upper_ratio"] == pytest.approx(0.25)
+
+    def test_langid(self):
+        from whoiswho_ray.stages.text_analysis import lang_id
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [
+            "the cat is on the mat and it is happy",
+            "le chat est dans la maison avec le chien",
+        ]})
+        out = lang_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "pred_lang"] == "en"
+        assert out.loc[2, "pred_lang"] == "fr"
+
+
+class TestWindows:
+    def test_sessionize(self):
+        from whoiswho_ray.stages.windows import sessionize
+
+        ts = pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:10",   # session 1
+            "2024-01-01 12:00",                        # session 2 (gap > 30m)
+        ])
+        df = pd.DataFrame({"user_id": [1, 1, 1], "ts": ts, "event_id": [1, 2, 3]})
+        out = sessionize(rd.from_pandas(df)).to_pandas()
+        assert len(out) == 2
+        assert out["n_events"].tolist() == [2, 1]
+
+
+class TestJoins:
+    def test_shuffle_hash_join_matches_pandas(self):
+        from whoiswho_ray.stages.joins import shuffle_hash_join
+
+        rng = np.random.RandomState(0)
+        l = pd.DataFrame({"k": rng.randint(0, 20, 100), "x": rng.randn(100)})
+        r = pd.DataFrame({"k": np.arange(15), "y": np.arange(15) * 10})
+        got = shuffle_hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k").to_pandas()
+        expect = l.merge(r, on="k")
+        got = got.sort_values(["k", "x"]).reset_index(drop=True)
+        expect = expect.sort_values(["k", "x"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "x", "y"]], expect[["k", "x", "y"]])
+
+    def test_semi_and_anti(self):
+        from whoiswho_ray.stages.joins import semi_join
+
+        df = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+        ds = rd.from_pandas(df)
+        assert sorted(semi_join(ds, {2, 4}, on="k").to_pandas()["k"]) == [2, 4]
+        assert sorted(semi_join(ds, {2, 4}, on="k", anti=True).to_pandas()["k"]) == [1, 3]
+
+
+class TestMultimodal:
+    def test_image_decode_plumbing(self):
+        from whoiswho_ray.stages.multimodal import decode_images
+
+        blobs = [bytes([i] * (100 + i)) for i in range(5)]
+        df = pd.DataFrame({"img_id": range(5), "payload": blobs})
+        out = decode_images(rd.from_pandas(df)).to_pandas()
+        assert {"width", "height", "channels", "feature"} <= set(out.columns)
+        assert all(len(f) == 16 for f in out["feature"])
+        # deterministic
+        out2 = decode_images(rd.from_pandas(df)).to_pandas()
+        assert out[["width", "height"]].equals(out2[["width", "height"]])
+
+    def test_real_decoder_is_gated(self):
+        from whoiswho_ray.stages.multimodal import ImageDecode
+
+        with pytest.raises(NotImplementedError):
+            ImageDecode(decoder="pil")
+
+    def test_audio_frames(self):
+        from whoiswho_ray.stages.multimodal import sample_audio_frames
+
+        df = pd.DataFrame({"aud_id": [1], "payload": [bytes(range(256)) * 10]})
+        out = sample_audio_frames(rd.from_pandas(df)).to_pandas()
+        assert len(out["frame_energy"].iloc[0]) == 8
+        assert out["duration_sec"].iloc[0] > 0

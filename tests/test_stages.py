@@ -68,14 +68,21 @@ class TestIdf:
         assert w.size == 1
 
 
+def _flatten(arrays):
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum([a.size for a in arrays], out=offsets[1:])
+    values = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+    return values, offsets
+
+
 class TestPairs:
     def test_allpairs_small_block(self):
         cfg = SNDConfig(max_allpairs_block=10)
-        rids = np.array([f"r{i}" for i in range(5)])
-        toks = [np.arange(3, dtype=np.int64)] * 5
-        repos = [np.array([1], dtype=np.int64)] * 5
-        pairs, trunc = candidate_index_pairs(rids, toks, repos, cfg)
-        assert len(pairs) == 10 and trunc == 0
+        rids = np.array([f"r{i}" for i in range(5)], dtype=object)
+        tv, to = _flatten([np.arange(3, dtype=np.int64)] * 5)
+        repo_first = np.ones(5, dtype=np.int64)
+        ii, jj, trunc = candidate_index_pairs(rids, tv, to, repo_first, cfg)
+        assert ii.size == 10 and trunc == 0
 
     def test_salted_hot_block_connects_similar(self):
         """Records with near-identical token sets must share a sub-bucket
@@ -84,21 +91,24 @@ class TestPairs:
         rng = np.random.RandomState(0)
         n = 40
         base = np.unique(rng.randint(0, 2**62, 30))
-        toks, rids, repos = [], [], []
+        toks, rids, repo_first = [], [], []
         for i in range(n):
             # 20 clones of entity A, 20 of entity B
             pool = base if i < 20 else np.unique(rng.randint(0, 2**62, 30))
             drop = rng.choice(pool.size, 3, replace=False)
             toks.append(np.sort(np.delete(pool, drop)))
             rids.append(f"r{i:02d}")
-            repos.append(np.array([1 if i < 20 else 2], dtype=np.int64))
-        pairs, _ = candidate_index_pairs(np.array(rids), toks, repos, cfg)
+            repo_first.append(1 if i < 20 else 2)
+        tv, to = _flatten(toks)
+        ii, jj, _ = candidate_index_pairs(
+            np.array(rids, dtype=object), tv, to,
+            np.array(repo_first, dtype=np.int64), cfg)
         # entity A's records form ONE connected set through emitted pairs —
         # the transitive-closure pass recovers what salting didn't score
         from whoiswho_ray.stages.cluster import UnionFind
 
         uf = UnionFind(n)
-        for i, j in pairs:
+        for i, j in zip(ii.tolist(), jj.tolist()):
             uf.union(i, j)
         roots_a = {uf.find(i) for i in range(20)}
         assert len(roots_a) == 1
@@ -108,34 +118,40 @@ class TestPairs:
         rng = np.random.RandomState(1)
         n = 30
         toks = [np.unique(rng.randint(0, 2**62, 20)) for _ in range(n)]
-        repos = [np.array([i % 3], dtype=np.int64) for i in range(n)]
-        rids = np.array([f"r{i:02d}" for i in range(n)])
-        p1, _ = candidate_index_pairs(rids, toks, repos, cfg)
+        repo_first = np.array([i % 3 for i in range(n)], dtype=np.int64)
+        rids = np.array([f"r{i:02d}" for i in range(n)], dtype=object)
+        tv, to = _flatten(toks)
+        i1, j1, _ = candidate_index_pairs(rids, tv, to, repo_first, cfg)
         perm = rng.permutation(n)
-        p2, _ = candidate_index_pairs(
-            rids[perm], [toks[i] for i in perm], [repos[i] for i in perm], cfg
-        )
-        set1 = {tuple(sorted((rids[i], rids[j]))) for i, j in p1}
-        set2 = {tuple(sorted((rids[perm][i], rids[perm][j]))) for i, j in p2}
+        tv2, to2 = _flatten([toks[i] for i in perm])
+        i2, j2, _ = candidate_index_pairs(rids[perm], tv2, to2, repo_first[perm], cfg)
+        set1 = {tuple(sorted((rids[i], rids[j]))) for i, j in zip(i1, j1)}
+        set2 = {tuple(sorted((rids[perm][i], rids[perm][j]))) for i, j in zip(i2, j2)}
         assert set1 == set2
 
     def test_make_pairs_payload(self):
+        import pyarrow as pa
+
         cfg = SNDConfig()
-        g = pd.DataFrame(
+        g = pa.table(
             {
                 "block_key": ["bk"] * 3,
                 "record_id": ["r1", "r2", "r3"],
                 "name": ["a.py", "b.py", "c.py"],
-                "tok_ids": [np.array([1, 2], np.int64)] * 3,
-                "repo_ids": [np.array([9], np.int64)] * 3,
-                "ctx_ids": [np.array([8], np.int64)] * 3,
-                "tfv_ids": [np.array([1], np.int64)] * 3,
-                "tfv_w": [np.array([1.0], np.float32)] * 3,
+                "tok_ids": pa.array([[1, 2], [2, 3], [5]], pa.list_(pa.int64())),
+                "repo_ids": pa.array([[9]] * 3, pa.list_(pa.int64())),
+                "ctx_ids": pa.array([[8]] * 3, pa.list_(pa.int64())),
+                "tfv_ids": pa.array([[1]] * 3, pa.list_(pa.int64())),
+                "tfv_w": pa.array([[1.0]] * 3, pa.list_(pa.float32())),
             }
         )
         out = make_pairs(g, cfg)
-        assert len(out) == 3
-        assert set(out.columns) >= {"block_key", "id_a", "id_b", "tok_a", "tok_b"}
+        assert out.num_rows == 3
+        df = out.to_pandas()
+        assert set(df.columns) >= {"block_key", "id_a", "id_b", "tok_a", "tok_b"}
+        # payload gather is row-correct
+        row = df[(df.id_a == "r1") & (df.id_b == "r2")].iloc[0]
+        assert list(row["tok_a"]) == [1, 2] and list(row["tok_b"]) == [2, 3]
 
 
 class TestScoring:

@@ -61,9 +61,11 @@ class SNDConfig:
     # minhash banding for hot-block salting: n_hashes = lsh_bands * lsh_rows
     lsh_bands: int = 8
     lsh_rows: int = 2
-    # hard cap on pairs emitted per (block, salt) group; truncation is
-    # logged in block metrics, never silent.
-    max_pairs_per_group: int = 200_000
+    # hard cap on pairs emitted per (block, salt) group; an oversized
+    # bucket degrades to sorted-neighborhood window pairs under this
+    # budget (recall recovered transitively); truncation is logged in
+    # block metrics, never silent.
+    max_pairs_per_group: int = 32_000
 
     # --- tokenization / vocabulary ---
     max_tokens_per_record: int = 256

@@ -95,14 +95,41 @@ class MinHasher:
         Two sets share a band key iff their signatures agree on all `rows`
         slots of that band: P(candidate) = 1 - (1 - J^rows)^bands.
         """
-        sig = self.signature(token_ids)[: bands * rows].reshape(bands, rows)
-        out = []
-        for i in range(bands):
-            h = hashlib.blake2b(
-                sig[i].tobytes(), digest_size=8, salt=i.to_bytes(8, "little")
-            ).digest()
-            out.append(int.from_bytes(h, "little") >> 1)
-        return out
+        sig = self.signature(token_ids)[None, :]
+        return band_keys_matrix(sig, bands, rows)[0].tolist()
+
+    def signatures_flat(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Vectorized signatures for many sets given flat (values, offsets).
+
+        Returns uint64[n_rows, num_hashes]; empty rows get all-max."""
+        n = offsets.size - 1
+        sig = np.full((n, self.num_hashes), np.iinfo(np.uint64).max, dtype=_U64)
+        if values.size == 0:
+            return sig
+        H = _mix64(values.astype(_U64)[:, None] ^ self.salts[None, :])
+        nonempty = np.diff(offsets) > 0
+        if nonempty.any():
+            # reduceat over nonempty row starts: each segment runs to the
+            # next nonempty start (empty rows share offsets), so segments
+            # partition the flat values exactly by row
+            sig[nonempty] = np.minimum.reduceat(H, offsets[:-1][nonempty], axis=0)
+        return sig
+
+
+def band_keys_matrix(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Vectorized LSH band bucket keys for a signature matrix.
+
+    sigs: uint64[n, >=bands*rows] → int64[n, bands]. Each band key is a
+    mix64 fold of its `rows` signature slots seeded by the band index, so
+    keys collide only when every slot in the band agrees."""
+    n = sigs.shape[0]
+    out = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        acc = _mix64(np.full(n, 0x9E3779B97F4A7C15 + b, dtype=_U64))
+        for r in range(rows):
+            acc = _mix64(acc ^ sigs[:, b * rows + r])
+        out[:, b] = (acc >> _U64(1)).astype(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -65,23 +65,44 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     return pa.table({"tok_id": ids, "df": counts, "n_rec": n_rec})
 
 
-def build_idf(normalized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> IdfModel:
-    """normalized Dataset → IdfModel (small, driver-side)."""
-    cfg = cfg or SNDConfig()
-    from ray.data.aggregate import Sum
+def build_idf(
+    normalized: "ray.data.Dataset",
+    cfg: SNDConfig | None = None,
+    combine: str = "driver",
+) -> IdfModel:
+    """normalized Dataset → IdfModel (small, driver-side).
 
+    ``combine='driver'`` (default): per-batch partial frequencies are
+    already vocab-bounded, so the final merge is one driver-side sorted
+    reduce over the partial tables — no all-to-all shuffle at all.
+    ``combine='shuffle'``: the ``groupby(token)`` aggregate path for
+    corpora whose per-batch vocab union exceeds driver memory.
+    """
+    cfg = cfg or SNDConfig()
     partial = normalized.select_columns(["tok_ids"]).map_batches(
         _partial_df, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partial.groupby("tok_id").aggregate(
-        Sum("df", alias_name="df"), Sum("n_rec", alias_name="n_rec")
-    )
-    tbl = agg.to_arrow_refs()
-    parts = [ray.get(r) for r in tbl]
-    full = pa.concat_tables(parts)
-    ids = full.column("tok_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    df = full.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-    n_records = int(full.column("n_rec").to_numpy(zero_copy_only=False).sum())
+    if combine == "shuffle":
+        from ray.data.aggregate import Sum
+
+        agg = partial.groupby("tok_id").aggregate(
+            Sum("df", alias_name="df"), Sum("n_rec", alias_name="n_rec")
+        )
+        full = pa.concat_tables([ray.get(r) for r in agg.to_arrow_refs()])
+        ids = full.column("tok_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = full.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_records = int(full.column("n_rec").to_numpy(zero_copy_only=False).sum())
+    else:
+        full = pa.concat_tables([ray.get(r) for r in partial.to_arrow_refs()])
+        raw_ids = full.column("tok_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_df = full.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_records = int(full.column("n_rec").to_numpy(zero_copy_only=False).sum())
+        order = np.argsort(raw_ids, kind="stable")
+        sids = raw_ids[order]
+        sdf = raw_df[order]
+        starts = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1]])
+        ids = sids[starts]
+        df = np.add.reduceat(sdf, starts) if sids.size else sdf
     n_total = ids.size
 
     keep = df >= cfg.min_df

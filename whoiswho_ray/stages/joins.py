@@ -55,9 +55,23 @@ def shuffle_hash_join(
     a side tag, co-group by bucket, pandas-merge inside each group."""
     keys = [on] if isinstance(on, str) else list(on)
 
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = lschema.names
+    rcols = rschema.names
     all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def _dtypes(schema) -> dict:
+        import pyarrow as pa
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            if isinstance(t, pa.DataType):
+                out[n] = pa.schema([pa.field(n, t)]).empty_table().to_pandas().dtypes[n]
+            else:  # pandas-backed block schema: numpy dtype or python class
+                out[n] = np.dtype(t) if not isinstance(t, np.dtype) else t
+        return out
+
+    ldtypes, rdtypes = _dtypes(lschema), _dtypes(rschema)
 
     def bucketed(side: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -72,8 +86,10 @@ def shuffle_hash_join(
     rb = right.map_batches(bucketed("r"), batch_format="pandas")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][lcols]
-        r = g[g["__side"] == "r"][rcols]
+        # restore each side's dtypes (the schema-aligned union introduced
+        # NaN-typed columns on the side that lacks them)
+        l = g[g["__side"] == "l"][lcols].astype(ldtypes)
+        r = g[g["__side"] == "r"][rcols].astype(rdtypes)
         return l.merge(r, on=keys, how=how)
 
     return lb.union(rb).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

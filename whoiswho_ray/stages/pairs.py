@@ -13,30 +13,34 @@ thousands of rows, fatal at scale. Here each block is one group of a
   sub-bucket, pairs are generated within buckets, duplicates across buckets
   removed, and recall across buckets is recovered because union-find joins
   any chain of within-bucket edges. A same-repo sub-key is added since the
-  repo field carries the reference's org-weight (w=1.0).
+  repo field carries the reference's org-weight.
 * an oversized sub-bucket degrades to deterministic sorted-neighborhood
   pairing (window pairs on sorted record_id) under ``max_pairs_per_group``
   — bounded-pair scoring has reference precedent (profile caps at
   ``adhoc_features.py:105``), and truncation is *reported* per block via
   the ``truncated_pairs`` metric column, never silent.
 
-Each pair row carries both sides' compact signatures (hashed-token arrays,
+Each pair row carries both sides' compact signatures (hashed-token lists,
 TF-IDF sparse vectors, basenames) so scoring needs no join against the
-record table — at 100 TB only signatures travel, never content.
+record table — at 100 TB only signatures travel, never content. The whole
+stage is vectorized: groups arrive as Arrow tables, token sets are
+flattened zero-copy, minhash signatures come from one ``reduceat`` pass,
+and payload list columns are built by a vectorized list-gather
+(``pa.ListArray.from_arrays``) — no per-pair Python objects.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
 from whoiswho_ray.config import SNDConfig
-from whoiswho_ray.functions.hashing import MinHasher
+from whoiswho_ray.functions.hashing import MinHasher, band_keys_matrix
 
-_PAYLOAD = [
-    ("name", "name"),
+_LIST_PAYLOAD = [
     ("tok_ids", "tok"),
     ("repo_ids", "repo"),
     ("ctx_ids", "ctx"),
@@ -45,9 +49,9 @@ _PAYLOAD = [
 ]
 
 PAIR_COLUMNS = (
-    ["block_key", "id_a", "id_b"]
-    + [f"{short}_a" for _, short in _PAYLOAD]
-    + [f"{short}_b" for _, short in _PAYLOAD]
+    ["block_key", "id_a", "id_b", "name_a", "name_b"]
+    + [f"{short}_a" for _, short in _LIST_PAYLOAD]
+    + [f"{short}_b" for _, short in _LIST_PAYLOAD]
 )
 
 _MINHASHERS: dict[tuple[int, int], MinHasher] = {}
@@ -60,17 +64,45 @@ def _minhasher(cfg: SNDConfig) -> MinHasher:
     return _MINHASHERS[key]
 
 
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series([], dtype=object) for c in PAIR_COLUMNS})
+def _flat_list(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list column → (flat values, offsets int64[n+1]), zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):
+        col = col.storage
+    if isinstance(col, pa.StructArray):
+        col = col.field("data")
+    if isinstance(col, pa.FixedSizeListArray):
+        size = col.type.list_size
+        values = col.values.to_numpy(zero_copy_only=False)
+        start = col.offset * size
+        values = values[start: start + len(col) * size]
+        return values, np.arange(len(col) + 1, dtype=np.int64) * size
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values[offsets[0]: offsets[-1]], offsets - offsets[0]
+
+
+def _gather_list(values: np.ndarray, offsets: np.ndarray, idx: np.ndarray,
+                 arrow_type) -> pa.ListArray:
+    """Vectorized list-gather: rows ``idx`` of a flat list representation
+    → a new Arrow ListArray, no Python loop."""
+    lens = np.diff(offsets)[idx]
+    out_off = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    flat_idx = np.repeat(offsets[idx], lens) + (np.arange(total) - np.repeat(out_off[:-1], lens))
+    return pa.ListArray.from_arrays(pa.array(out_off.astype(np.int32)),
+                                    pa.array(values[flat_idx], type=arrow_type))
 
 
 def _window_pairs(idx: np.ndarray, budget: int) -> list[tuple[int, int]]:
-    """Deterministic sorted-neighborhood pairs: (i, i+d) for d ≤ W where W
-    keeps the count under budget. idx must already be sorted by record_id
-    so the pairing is input-order invariant."""
+    """Deterministic sorted-neighborhood pairs: (i, i+d) for d ≤ W keeping
+    the count under budget. idx must already be in canonical (record_id)
+    order so the pairing is input-order invariant."""
     n = idx.size
     w = max(1, budget // max(n, 1))
-    out = []
+    out: list[tuple[int, int]] = []
     for d in range(1, min(w, n - 1) + 1):
         out.extend(zip(idx[:-d].tolist(), idx[d:].tolist()))
         if len(out) >= budget:
@@ -80,103 +112,159 @@ def _window_pairs(idx: np.ndarray, budget: int) -> list[tuple[int, int]]:
 
 def candidate_index_pairs(
     record_ids: np.ndarray,
-    tok_arrays: list[np.ndarray],
-    repo_arrays: list[np.ndarray],
+    tok_values: np.ndarray,
+    tok_offsets: np.ndarray,
+    repo_first: np.ndarray,
     cfg: SNDConfig,
-) -> tuple[list[tuple[int, int]], int]:
-    """Index pairs for one block + truncated-pair count. Deterministic."""
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Candidate (i, j) index arrays for one block + truncated-pair count.
+
+    Deterministic and invariant to input row order (everything is keyed on
+    record_ids). ``repo_first`` is each record's first repo-token hash
+    (-1 when absent) — the same-repo salt key.
+    """
     n = record_ids.size
+    empty = np.empty(0, dtype=np.int64)
     if n < 2:
-        return [], 0
+        return empty, empty, 0
     if n <= cfg.max_allpairs_block:
         ii, jj = np.triu_indices(n, 1)
-        return list(zip(ii.tolist(), jj.tolist())), 0
+        return ii.astype(np.int64), jj.astype(np.int64), 0
 
-    order = np.argsort(record_ids, kind="stable")  # canonical order for determinism
     mh = _minhasher(cfg)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for pos in order.tolist():
-        for band_i, key in enumerate(mh.band_keys(tok_arrays[pos], cfg.lsh_bands, cfg.lsh_rows)):
-            buckets.setdefault((band_i, key), []).append(pos)
-        # same-repo salt: records sharing a repo are likely same-entity
-        rh = int(repo_arrays[pos][0]) if repo_arrays[pos].size else -1
-        buckets.setdefault((-1, rh), []).append(pos)
+    sigs = mh.signatures_flat(tok_values, tok_offsets)
+    bands = band_keys_matrix(sigs, cfg.lsh_bands, cfg.lsh_rows)  # (n, bands)
 
-    seen: set[tuple[int, int]] = set()
-    pairs: list[tuple[int, int]] = []
+    order = np.argsort(record_ids, kind="stable")  # canonical order
+    pairs_i: list[np.ndarray] = []
+    pairs_j: list[np.ndarray] = []
     truncated = 0
-    for key in sorted(buckets):
-        idx = np.asarray(buckets[key])
-        m = idx.size
+
+    def emit_bucket(members: np.ndarray) -> None:
+        nonlocal truncated
+        m = members.size
         if m < 2:
-            continue
+            return
         if m * (m - 1) // 2 <= cfg.max_pairs_per_group:
-            ii, jj = np.triu_indices(m, 1)
-            cand = zip(idx[ii].tolist(), idx[jj].tolist())
+            bi, bj = np.triu_indices(m, 1)
+            pairs_i.append(members[bi])
+            pairs_j.append(members[bj])
         else:
-            cand = _window_pairs(idx, cfg.max_pairs_per_group)
-            truncated += m * (m - 1) // 2 - len(cand)
-        for i, j in cand:
-            p = (i, j) if record_ids[i] < record_ids[j] else (j, i)
-            if p not in seen:
-                seen.add(p)
-                pairs.append(p)
-    return pairs, truncated
+            wp = _window_pairs(members, cfg.max_pairs_per_group)
+            truncated += m * (m - 1) // 2 - len(wp)
+            if wp:
+                arr = np.asarray(wp, dtype=np.int64)
+                pairs_i.append(arr[:, 0])
+                pairs_j.append(arr[:, 1])
+
+    # band buckets (vectorized grouping per band, members in canonical order)
+    for b in range(cfg.lsh_bands):
+        keys = bands[order, b]
+        sort2 = np.argsort(keys, kind="stable")
+        ks = keys[sort2]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                emit_bucket(order[sort2[s:e]])
+    # same-repo salt buckets
+    keys = repo_first[order]
+    sort2 = np.argsort(keys, kind="stable")
+    ks = keys[sort2]
+    bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s >= 2 and ks[s] != -1:
+            emit_bucket(order[sort2[s:e]])
+
+    if not pairs_i:
+        return empty, empty, truncated
+    ii = np.concatenate(pairs_i)
+    jj = np.concatenate(pairs_j)
+    # canonical orientation + dedup across buckets
+    swap = record_ids[ii] > record_ids[jj]
+    ii2 = np.where(swap, jj, ii)
+    jj2 = np.where(swap, ii, jj)
+    packed = ii2 * np.int64(n) + jj2
+    uniq = np.unique(packed)
+    return (uniq // n).astype(np.int64), (uniq % n).astype(np.int64), truncated
 
 
-def make_pairs(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
-    """One block (one map_groups group) → pair rows with payload columns."""
-    n = len(group)
+def _block_arrays(group: pa.Table):
+    rids = np.asarray(group.column("record_id").to_pylist(), dtype=object)
+    tok_values, tok_offsets = _flat_list(group.column("tok_ids"))
+    repo_values, repo_offsets = _flat_list(group.column("repo_ids"))
+    lens = np.diff(repo_offsets)
+    repo_first = np.full(lens.size, -1, dtype=np.int64)
+    nonempty = lens > 0
+    repo_first[nonempty] = repo_values[repo_offsets[:-1][nonempty]]
+    return rids, tok_values, tok_offsets, repo_first
+
+
+def make_pairs(group: pa.Table, cfg: SNDConfig) -> pa.Table:
+    """One block (one map_groups group, Arrow) → pair rows with payloads."""
+    n = group.num_rows
     if n < 2:
-        return _empty_pairs()
-    rids = group["record_id"].to_numpy()
-    toks = [np.asarray(t, dtype=np.int64) for t in group["tok_ids"]]
-    repos = [np.asarray(t, dtype=np.int64) for t in group["repo_ids"]]
-    pairs, _truncated = candidate_index_pairs(rids, toks, repos, cfg)
-    if not pairs:
-        return _empty_pairs()
-    ii = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
-    jj = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
-    out: dict[str, object] = {
-        "block_key": np.repeat(group["block_key"].iloc[0], len(pairs)),
-        "id_a": rids[ii],
-        "id_b": rids[jj],
+        return _empty_pairs_table()
+    rids, tok_values, tok_offsets, repo_first = _block_arrays(group)
+    ii, jj, _trunc = candidate_index_pairs(rids, tok_values, tok_offsets, repo_first, cfg)
+    if ii.size == 0:
+        return _empty_pairs_table()
+
+    names = np.asarray(group.column("name").to_pylist(), dtype=object)
+    cols: dict[str, pa.Array] = {
+        "block_key": pa.array(np.repeat(group.column("block_key")[0].as_py(), ii.size), pa.string()),
+        "id_a": pa.array(rids[ii], pa.string()),
+        "id_b": pa.array(rids[jj], pa.string()),
+        "name_a": pa.array(names[ii], pa.string()),
+        "name_b": pa.array(names[jj], pa.string()),
     }
-    for col, short in _PAYLOAD:
-        vals = group[col].to_numpy()
-        out[f"{short}_a"] = vals[ii]
-        out[f"{short}_b"] = vals[jj]
-    return pd.DataFrame(out)
+    for col, short in _LIST_PAYLOAD:
+        values, offsets = _flat_list(group.column(col))
+        elem_type = pa.float32() if short == "tfv_w" else pa.int64()
+        cols[f"{short}_a"] = _gather_list(values, offsets, ii, elem_type)
+        cols[f"{short}_b"] = _gather_list(values, offsets, jj, elem_type)
+    return pa.table(cols)
 
 
-def block_metrics(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
+def _empty_pairs_table() -> pa.Table:
+    cols = {}
+    for c in PAIR_COLUMNS:
+        if c.startswith(("tok", "repo", "ctx", "tfv_ids")):
+            cols[c] = pa.array([], pa.list_(pa.int64()))
+        elif c.startswith("tfv_w"):
+            cols[c] = pa.array([], pa.list_(pa.float32()))
+        else:
+            cols[c] = pa.array([], pa.string())
+    return pa.table(cols)
+
+
+def block_metrics(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     """Per-block lineage/metrics row: size, pair counts, salting/truncation."""
-    n = len(group)
-    rids = group["record_id"].to_numpy()
-    toks = [np.asarray(t, dtype=np.int64) for t in group["tok_ids"]]
-    repos = [np.asarray(t, dtype=np.int64) for t in group["repo_ids"]]
-    pairs, truncated = candidate_index_pairs(rids, toks, repos, cfg)
-    return pd.DataFrame(
-        {
-            "block_key": [group["block_key"].iloc[0]],
-            "n_records": [n],
-            "n_pairs": [len(pairs)],
-            "salted": [n > cfg.max_allpairs_block],
-            "truncated_pairs": [truncated],
-        }
-    )
+    n = group.num_rows
+    if n < 2:
+        n_pairs, truncated = 0, 0
+    else:
+        rids, tv, to, rf = _block_arrays(group)
+        ii, jj, truncated = candidate_index_pairs(rids, tv, to, rf, cfg)
+        n_pairs = int(ii.size)
+    return pa.table({
+        "block_key": pa.array([group.column("block_key")[0].as_py()], pa.string()),
+        "n_records": pa.array([n], pa.int64()),
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "salted": pa.array([n > cfg.max_allpairs_block], pa.bool_()),
+        "truncated_pairs": pa.array([truncated], pa.int64()),
+    })
 
 
 def generate_pairs(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     """vectorized records → pair rows (the blocking shuffle, operator A1)."""
     cfg = cfg or SNDConfig()
     return vectorized.groupby("block_key").map_groups(
-        lambda g: make_pairs(g, cfg), batch_format="pandas"
+        lambda g: make_pairs(g, cfg), batch_format="pyarrow"
     )
 
 
 def generate_block_metrics(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or SNDConfig()
     return vectorized.groupby("block_key").map_groups(
-        lambda g: block_metrics(g, cfg), batch_format="pandas"
+        lambda g: block_metrics(g, cfg), batch_format="pyarrow"
     )

@@ -12,15 +12,25 @@ idf dicts in ``__loadEssential`` at construction):
   ``__init__`` — never re-shipped per batch.
 * ``PairScorer`` — the 36-dim-hand-feature analog
   (``feature_process.py:242-350``) reduced to the score the SND trainer
-  actually blends (``AutoTrainSND.py:142-161``): weighted sum of token
-  Jaccard (coauthor analog, w=1.5), repo tanimoto (org, w=1.0), context
-  tanimoto (venue, w=1.0), TF-IDF cosine (text), Jaro-Winkler on basenames.
+  actually blends (``AutoTrainSND.py:142-161``): token Jaccard (coauthor
+  analog), repo tanimoto (org), context tanimoto (venue), TF-IDF cosine,
+  Jaro-Winkler on basenames.
+
+The scorer is fully vectorized: pair token sets arrive as Arrow list
+columns, are flattened **zero-copy** via (values, offsets), and every
+set intersection in the batch is computed in one lexsort +
+duplicate-count pass (tokens are unique per side, so a (pair, token)
+appearing twice == one intersection hit). No Python loop touches the
+token data; only the Jaro-Winkler names go through a per-actor memo dict
+(the reference's ``dname_l_dict`` cache made per-actor state,
+``whoiswho/utils.py:12``).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -38,25 +48,45 @@ EDGE_COLUMNS = ["block_key", "id_a", "id_b", "j_tok", "t_repo", "t_ctx", "cos", 
 
 class TfidfVectorizer:
     """Actor: adds ``tfv_ids`` (sorted in-vocab token ids) and ``tfv_w``
-    (idf weights, L2-normalized) columns."""
+    (idf weights, L2-normalized) list columns — Arrow in / Arrow out, one
+    vectorized vocabulary lookup per batch (flattened token stream,
+    ``searchsorted`` against the sorted vocab, per-row renormalization via
+    ``reduceat``); blocks stay Arrow through the whole pipeline."""
 
     def __init__(self, idf_ref: "ray.ObjectRef | IdfModel"):
         self.idf: IdfModel = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids_out, w_out = [], []
-        for toks in batch["tok_ids"]:
-            tok = np.asarray(toks, dtype=np.int64)
-            ids, w = self.idf.lookup(tok)
-            norm = float(np.linalg.norm(w))
-            if norm > 0:
-                w = (w / norm).astype(np.float32)
-            ids_out.append(ids)
-            w_out.append(w)
-        batch = batch.copy()
-        batch["tfv_ids"] = ids_out
-        batch["tfv_w"] = w_out
-        return batch
+    def __call__(self, t: pa.Table) -> pa.Table:
+        values, lens = _flat(t.column("tok_ids"))
+        n = t.num_rows
+        vocab = self.idf.ids
+        if vocab.size and values.size:
+            pos = np.searchsorted(vocab, values)
+            pos[pos == vocab.size] = 0
+            hit = vocab[pos] == values
+        else:
+            hit = np.zeros(values.size, dtype=bool)
+
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        new_lens = np.bincount(row_idx[hit], minlength=n)
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+
+        hit_ids = values[hit]
+        w = self.idf.idf[pos[hit]].astype(np.float64) if vocab.size else np.empty(0)
+        norms = np.ones(n, dtype=np.float64)
+        nonempty = new_lens > 0
+        if nonempty.any():
+            sq = np.add.reduceat(w * w, new_off[:-1][nonempty])
+            norms[nonempty] = np.sqrt(sq)
+        norms[norms == 0] = 1.0
+        w_norm = (w / np.repeat(norms, new_lens)).astype(np.float32)
+
+        off32 = pa.array(new_off.astype(np.int32))
+        return (
+            t.append_column("tfv_ids", pa.ListArray.from_arrays(off32, pa.array(hit_ids, pa.int64())))
+             .append_column("tfv_w", pa.ListArray.from_arrays(off32, pa.array(w_norm, pa.float32())))
+        )
 
 
 def vectorize(
@@ -69,10 +99,138 @@ def vectorize(
     return normalized.map_batches(
         TfidfVectorizer,
         fn_constructor_kwargs={"idf_ref": idf_ref},
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
         concurrency=(1, cfg.score_concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch kernels
+# ---------------------------------------------------------------------------
+
+
+def _flat(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list-like column → (flat values, row lengths), zero-copy.
+
+    Handles plain list/large_list, fixed_size_list, and Ray's tensor
+    extension types (which pandas-sourced blocks of uniform-length arrays
+    get converted into)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):
+        col = col.storage
+    if isinstance(col, pa.StructArray):  # variable-shaped tensor storage
+        col = col.field("data")
+    if isinstance(col, pa.FixedSizeListArray):
+        size = col.type.list_size
+        values = col.values.to_numpy(zero_copy_only=False)
+        start = col.offset * size
+        values = values[start: start + len(col) * size]
+        return values, np.full(len(col), size, dtype=np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    # a sliced ListArray's values buffer can extend beyond the slice
+    values = values[offsets[0]: offsets[-1]]
+    return values, np.diff(offsets)
+
+
+def _intersections(
+    n: int,
+    vals_a: np.ndarray, len_a: np.ndarray,
+    vals_b: np.ndarray, len_b: np.ndarray,
+    w_a: np.ndarray | None = None, w_b: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Per-pair set-intersection sizes (and weighted dot products) for a
+    whole batch in one lexsort pass.
+
+    Each side's tokens are unique within a row, so after sorting the
+    combined (pair_idx, token) stream, a duplicate neighbor == one
+    intersection hit; the weighted dot is the product of the two
+    neighbors' weights summed per pair."""
+    pair_a = np.repeat(np.arange(n, dtype=np.int64), len_a)
+    pair_b = np.repeat(np.arange(n, dtype=np.int64), len_b)
+    pair = np.concatenate([pair_a, pair_b])
+    toks = np.concatenate([vals_a, vals_b])
+    order = np.lexsort((toks, pair))
+    sp = pair[order]
+    st = toks[order]
+    dup = (sp[1:] == sp[:-1]) & (st[1:] == st[:-1])
+    inter = np.bincount(sp[1:][dup], minlength=n)
+    dots = None
+    if w_a is not None:
+        w = np.concatenate([w_a.astype(np.float64), w_b.astype(np.float64)])[order]
+        contrib = w[1:][dup] * w[:-1][dup]
+        dots = np.bincount(sp[1:][dup], weights=contrib, minlength=n)
+    return inter, dots
+
+
+def _jaccard_cols(table: pa.Table, col_a: str, col_b: str) -> np.ndarray:
+    va, la = _flat(table.column(col_a))
+    vb, lb = _flat(table.column(col_b))
+    n = table.num_rows
+    inter, _ = _intersections(n, va, la, vb, lb)
+    union = la + lb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    return j
+
+
+class PairScorer:
+    """Actor: pair rows (payload signatures as Arrow lists) → scored edges."""
+
+    def __init__(self, cfg: SNDConfig):
+        self.cfg = cfg
+        self._jw_cache: dict[tuple[str, str], float] = {}
+
+    def _jw(self, a: str, b: str) -> float:
+        key = (a, b) if a <= b else (b, a)
+        v = self._jw_cache.get(key)
+        if v is None:
+            v = jaro_winkler(key[0].lower(), key[1].lower())
+            if len(self._jw_cache) < 1_000_000:
+                self._jw_cache[key] = v
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cfg = self.cfg
+        j_tok = _jaccard_cols(t, "tok_a", "tok_b")
+        t_repo = _jaccard_cols(t, "repo_a", "repo_b")
+        t_ctx = _jaccard_cols(t, "ctx_a", "ctx_b")
+
+        va, la = _flat(t.column("tfv_ids_a"))
+        vb, lb = _flat(t.column("tfv_ids_b"))
+        wa, _ = _flat(t.column("tfv_w_a"))
+        wb, _ = _flat(t.column("tfv_w_b"))
+        _, dots = _intersections(n, va, la, vb, lb, wa, wb)
+        cos = dots if dots is not None else np.zeros(n)
+
+        names_a = t.column("name_a").to_pylist()
+        names_b = t.column("name_b").to_pylist()
+        jw = np.fromiter(
+            (self._jw(a or "", b or "") for a, b in zip(names_a, names_b)),
+            dtype=np.float64, count=n,
+        )
+        score = (
+            cfg.w_tokens * j_tok
+            + cfg.w_repo * t_repo
+            + cfg.w_ctx * t_ctx
+            + cfg.w_tfidf * cos
+            + cfg.w_name * jw
+        )
+        return pa.table({
+            "block_key": t.column("block_key"),
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "j_tok": pa.array(j_tok),
+            "t_repo": pa.array(t_repo),
+            "t_ctx": pa.array(t_ctx),
+            "cos": pa.array(cos),
+            "jw": pa.array(jw),
+            "score": pa.array(score),
+        })
 
 
 def score_pair_arrays(
@@ -84,7 +242,8 @@ def score_pair_arrays(
     name_a: str, name_b: str,
     cfg: SNDConfig,
 ) -> tuple[float, float, float, float, float, float]:
-    """One pair's features + blended score (pure, unit-testable)."""
+    """Scalar reference implementation of one pair's features + score —
+    the oracle the vectorized batch kernel is tested against."""
     j_tok = jaccard_sorted(tok_a, tok_b)
     t_repo = jaccard_sorted(repo_a, repo_b)
     t_ctx = jaccard_sorted(ctx_a, ctx_b)
@@ -100,46 +259,6 @@ def score_pair_arrays(
     return j_tok, t_repo, t_ctx, cos, jw, score
 
 
-class PairScorer:
-    """Actor: pair rows (with payload signatures) → scored edge rows."""
-
-    def __init__(self, cfg: SNDConfig):
-        self.cfg = cfg
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        cfg = self.cfg
-        cols = {k: batch[k].to_numpy() for k in (
-            "tok_a", "tok_b", "repo_a", "repo_b", "ctx_a", "ctx_b",
-            "tfv_ids_a", "tfv_w_a", "tfv_ids_b", "tfv_w_b", "name_a", "name_b",
-        )}
-        feats = np.empty((n, 6), dtype=np.float64)
-        asarr = np.asarray
-        for i in range(n):
-            feats[i] = score_pair_arrays(
-                asarr(cols["tok_a"][i], dtype=np.int64), asarr(cols["tok_b"][i], dtype=np.int64),
-                asarr(cols["repo_a"][i], dtype=np.int64), asarr(cols["repo_b"][i], dtype=np.int64),
-                asarr(cols["ctx_a"][i], dtype=np.int64), asarr(cols["ctx_b"][i], dtype=np.int64),
-                asarr(cols["tfv_ids_a"][i], dtype=np.int64), asarr(cols["tfv_w_a"][i], dtype=np.float32),
-                asarr(cols["tfv_ids_b"][i], dtype=np.int64), asarr(cols["tfv_w_b"][i], dtype=np.float32),
-                str(cols["name_a"][i]), str(cols["name_b"][i]),
-                cfg,
-            )
-        return pd.DataFrame(
-            {
-                "block_key": batch["block_key"].to_numpy(),
-                "id_a": batch["id_a"].to_numpy(),
-                "id_b": batch["id_b"].to_numpy(),
-                "j_tok": feats[:, 0],
-                "t_repo": feats[:, 1],
-                "t_ctx": feats[:, 2],
-                "cos": feats[:, 3],
-                "jw": feats[:, 4],
-                "score": feats[:, 5],
-            }
-        )
-
-
 def score_pairs(pairs: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     """pairs → scored edges; keeps only pairs with score ≥ tau_attach (the
     lower of the two thresholds — everything below it can influence neither
@@ -148,13 +267,17 @@ def score_pairs(pairs: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray
     scored = pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=cfg.score_batch_size,
         concurrency=(1, cfg.score_concurrency),
     )
     tau = min(cfg.tau_attach, cfg.tau_edge)
+    import pyarrow.compute as pc
+
     return scored.map_batches(
-        lambda df: df[df["score"] >= tau],
-        batch_format="pandas",
+        lambda t: t.filter(pc.greater_equal(t.column("score"), pa.scalar(tau))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=cfg.score_batch_size,
     )
