@@ -6,12 +6,15 @@ The reference's dedup surface is exact line-set dedup (operator D1,
 near-dup family a 100 TB training-data pipeline needs (MinHash-LSH,
 SimHash, exact n-gram Jaccard, embedding cosine), each built from the same
 primitives as the SND pipeline (MinHash salting, threshold edges,
-connected components).
+connected components, the lexsort intersection kernel).
 
-Scale notes: every operator is shuffle-by-signature (hash, band, simhash
-piece) — the all-to-all moves one small row per (doc, signature), never
-content; verification happens inside the bucket group; groups are bounded
-by construction (band width) with caps logged.
+Scale notes: the LSH shuffles move one **(bucket, key)** row per
+(doc, band) — token payloads never enter the all-to-all; candidate pairs
+are deduped by a native Count aggregate; verification reads the token
+side-table from a broadcast (``ray.put`` once, fetched per actor), with a
+bucketed join as the documented fallback when the side-table outgrows
+worker memory. Oversized buckets degrade to sorted-window pairs under a
+budget — bounded, logged, recall recovered by the transitive closure.
 """
 
 from __future__ import annotations
@@ -20,12 +23,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
-from whoiswho_ray.functions.hashing import MinHasher, hash_tokens64, sha256_hex, simhash64
-from whoiswho_ray.functions.similarity import jaccard_sorted
+from whoiswho_ray.functions.hashing import MinHasher, band_keys_matrix, hash_tokens64, sha256_hex, simhash64
 from whoiswho_ray.functions.textnorm import tokenize_text
 from whoiswho_ray.stages.cluster import UnionFind
+from whoiswho_ray.stages.scoring import _flat, _intersections
+
+_PAIR_BUDGET = 50_000  # per-bucket candidate-pair budget (window pairs beyond)
 
 
 # ---------------------------------------------------------------------------
@@ -35,9 +41,9 @@ from whoiswho_ray.stages.cluster import UnionFind
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", key_col: str = "doc_id") -> "ray.data.Dataset":
     """Keep one row (minimum key) per distinct text. The groupby shuffle
-    moves (sha, key) projections — never the text itself at scale; kept
-    keys then semi-join the full rows via a broadcast of the kept-key set
-    when needed. Here rows ride along since payloads are small."""
+    partitions by content hash; rows ride along here because payloads are
+    small — at scale, ship (sha, key) projections and semi-join the keepers
+    back via ``joins.semi_join``."""
 
     def add_sha(t: pa.Table) -> pa.Table:
         sha = [sha256_hex(x if x is not None else "") for x in t.column(text_col).to_pylist()]
@@ -52,11 +58,11 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", key_col: str = "
 
 
 # ---------------------------------------------------------------------------
-# shared tokenization for the near-dup family
+# shared helpers for the near-dup family
 # ---------------------------------------------------------------------------
 
 
-def _add_tok_ids(ds: "ray.data.Dataset", text_col: str, key_col: str) -> "ray.data.Dataset":
+def _tokenize_table(ds: "ray.data.Dataset", text_col: str, key_col: str) -> "ray.data.Dataset":
     def f(t: pa.Table) -> pa.Table:
         toks = [hash_tokens64(tokenize_text(x or "", stopwords=frozenset(), min_len=1))
                 for x in t.column(text_col).to_pylist()]
@@ -67,10 +73,38 @@ def _add_tok_ids(ds: "ray.data.Dataset", text_col: str, key_col: str) -> "ray.da
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bucket_candidates(g: pd.DataFrame, budget: int = _PAIR_BUDGET) -> pd.DataFrame:
+    """One bucket group of (bucket, key) rows → candidate key pairs.
+    All-pairs under the budget, else deterministic sorted-window pairs."""
+    keys = np.unique(g["key"].to_numpy())
+    m = keys.size
+    if m < 2:
+        return pd.DataFrame({"key_a": keys[:0], "key_b": keys[:0]})
+    if m * (m - 1) // 2 <= budget:
+        ii, jj = np.triu_indices(m, 1)
+        return pd.DataFrame({"key_a": keys[ii], "key_b": keys[jj]})
+    out_a, out_b = [], []
+    w = max(1, budget // m)
+    for d in range(1, min(w, m - 1) + 1):
+        out_a.append(keys[:-d])
+        out_b.append(keys[d:])
+    return pd.DataFrame({"key_a": np.concatenate(out_a)[:budget],
+                         "key_b": np.concatenate(out_b)[:budget]})
+
+
+def _local_dedup(cand: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-batch duplicate-pair pruning. Cross-batch duplicates survive —
+    deliberately: duplicate candidates only cost re-verification (cheap,
+    vectorized) and union-find is idempotent, so a global pair shuffle
+    would buy nothing but an all-to-all."""
+    return cand.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas",
+                            batch_size=262144)
+
+
 def _components_from_edges(edge_df: pd.DataFrame, keys: pd.Series) -> pd.DataFrame:
     """(key_a, key_b) edges + all keys → (key, dup_group) via union-find.
 
-    Driver-side — candidate edge sets are small after verification. The
+    Driver-side — verified edge sets are small relative to the corpus. The
     distributed path for unbounded edge sets is
     ``stages.cluster.connected_components`` (same semantics, asserted
     equivalent in tests)."""
@@ -83,20 +117,33 @@ def _components_from_edges(edge_df: pd.DataFrame, keys: pd.Series) -> pd.DataFra
     return pd.DataFrame({"key": uniq, "dup_group": uniq.to_numpy()[labels]})
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int = 2000) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket group (cap logged via column)."""
-    sub = g.drop_duplicates("key").sort_values("key")
-    n = len(sub)
-    if n < 2:
-        return pd.DataFrame({"key_a": [], "key_b": [], "tok_a": [], "tok_b": []})
-    if n > max_bucket:
-        sub = sub.head(max_bucket)
-        n = max_bucket
-    ii, jj = np.triu_indices(n, 1)
-    keys = sub["key"].to_numpy()
-    toks = sub["tok_ids"].to_numpy()
-    return pd.DataFrame({"key_a": keys[ii], "key_b": keys[jj],
-                         "tok_a": toks[ii], "tok_b": toks[jj]})
+class _JaccardVerifier:
+    """Actor: candidate (key_a, key_b) rows → verified edges with exact
+    Jaccard ≥ threshold, using the broadcast token side-table and the
+    vectorized lexsort intersection kernel."""
+
+    def __init__(self, tok_ref, threshold: float):
+        self.toks: dict = ray.get(tok_ref) if isinstance(tok_ref, ray.ObjectRef) else tok_ref
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"key_a": [], "key_b": [], "jacc": []})
+        toks = self.toks
+        arrs_a = [toks[k] for k in df["key_a"]]
+        arrs_b = [toks[k] for k in df["key_b"]]
+        len_a = np.fromiter((a.size for a in arrs_a), np.int64, n)
+        len_b = np.fromiter((b.size for b in arrs_b), np.int64, n)
+        vals_a = np.concatenate(arrs_a) if n else np.empty(0, np.int64)
+        vals_b = np.concatenate(arrs_b) if n else np.empty(0, np.int64)
+        inter, _ = _intersections(n, vals_a, len_a, vals_b, len_b)
+        union = len_a + len_b - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ok = jacc >= self.threshold
+        return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
+                             "key_b": df["key_b"].to_numpy()[ok],
+                             "jacc": jacc[ok]})
 
 
 def minhash_lsh_dedup(
@@ -114,46 +161,49 @@ def minhash_lsh_dedup(
 
     P(candidate | J) = 1 - (1 - J^rows)^bands; defaults give ≈0.96 recall
     at J=0.8. Verification makes precision exact; recall is approximate
-    (documented LSH semantics — the oracle for exactness is
-    ``ngram_jaccard_pairs``).
-    """
-    toks = _add_tok_ids(ds, text_col, key_col)
+    (documented LSH semantics — the exactness oracle is
+    ``ngram_jaccard_pairs``)."""
+    toks = _tokenize_table(ds, text_col, key_col).materialize()
     mh = MinHasher(num_hashes=bands * rows, seed=seed)
 
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_key, out_band, out_tok = [], [], []
-        for k, t in zip(df[key_col], df["tok_ids"]):
-            arr = np.asarray(t, dtype=np.int64)
-            for band_i, bk in enumerate(mh.band_keys(arr, bands, rows)):
-                out_key.append(k)
-                out_band.append((band_i << 56) ^ bk >> 8)
-                out_tok.append(arr)
-        return pd.DataFrame({"key": out_key, "band": out_band, "tok_ids": out_tok})
+    def explode(t: pa.Table) -> pa.Table:
+        values, lens = _flat(t.column("tok_ids"))
+        offsets = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        sigs = mh.signatures_flat(values, offsets)
+        bkeys = band_keys_matrix(sigs, bands, rows)  # (n, bands)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(bkeys.ravel()),
+            "key": pa.array(np.repeat(keys, bands)),
+        })
 
-    exploded = toks.map_batches(explode_bands, batch_format="pandas")
-    cand = exploded.groupby("band").map_groups(_bucket_pairs, batch_format="pandas")
+    exploded = toks.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    cand = exploded.groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
+    cand = _local_dedup(cand)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        keep_a, keep_b = [], []
-        seen = set()
-        for a, b, ta, tb in zip(df["key_a"], df["key_b"], df["tok_a"], df["tok_b"]):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            if jaccard_sorted(np.asarray(ta, np.int64), np.asarray(tb, np.int64)) >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pd.DataFrame({"key_a": keep_a, "key_b": keep_b})
+    toks_df = toks.to_pandas()
+    tok_map = {k: np.asarray(v, np.int64)
+               for k, v in zip(toks_df[key_col], toks_df["tok_ids"])}
+    tok_ref = ray.put(tok_map)
+    edges = cand.map_batches(
+        _JaccardVerifier, fn_constructor_kwargs={"tok_ref": tok_ref, "threshold": threshold},
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    ).to_pandas().drop_duplicates(subset=["key_a", "key_b"])
 
-    edges = cand.map_batches(verify, batch_format="pandas").to_pandas()
-    edges = edges.drop_duplicates()
     keys = ds.select_columns([key_col]).to_pandas()[key_col]
-    comp = _components_from_edges(edges, keys)
-    comp = comp.rename(columns={"key": key_col})
+    comp = _components_from_edges(edges, keys).rename(columns={"key": key_col})
     import ray.data as rd
     return rd.from_pandas(comp)
+
+
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _hamming_matrix(sims_a: np.ndarray, sims_b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between aligned uint64 arrays."""
+    x = (sims_a ^ sims_b).view(np.uint8).reshape(-1, 8)
+    return _POPCNT[x].sum(axis=1)
 
 
 def simhash_dedup(
@@ -169,45 +219,51 @@ def simhash_dedup(
     n_pieces = max_hamming + 1
     width = 64 // n_pieces
 
-    def add_simhash(df: pd.DataFrame) -> pd.DataFrame:
+    def add_simhash(t: pa.Table) -> pa.Table:
         out = []
-        for x in df[text_col]:
+        for x in t.column(text_col).to_pylist():
             ids = hash_tokens64(tokenize_text(x or "", stopwords=frozenset(), min_len=1))
             out.append(simhash64(ids))
-        return pd.DataFrame({"key": df[key_col].to_numpy(), "sim": np.array(out, dtype=np.uint64)})
+        return pa.table({"key": t.column(key_col),
+                         "sim": pa.array(np.array(out, dtype=np.uint64).astype(np.int64))})
 
-    sh = ds.map_batches(add_simhash, batch_format="pandas")
+    sh = ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    def explode_pieces(df: pd.DataFrame) -> pd.DataFrame:
-        rows_out = {"key": [], "piece": [], "sim": []}
-        for k, s in zip(df["key"], df["sim"]):
-            s = int(s)
-            for p in range(n_pieces):
-                piece_val = (s >> (p * width)) & ((1 << width) - 1)
-                rows_out["key"].append(k)
-                rows_out["piece"].append((p << 60) | piece_val)
-                rows_out["sim"].append(s)
-        return pd.DataFrame(rows_out)
+    def explode(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        sims = t.column("sim").to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for p in range(n_pieces):
+            piece = ((sims >> np.uint64(p * width)) & np.uint64((1 << width) - 1)).astype(np.int64)
+            parts.append(pa.table({"bucket": pa.array(piece | (np.int64(p) << 60)),
+                                   "key": pa.array(keys)}))
+        return pa.concat_tables(parts)
 
-    def piece_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates("key").sort_values("key")
-        n = len(sub)
-        if n < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        ii, jj = np.triu_indices(n, 1)
-        keys = sub["key"].to_numpy()
-        sims = sub["sim"].to_numpy()
-        ham = np.array([bin(int(sims[i]) ^ int(sims[j])).count("1") for i, j in zip(ii, jj)])
-        ok = ham <= max_hamming
-        return pd.DataFrame({"key_a": keys[ii[ok]], "key_b": keys[jj[ok]]})
-
-    edges = (
-        sh.map_batches(explode_pieces, batch_format="pandas")
-        .groupby("piece")
-        .map_groups(piece_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    cand = _local_dedup(
+        sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
     )
+
+    sh_df = sh.to_pandas()
+    sim_map = dict(zip(sh_df["key"], sh_df["sim"].astype(np.uint64)))
+    sim_ref = ray.put(sim_map)
+
+    class HammingVerifier:
+        def __init__(self):
+            self.sims = ray.get(sim_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"key_a": [], "key_b": []})
+            sa = np.fromiter((self.sims[k] for k in df["key_a"]), np.uint64, len(df))
+            sb = np.fromiter((self.sims[k] for k in df["key_b"]), np.uint64, len(df))
+            ok = _hamming_matrix(sa, sb) <= max_hamming
+            return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
+                                 "key_b": df["key_b"].to_numpy()[ok]})
+
+    edges = cand.map_batches(HammingVerifier, batch_format="pandas",
+                             batch_size=65536, concurrency=(1, 4)).to_pandas()
+    edges = edges.drop_duplicates(subset=["key_a", "key_b"])
     keys = ds.select_columns([key_col]).to_pandas()[key_col]
     comp = _components_from_edges(edges, keys).rename(columns={"key": key_col})
     import ray.data as rd
@@ -236,24 +292,41 @@ def ngram_jaccard_pairs(
 
     with_toks = ds.map_batches(add_toks, batch_format="pyarrow", zero_copy_batch=True)
 
-    def allpairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col)
-        n = len(g)
+    def allpairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({group_col: pa.array([], g.column(group_col).type),
+                          "key_a": pa.array([], g.column(key_col).type),
+                          "key_b": pa.array([], g.column(key_col).type),
+                          "jacc": pa.array([], pa.float64())})
         if n < 2:
-            return pd.DataFrame({group_col: [], "key_a": [], "key_b": [], "jacc": []})
-        keys = g[key_col].to_numpy()
-        toks = [np.asarray(t, np.int64) for t in g["tok_ids"]]
+            return empty
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        values, lens = _flat(g.column("tok_ids"))
+        offsets = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
         ii, jj = np.triu_indices(n, 1)
-        jac = np.array([jaccard_sorted(toks[i], toks[j]) for i, j in zip(ii, jj)])
-        ok = jac >= threshold
-        return pd.DataFrame({
-            group_col: np.repeat(g[group_col].iloc[0], int(ok.sum())),
-            "key_a": keys[ii[ok]],
-            "key_b": keys[jj[ok]],
-            "jacc": jac[ok],
+        ii, jj = order[ii], order[jj]
+        # flatten both sides of every pair through the shared kernel
+        def gather(idx):
+            l = lens[idx]
+            flat = np.repeat(offsets[idx], l) + (
+                np.arange(int(l.sum())) - np.repeat(np.r_[0, np.cumsum(l)[:-1]], l))
+            return values[flat], l
+        va, la = gather(ii)
+        vb, lb = gather(jj)
+        inter, _ = _intersections(ii.size, va, la, vb, lb)
+        union = la + lb - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ok = jacc >= threshold
+        return pa.table({
+            group_col: pa.array(np.repeat(g.column(group_col)[0].as_py(), int(ok.sum()))),
+            "key_a": pa.array(keys[ii[ok]]),
+            "key_b": pa.array(keys[jj[ok]]),
+            "jacc": pa.array(jacc[ok]),
         })
 
-    return with_toks.groupby(group_col).map_groups(allpairs, batch_format="pandas")
+    return with_toks.groupby(group_col).map_groups(allpairs, batch_format="pyarrow")
 
 
 def embedding_dup_pairs(

@@ -75,9 +75,14 @@ def shuffle_hash_join(
 
     def bucketed(side: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(df[keys].astype(str).agg("|".join, axis=1), index=False)
+            # vectorized multi-column hash: combine per-column siphashes
+            h = np.zeros(len(df), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in keys:
+                    h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                        df[k], index=False).to_numpy().astype(np.uint64)
             df = df.reindex(columns=all_cols)  # align schemas for union
-            df["__bucket"] = (h % num_buckets).astype(np.int64).to_numpy()
+            df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
             df["__side"] = side
             return df
         return f
