@@ -79,3 +79,26 @@ def test_batch_kernel_on_sliced_table():
     # row 0 of slice: tok [2,3] vs [9] → 0 ; row 1: [9] vs [2,3] → 0
     assert out["j_tok"].tolist() == [0.0, 0.0]
     assert out["cos"].tolist() == [1.0, 1.0]
+
+
+def test_fused_edges_match_two_stage_path(small_fixture):
+    """generate_scored_edges (fused) == generate_pairs → PairScorer."""
+    import pandas as pd
+    import ray.data as rd
+
+    from whoiswho_ray.stages.idf import build_idf
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.pairs import generate_pairs, generate_scored_edges
+    from whoiswho_ray.stages.scoring import score_pairs, vectorize
+
+    spec, tabs = small_fixture
+    cfg = SNDConfig()
+    norm = normalize_records(rd.from_arrow(tabs["records"].slice(0, 800)), cfg)
+    idf = build_idf(norm, cfg)
+    vec = vectorize(norm, idf, cfg).materialize()
+    fused = generate_scored_edges(vec, cfg).to_pandas()
+    staged = score_pairs(generate_pairs(vec, cfg), cfg).to_pandas()
+    key = ["block_key", "id_a", "id_b"]
+    a = fused.sort_values(key).reset_index(drop=True)
+    b = staged.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key + ["score"]], b[key + ["score"]], rtol=1e-12)

@@ -38,8 +38,8 @@ from whoiswho_ray.config import SNDConfig
 from whoiswho_ray.stages.cluster import cluster_blocks
 from whoiswho_ray.stages.idf import IdfModel, build_idf
 from whoiswho_ray.stages.normalize import normalize_records
-from whoiswho_ray.stages.pairs import generate_block_metrics, generate_pairs
-from whoiswho_ray.stages.scoring import score_pairs, vectorize
+from whoiswho_ray.stages.pairs import generate_block_metrics, generate_scored_edges
+from whoiswho_ray.stages.scoring import vectorize
 from whoiswho_ray.state.manifest import Manifest
 
 NODE_MARKER = ""  # id_b value marking a node (non-edge) row in the cluster input
@@ -94,7 +94,7 @@ def run_snd(
         normalized = normalize_records(records, cfg)
         idf = build_idf(normalized, cfg)
         vec = vectorize(normalized, idf, cfg)
-        edges = score_pairs(generate_pairs(vec, cfg), cfg)
+        edges = generate_scored_edges(vec, cfg)
         union = _node_rows(normalized).union(_edge_rows(edges))
         return cluster_blocks(union, cfg)
 
@@ -135,7 +135,7 @@ def run_snd(
 
     edges = checkpointed(
         "edges", ["normalized", "idf"],
-        lambda: score_pairs(generate_pairs(vectorize(normalized, idf, cfg), cfg), cfg),
+        lambda: generate_scored_edges(vectorize(normalized, idf, cfg), cfg),
     )
     checkpointed(
         "block_metrics", ["normalized"],

@@ -255,6 +255,79 @@ def block_metrics(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     })
 
 
+def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
+    """One block → scored edge rows directly (pair generation and scoring
+    fused in the block task).
+
+    This is the flagship path at scale: pair payloads (token signatures)
+    never leave the task — only scored edges (~100 B/row, and only those ≥
+    min(tau_attach, tau_edge)) enter the object store, a ~16× reduction
+    over materializing payload-carrying pair rows. The standalone
+    ``scoring.PairScorer`` actor pool remains for decoupled scoring of
+    externally-supplied pair tables; both run the same
+    ``score_flat_components`` kernel (equivalence is asserted in tests).
+    """
+    from whoiswho_ray.stages.scoring import jw_memo, score_flat_components
+
+    n = group.num_rows
+    if n < 2:
+        return _empty_edges_table()
+    rids, tok_values, tok_offsets, repo_first = _block_arrays(group)
+    ii, jj, _trunc = candidate_index_pairs(rids, tok_values, tok_offsets, repo_first, cfg)
+    if ii.size == 0:
+        return _empty_edges_table()
+
+    flats = {}
+    for col in ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids", "tfv_w"):
+        values, offsets = _flat_list(group.column(col))
+        lens = np.diff(offsets)
+
+        def gather(idx, values=values, offsets=offsets, lens=lens):
+            l = lens[idx]
+            out_off = np.zeros(idx.size + 1, dtype=np.int64)
+            np.cumsum(l, out=out_off[1:])
+            flat = np.repeat(offsets[idx], l) + (
+                np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
+            return values[flat], l
+
+        flats[col] = (gather(ii), gather(jj))
+
+    names = np.asarray(group.column("name").to_pylist(), dtype=object)
+    tfv = (
+        (*flats["tfv_ids"][0], flats["tfv_w"][0][0]),
+        (*flats["tfv_ids"][1], flats["tfv_w"][1][0]),
+    )
+    feats = score_flat_components(
+        cfg, ii.size,
+        flats["tok_ids"], flats["repo_ids"], flats["ctx_ids"], tfv,
+        names[ii].tolist(), names[jj].tolist(),
+        jw_memo({}),
+    )
+    keep = feats["score"] >= min(cfg.tau_attach, cfg.tau_edge)
+    return pa.table({
+        "block_key": pa.array(np.repeat(group.column("block_key")[0].as_py(), int(keep.sum())),
+                              pa.string()),
+        "id_a": pa.array(rids[ii[keep]], pa.string()),
+        "id_b": pa.array(rids[jj[keep]], pa.string()),
+        **{k: pa.array(v[keep]) for k, v in feats.items()},
+    })
+
+
+def _empty_edges_table() -> pa.Table:
+    cols = {c: pa.array([], pa.string()) for c in ("block_key", "id_a", "id_b")}
+    for c in ("j_tok", "t_repo", "t_ctx", "cos", "jw", "score"):
+        cols[c] = pa.array([], pa.float64())
+    return pa.table(cols)
+
+
+def generate_scored_edges(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
+    """vectorized records → scored edges (fused blocking + scoring)."""
+    cfg = cfg or SNDConfig()
+    return vectorized.groupby("block_key").map_groups(
+        lambda g: make_scored_edges(g, cfg), batch_format="pyarrow"
+    )
+
+
 def generate_pairs(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     """vectorized records → pair rows (the blocking shuffle, operator A1)."""
     cfg = cfg or SNDConfig()

@@ -166,15 +166,60 @@ def _intersections(
     return inter, dots
 
 
-def _jaccard_cols(table: pa.Table, col_a: str, col_b: str) -> np.ndarray:
-    va, la = _flat(table.column(col_a))
-    vb, lb = _flat(table.column(col_b))
-    n = table.num_rows
-    inter, _ = _intersections(n, va, la, vb, lb)
-    union = la + lb - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    return j
+def jw_memo(cache: dict) -> "callable":
+    """Per-actor/task Jaro-Winkler memo (the reference's ``dname_l_dict``
+    cache made local state, ``whoiswho/utils.py:12``)."""
+
+    def jw(a: str, b: str) -> float:
+        key = (a, b) if a <= b else (b, a)
+        v = cache.get(key)
+        if v is None:
+            v = jaro_winkler(key[0].lower(), key[1].lower())
+            if len(cache) < 1_000_000:
+                cache[key] = v
+        return v
+
+    return jw
+
+
+def score_flat_components(
+    cfg: SNDConfig,
+    n: int,
+    tok, repo, ctx, tfv,
+    names_a, names_b,
+    jw_fn,
+) -> dict[str, np.ndarray]:
+    """Vectorized feature+score computation for n pairs.
+
+    ``tok``/``repo``/``ctx``: ((vals_a, lens_a), (vals_b, lens_b)) flat set
+    representations; ``tfv``: ((ids_a, lens_a, w_a), (ids_b, lens_b, w_b)).
+    Shared by the actor-pool scorer and the fused in-block scorer.
+    """
+    def jac(pair):
+        (va, la), (vb, lb) = pair
+        inter, _ = _intersections(n, va, la, vb, lb)
+        union = la + lb - inter
+        return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+    j_tok = jac(tok)
+    t_repo = jac(repo)
+    t_ctx = jac(ctx)
+    (ia, la, wa), (ib, lb, wb) = tfv
+    _, dots = _intersections(n, ia, la, ib, lb, wa, wb)
+    cos = dots if dots is not None else np.zeros(n)
+    jw = np.fromiter(
+        (jw_fn(a or "", b or "") for a, b in zip(names_a, names_b)),
+        dtype=np.float64, count=n,
+    )
+    score = (
+        cfg.w_tokens * j_tok
+        + cfg.w_repo * t_repo
+        + cfg.w_ctx * t_ctx
+        + cfg.w_tfidf * cos
+        + cfg.w_name * jw
+    )
+    return {"j_tok": j_tok, "t_repo": t_repo, "t_ctx": t_ctx,
+            "cos": cos, "jw": jw, "score": score}
 
 
 class PairScorer:
@@ -182,54 +227,27 @@ class PairScorer:
 
     def __init__(self, cfg: SNDConfig):
         self.cfg = cfg
-        self._jw_cache: dict[tuple[str, str], float] = {}
-
-    def _jw(self, a: str, b: str) -> float:
-        key = (a, b) if a <= b else (b, a)
-        v = self._jw_cache.get(key)
-        if v is None:
-            v = jaro_winkler(key[0].lower(), key[1].lower())
-            if len(self._jw_cache) < 1_000_000:
-                self._jw_cache[key] = v
-        return v
+        self._jw = jw_memo({})
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
-        cfg = self.cfg
-        j_tok = _jaccard_cols(t, "tok_a", "tok_b")
-        t_repo = _jaccard_cols(t, "repo_a", "repo_b")
-        t_ctx = _jaccard_cols(t, "ctx_a", "ctx_b")
-
-        va, la = _flat(t.column("tfv_ids_a"))
-        vb, lb = _flat(t.column("tfv_ids_b"))
-        wa, _ = _flat(t.column("tfv_w_a"))
-        wb, _ = _flat(t.column("tfv_w_b"))
-        _, dots = _intersections(n, va, la, vb, lb, wa, wb)
-        cos = dots if dots is not None else np.zeros(n)
-
-        names_a = t.column("name_a").to_pylist()
-        names_b = t.column("name_b").to_pylist()
-        jw = np.fromiter(
-            (self._jw(a or "", b or "") for a, b in zip(names_a, names_b)),
-            dtype=np.float64, count=n,
-        )
-        score = (
-            cfg.w_tokens * j_tok
-            + cfg.w_repo * t_repo
-            + cfg.w_ctx * t_ctx
-            + cfg.w_tfidf * cos
-            + cfg.w_name * jw
+        feats = score_flat_components(
+            self.cfg, n,
+            (_flat(t.column("tok_a")), _flat(t.column("tok_b"))),
+            (_flat(t.column("repo_a")), _flat(t.column("repo_b"))),
+            (_flat(t.column("ctx_a")), _flat(t.column("ctx_b"))),
+            (
+                (*_flat(t.column("tfv_ids_a")), _flat(t.column("tfv_w_a"))[0]),
+                (*_flat(t.column("tfv_ids_b")), _flat(t.column("tfv_w_b"))[0]),
+            ),
+            t.column("name_a").to_pylist(), t.column("name_b").to_pylist(),
+            self._jw,
         )
         return pa.table({
             "block_key": t.column("block_key"),
             "id_a": t.column("id_a"),
             "id_b": t.column("id_b"),
-            "j_tok": pa.array(j_tok),
-            "t_repo": pa.array(t_repo),
-            "t_ctx": pa.array(t_ctx),
-            "cos": pa.array(cos),
-            "jw": pa.array(jw),
-            "score": pa.array(score),
+            **{k: pa.array(v) for k, v in feats.items()},
         })
 
 
