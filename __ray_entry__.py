@@ -60,9 +60,8 @@ def entry() -> Any:
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate with per-batch cents conversion
     (operator A2/A10 family; pre-aggregation pattern)."""
-    from ray.data.aggregate import Count, Mean, Sum
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
 
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -82,17 +81,17 @@ def q1_pricing_summary(sf_dir: str):
             "charge_cents": pa.array(_cents(ep * (1.0 - disc) * (1.0 + tax))),
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Sum("charge_cents", alias_name="sum_charge_cents"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_cents": ("base_cents", "sum"),
+            "sum_disc_cents": ("disc_cents", "sum"),
+            "sum_charge_cents": ("charge_cents", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "count_order": (None, "count"),
+        },
     )
 
 
@@ -107,9 +106,9 @@ def q_top_orders(sf_dir: str):
 def q_segment_revenue(sf_dir: str):
     """Broadcast hash join (J1 analog) + grouped aggregate."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
 
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
     from whoiswho_ray.stages.joins import broadcast_join
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
@@ -123,18 +122,18 @@ def q_segment_revenue(sf_dir: str):
         return df[["o_custkey", "price_cents"]]
 
     joined = broadcast_join(orders.map_batches(add_cents, batch_format="pandas"), cust, on="o_custkey")
-    return joined.groupby("c_mktsegment").aggregate(
-        Sum("price_cents", alias_name="revenue_cents"),
-        Count(alias_name="n_orders"),
-    )
+    return grouped_agg(joined, "c_mktsegment", {
+        "revenue_cents": ("price_cents", "sum"),
+        "n_orders": (None, "count"),
+    })
 
 
 def q_region_customers(sf_dir: str):
     """Two-hop dimension broadcast join (customer ⋈ nation ⋈ region)."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count
 
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
     from whoiswho_ray.stages.joins import broadcast_join
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
@@ -143,14 +142,13 @@ def q_region_customers(sf_dir: str):
     dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = broadcast_join(cust, dim, on="c_nationkey")
-    return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    return grouped_agg(joined, "r_name", {"n_customers": (None, "count")})
 
 
 def q_supplier_volume(sf_dir: str):
     """Partitioned shuffle hash join (both sides as Datasets) + aggregate."""
-    from ray.data.aggregate import Count, Sum
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
     from whoiswho_ray.stages.joins import shuffle_hash_join
 
     li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity"])
@@ -158,44 +156,37 @@ def q_supplier_volume(sf_dir: str):
         lambda df: df.rename(columns={"s_suppkey": "l_suppkey"}), batch_format="pandas"
     )
     joined = shuffle_hash_join(li, sup, on="l_suppkey", num_buckets=8)
-    return joined.groupby("s_name").aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="n_items"),
-    )
+    return grouped_agg(joined, "s_name", {
+        "sum_qty": ("l_quantity", "sum"),
+        "n_items": (None, "count"),
+    })
 
 
 def q_distinct_flags(sf_dir: str):
     """Exact distinct on two columns (D1 dedup semantics)."""
-    from ray.data.aggregate import Count
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
 
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
-    return (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["l_returnflag", "l_linestatus"])
-    )
+    return distinct(ds, ["l_returnflag", "l_linestatus"])
 
 
 def q_union_keys(sf_dir: str):
     """Union + distinct (J4 / D1 analogs)."""
-    from ray.data.aggregate import Count
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
 
     c = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         lambda t: pa.table({"key": t.column("c_custkey")}), batch_format="pyarrow")
     s = read_table(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
         lambda t: pa.table({"key": t.column("s_suppkey")}), batch_format="pyarrow")
-    return c.union(s).groupby("key").aggregate(Count(alias_name="_n")).select_columns(["key"])
+    return distinct(c.union(s), ["key"])
 
 
 def q_orders_by_month(sf_dir: str):
     """Temporal truncation + grouped aggregate (O1 year-sort analog)."""
-    from ray.data.aggregate import Count, Sum
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
 
     ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
@@ -205,16 +196,15 @@ def q_orders_by_month(sf_dir: str):
             "price_cents": pa.array(_cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))),
         })
 
-    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        "month").aggregate(Sum("price_cents", alias_name="revenue_cents"),
-                           Count(alias_name="n_orders"))
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "month", {"revenue_cents": ("price_cents", "sum"), "n_orders": (None, "count")})
 
 
 def q_events_tumbling(sf_dir: str):
     """Tumbling event-time window as truncate+groupby (windows operator)."""
-    from ray.data.aggregate import Count, Sum
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
@@ -225,28 +215,27 @@ def q_events_tumbling(sf_dir: str):
             "value_cents": pa.array(_cents(t.column("value").to_numpy(zero_copy_only=False))),
         })
 
-    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        ["event_type", "window_start"]).aggregate(
-        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "window_start"],
+        {"n_events": (None, "count"), "sum_value_cents": ("value_cents", "sum")})
 
 
 def q_events_sessions(sf_dir: str):
     """Session windows (gap 30 min) per user via sorted map_groups."""
-    from ray.data.aggregate import Count, Sum
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
     from whoiswho_ray.stages.windows import sessionize
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     sess = sessionize(ds, gap_minutes=30.0)
-    return sess.groupby("user_id").aggregate(
-        Count(alias_name="n_sessions"), Sum("n_events", alias_name="n_events"))
+    return grouped_agg(sess, "user_id", {
+        "n_sessions": (None, "count"), "n_events": ("n_events", "sum")})
 
 
 def q_events_user_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -257,12 +246,15 @@ def q_events_user_stats(sf_dir: str):
             "ts_us": pc.cast(t.column("ts"), pa.int64()),
         })
 
-    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        "user_id").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_cents", alias_name="sum_value_cents"),
-        Min("ts_us", alias_name="min_ts_us"),
-        Max("ts_us", alias_name="max_ts_us"),
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        {
+            "n_events": (None, "count"),
+            "sum_value_cents": ("value_cents", "sum"),
+            "min_ts_us": ("ts_us", "min"),
+            "max_ts_us": ("ts_us", "max"),
+        },
     )
 
 
@@ -406,13 +398,12 @@ def snd_normalize(sf_dir: str):
 
 def snd_block_stats(sf_dir: str):
     """Blocking-shuffle statistics: records per block key."""
-    from ray.data.aggregate import Count
-
     from whoiswho_ray.sources.tables import records_from_documents
     from whoiswho_ray.stages.normalize import normalize_records
 
     norm = normalize_records(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
-    return norm.groupby("block_key").aggregate(Count(alias_name="n_records"))
+    from whoiswho_ray.stages.agg import grouped_agg
+    return grouped_agg(norm, "block_key", {"n_records": (None, "count")})
 
 
 def snd_clusters(sf_dir: str):
