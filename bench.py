@@ -41,7 +41,7 @@ def bench_records_path(sf: float, seed: int = 42) -> tuple[str, int]:
 
     from whoiswho_ray.fixtures import FixtureSpec, gen_block
 
-    n_blocks = max(20, int(1200 * sf * 10))  # sf0.1 → 1200 blocks ≈ 160k records
+    n_blocks = max(20, int(9600 * sf * 10))  # sf0.1 → 9600 blocks ≈ 1.1M records
     spec = FixtureSpec(n_blocks=n_blocks, hot_factor=20, seed=seed)
     tag = f"whoiswho_bench_{n_blocks}_{spec.hot_factor}_{seed}"
     path = os.path.join("/tmp", tag)
@@ -122,6 +122,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job, fresh processes, two parallelism levels (the sandbox
     evidence for the north rule's N vs 4N cluster-size criterion)."""
+    # pre-generate the shared input at full parallelism so neither timed
+    # child pays generation cost
+    import ray
+
+    ray.init(address="local", include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    bench_records_path(sf)
+    ray.shutdown()
     results = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))

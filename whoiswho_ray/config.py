@@ -61,6 +61,11 @@ class SNDConfig:
     # minhash banding for hot-block salting: n_hashes = lsh_bands * lsh_rows
     lsh_bands: int = 8
     lsh_rows: int = 2
+    # blocks up to this many records are scored through per-block n×n
+    # intersection matrices (reference-style, block-bounded); bigger blocks
+    # fall back to flat per-pair kernels. n² doubles must fit a task heap:
+    # 4096² × 8 B ≈ 134 MB per feature matrix.
+    matrix_block_cap: int = 4096
     # hard cap on pairs emitted per (block, salt) group; an oversized
     # bucket degrades to sorted-neighborhood window pairs under this
     # budget (recall recovered transitively); truncation is logged in

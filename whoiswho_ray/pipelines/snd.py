@@ -91,7 +91,11 @@ def run_snd(
         records = rd.read_parquet(records)
 
     if out_dir is None:
-        normalized = normalize_records(records, cfg)
+        # materialize once: three consumers (idf, vectorize, node rows)
+        # would otherwise re-execute the normalize chain three times.
+        # (The checkpointed path gets the same effect from its parquet
+        # stage boundary.)
+        normalized = normalize_records(records, cfg).materialize()
         idf = build_idf(normalized, cfg)
         vec = vectorize(normalized, idf, cfg)
         edges = generate_scored_edges(vec, cfg)

@@ -130,7 +130,9 @@ def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
 
 def cluster_blocks(union_ds: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or SNDConfig()
-    return union_ds.groupby("block_key").map_groups(
+    from whoiswho_ray.stages.pairs import shuffle_partitions
+
+    return union_ds.repartition(shuffle_partitions()).groupby("block_key").map_groups(
         lambda g: cluster_block(g, cfg), batch_format="pandas"
     )
 

@@ -96,18 +96,23 @@ def _gather_list(values: np.ndarray, offsets: np.ndarray, idx: np.ndarray,
                                     pa.array(values[flat_idx], type=arrow_type))
 
 
-def _window_pairs(idx: np.ndarray, budget: int) -> list[tuple[int, int]]:
+def _window_pairs(idx: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic sorted-neighborhood pairs: (i, i+d) for d ≤ W keeping
     the count under budget. idx must already be in canonical (record_id)
-    order so the pairing is input-order invariant."""
+    order so the pairing is input-order invariant. Fully vectorized."""
     n = idx.size
     w = max(1, budget // max(n, 1))
-    out: list[tuple[int, int]] = []
+    ia, ib = [], []
+    total = 0
     for d in range(1, min(w, n - 1) + 1):
-        out.extend(zip(idx[:-d].tolist(), idx[d:].tolist()))
-        if len(out) >= budget:
-            return out[:budget]
-    return out
+        ia.append(idx[:-d])
+        ib.append(idx[d:])
+        total += n - d
+        if total >= budget:
+            break
+    a = np.concatenate(ia)[:budget]
+    b = np.concatenate(ib)[:budget]
+    return a, b
 
 
 def candidate_index_pairs(
@@ -139,23 +144,26 @@ def candidate_index_pairs(
     pairs_i: list[np.ndarray] = []
     pairs_j: list[np.ndarray] = []
     truncated = 0
+    seen_buckets: set[bytes] = set()  # bands repeat near-identical buckets
 
     def emit_bucket(members: np.ndarray) -> None:
         nonlocal truncated
         m = members.size
         if m < 2:
             return
+        digest = members.tobytes()
+        if digest in seen_buckets:
+            return
+        seen_buckets.add(digest)
         if m * (m - 1) // 2 <= cfg.max_pairs_per_group:
             bi, bj = np.triu_indices(m, 1)
             pairs_i.append(members[bi])
             pairs_j.append(members[bj])
         else:
-            wp = _window_pairs(members, cfg.max_pairs_per_group)
-            truncated += m * (m - 1) // 2 - len(wp)
-            if wp:
-                arr = np.asarray(wp, dtype=np.int64)
-                pairs_i.append(arr[:, 0])
-                pairs_j.append(arr[:, 1])
+            wa, wb = _window_pairs(members, cfg.max_pairs_per_group)
+            truncated += m * (m - 1) // 2 - wa.size
+            pairs_i.append(wa)
+            pairs_j.append(wb)
 
     # band buckets (vectorized grouping per band, members in canonical order)
     for b in range(cfg.lsh_bands):
@@ -267,7 +275,7 @@ def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     externally-supplied pair tables; both run the same
     ``score_flat_components`` kernel (equivalence is asserted in tests).
     """
-    from whoiswho_ray.stages.scoring import jw_memo, score_flat_components
+    from whoiswho_ray.stages.scoring import allpairs_matrix, jw_memo, score_flat_components
 
     n = group.num_rows
     if n < 2:
@@ -277,32 +285,61 @@ def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     if ii.size == 0:
         return _empty_edges_table()
 
-    flats = {}
-    for col in ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids", "tfv_w"):
-        values, offsets = _flat_list(group.column(col))
-        lens = np.diff(offsets)
-
-        def gather(idx, values=values, offsets=offsets, lens=lens):
-            l = lens[idx]
-            out_off = np.zeros(idx.size + 1, dtype=np.int64)
-            np.cumsum(l, out=out_off[1:])
-            flat = np.repeat(offsets[idx], l) + (
-                np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
-            return values[flat], l
-
-        flats[col] = (gather(ii), gather(jj))
-
     names = np.asarray(group.column("name").to_pylist(), dtype=object)
-    tfv = (
-        (*flats["tfv_ids"][0], flats["tfv_w"][0][0]),
-        (*flats["tfv_ids"][1], flats["tfv_w"][1][0]),
-    )
-    feats = score_flat_components(
-        cfg, ii.size,
-        flats["tok_ids"], flats["repo_ids"], flats["ctx_ids"], tfv,
-        names[ii].tolist(), names[jj].tolist(),
-        jw_memo({}),
-    )
+    jw_fn = jw_memo({})
+
+    if n <= cfg.matrix_block_cap:
+        # matrix regime (covers both all-pairs blocks and salted hot blocks
+        # up to the cap): one n×n matrix per feature family (the
+        # reference's per-name matrix, block-bounded) — no per-pair set ops
+        def jac_matrix(col):
+            values, offsets = _flat_list(group.column(col))
+            M = allpairs_matrix(n, values, offsets)
+            lens = np.diff(offsets).astype(np.float64)
+            inter = M[ii, jj]
+            union = lens[ii] + lens[jj] - inter
+            return np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+
+        j_tok = jac_matrix("tok_ids")
+        t_repo = jac_matrix("repo_ids")
+        t_ctx = jac_matrix("ctx_ids")
+        tfv_vals, tfv_off = _flat_list(group.column("tfv_ids"))
+        tfv_w, _ = _flat_list(group.column("tfv_w"))
+        cos = allpairs_matrix(n, tfv_vals, tfv_off, tfv_w.astype(np.float64))[ii, jj]
+        jw = np.fromiter(
+            (jw_fn(names[i] or "", names[j] or "") for i, j in zip(ii, jj)),
+            dtype=np.float64, count=ii.size,
+        )
+        score = (cfg.w_tokens * j_tok + cfg.w_repo * t_repo + cfg.w_ctx * t_ctx
+                 + cfg.w_tfidf * cos + cfg.w_name * jw)
+        feats = {"j_tok": j_tok, "t_repo": t_repo, "t_ctx": t_ctx,
+                 "cos": cos, "jw": jw, "score": score}
+    else:
+        flats = {}
+        for col in ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids", "tfv_w"):
+            values, offsets = _flat_list(group.column(col))
+            lens = np.diff(offsets)
+
+            def gather(idx, values=values, offsets=offsets, lens=lens):
+                l = lens[idx]
+                out_off = np.zeros(idx.size + 1, dtype=np.int64)
+                np.cumsum(l, out=out_off[1:])
+                flat = np.repeat(offsets[idx], l) + (
+                    np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
+                return values[flat], l
+
+            flats[col] = (gather(ii), gather(jj))
+
+        tfv = (
+            (*flats["tfv_ids"][0], flats["tfv_w"][0][0]),
+            (*flats["tfv_ids"][1], flats["tfv_w"][1][0]),
+        )
+        feats = score_flat_components(
+            cfg, ii.size,
+            flats["tok_ids"], flats["repo_ids"], flats["ctx_ids"], tfv,
+            names[ii].tolist(), names[jj].tolist(),
+            jw_fn,
+        )
     keep = feats["score"] >= min(cfg.tau_attach, cfg.tau_edge)
     return pa.table({
         "block_key": pa.array(np.repeat(group.column("block_key")[0].as_py(), int(keep.sum())),
@@ -320,10 +357,20 @@ def _empty_edges_table() -> pa.Table:
     return pa.table(cols)
 
 
+def shuffle_partitions() -> int:
+    """Target partition count for the wide ops: enough blocks that the
+    sort-shuffle and the per-group map tasks can use every core (tasks
+    after a groupby ≈ number of blocks entering it)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(32, cpus * 4)
+
+
 def generate_scored_edges(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     """vectorized records → scored edges (fused blocking + scoring)."""
     cfg = cfg or SNDConfig()
-    return vectorized.groupby("block_key").map_groups(
+    return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
         lambda g: make_scored_edges(g, cfg), batch_format="pyarrow"
     )
 

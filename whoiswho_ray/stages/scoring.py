@@ -166,6 +166,72 @@ def _intersections(
     return inter, dots
 
 
+def allpairs_matrix(
+    n: int,
+    values: np.ndarray,
+    offsets: np.ndarray,
+    weights: np.ndarray | None = None,
+) -> np.ndarray:
+    """Full n×n intersection-count (or weighted-dot) matrix for n sets
+    given flat (values, offsets) — one sort over the token stream plus a
+    vectorized segment pair enumeration + bincount.
+
+    This is the reference's per-name N×N similarity matrix
+    (``AutoTrainSND.py:142-161``) recomputed per *block* with bounded n:
+    cost O(T log T + Σ_t k_t²) where k_t = records containing token t —
+    linear in practice, never materialized beyond one small block.
+    """
+    lens = np.diff(offsets)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.argsort(values, kind="stable")
+    sr = row_idx[order]
+    sv = values[order]
+    sw = weights[order] if weights is not None else None
+    bounds = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1], True])
+    k = np.diff(bounds)
+    M = np.zeros((n, n), dtype=np.float64)
+
+    # --- high-frequency tokens: dense indicator columns + one BLAS syrk ---
+    # (enumeration would cost Σk² pair rows; X@X.T costs n²·T_big flops)
+    kcap = max(64, int(np.sqrt(n)) * 2)
+    big = k > kcap
+    if big.any():
+        starts_b = bounds[:-1][big]
+        kk_b = k[big]
+        t_big = int(big.sum())
+        X = np.zeros((n, t_big), dtype=np.float64)
+        cols = np.repeat(np.arange(t_big, dtype=np.int64), kk_b)
+        flat = np.concatenate([sr[s: s + m] for s, m in zip(starts_b, kk_b)])
+        if sw is None:
+            X[flat, cols] = 1.0
+        else:
+            X[flat, cols] = np.concatenate([sw[s: s + m] for s, m in zip(starts_b, kk_b)])
+        M += X @ X.T
+
+    # --- low-frequency tokens: segment pair enumeration + bincount ---
+    multi = (k > 1) & ~big
+    if multi.any():
+        starts = bounds[:-1][multi]
+        kk = k[multi]
+        sq = kk * kk
+        off2 = np.zeros(sq.size + 1, dtype=np.int64)
+        np.cumsum(sq, out=off2[1:])
+        total = int(off2[-1])
+        t = np.arange(total, dtype=np.int64)
+        g = np.searchsorted(off2, t, side="right") - 1
+        local = t - off2[g]
+        a = local // kk[g]
+        b = local % kk[g]
+        pi = sr[starts[g] + a]
+        pj = sr[starts[g] + b]
+        if sw is None:
+            M += np.bincount(pi * n + pj, minlength=n * n).reshape(n, n)
+        else:
+            M += np.bincount(pi * n + pj, weights=sw[starts[g] + a] * sw[starts[g] + b],
+                             minlength=n * n).reshape(n, n)
+    return M
+
+
 def jw_memo(cache: dict) -> "callable":
     """Per-actor/task Jaro-Winkler memo (the reference's ``dname_l_dict``
     cache made local state, ``whoiswho/utils.py:12``)."""
