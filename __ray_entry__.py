@@ -415,6 +415,28 @@ def snd_clusters(sf_dir: str):
     return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
+def rnd_assign(sf_dir: str):
+    """RND pipeline: cluster 80% of derived records as "known", assign the
+    held-out 20% to the resulting entity profiles with NIL thresholding
+    (AutoTrainRND.py:52-71 analog). Deterministic; rows-only check."""
+    import pyarrow.compute as _pc
+
+    from whoiswho_ray.pipelines.rnd import run_rnd
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    recs = records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS)
+    # deterministic split on a content-stable hash of the commit column
+    def split(t: pa.Table, keep_new: bool) -> pa.Table:
+        commits = t.column("commit").to_pylist()
+        is_new = np.array([int(c[:2], 16) % 5 == 0 for c in commits])
+        mask = is_new if keep_new else ~is_new
+        return t.filter(pa.array(mask))
+
+    known = recs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    new = recs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    return run_rnd(known, new)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -443,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_clusters": snd_clusters,
+        "rnd_assign": rnd_assign,
     }
 
 

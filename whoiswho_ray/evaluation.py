@@ -111,3 +111,53 @@ def labeled_pair_f1(pred: pd.DataFrame, pairs: pd.DataFrame) -> dict:
     f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
     return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn,
             "n_pairs": int(len(pairs))}
+
+
+def assignment_metrics(
+    assignments: pd.DataFrame,
+    truth: pd.DataFrame,
+    cluster_truth: pd.DataFrame,
+) -> dict:
+    """RND-style evaluation (``/root/reference/whoiswho/evaluation/
+    RNDeval.py:3-45`` analog): each predicted cluster is mapped to its
+    majority true entity (from the known records that formed it); an
+    assignment is correct when the new record's entity matches its
+    assigned cluster's entity, and a NIL is correct when the record's
+    entity has no profile. Reports accuracy plus size-weighted
+    precision/recall/F1 over entities.
+
+    assignments: (record_id, assigned_cluster); truth: (record_id,
+    entity_id) for the new records; cluster_truth: (record_id, cluster_id,
+    entity_id) for the known records.
+    """
+    majority = (
+        cluster_truth.groupby("cluster_id")["entity_id"]
+        .agg(lambda s: s.mode().iloc[0])
+    )
+    known_entities = set(cluster_truth["entity_id"].unique())
+    a = assignments.merge(truth[["record_id", "entity_id"]], on="record_id", how="inner")
+    a["pred_entity"] = a["assigned_cluster"].map(majority)
+    is_nil = a["assigned_cluster"] == "NIL"
+    nil_correct = is_nil & ~a["entity_id"].isin(known_entities)
+    hit = (~is_nil) & (a["pred_entity"] == a["entity_id"])
+    correct = hit | nil_correct
+    # size-weighted P/R/F1 per entity (weights = #records of the entity)
+    rows = []
+    for ent, g in a.groupby("entity_id"):
+        tp = float((g["pred_entity"] == ent).sum())
+        fp_frame = a[(a["pred_entity"] == ent) & (a["entity_id"] != ent)]
+        p = tp / (tp + len(fp_frame)) if tp + len(fp_frame) > 0 else 0.0
+        r = tp / len(g) if len(g) else 0.0
+        f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+        rows.append({"entity": ent, "n": len(g), "precision": p, "recall": r, "f1": f1})
+    per = pd.DataFrame(rows)
+    wsum = per["n"].sum()
+    return {
+        "accuracy": float(correct.mean()) if len(a) else 0.0,
+        "nil_rate": float(is_nil.mean()) if len(a) else 0.0,
+        "weighted_precision": float((per["precision"] * per["n"]).sum() / wsum) if wsum else 0.0,
+        "weighted_recall": float((per["recall"] * per["n"]).sum() / wsum) if wsum else 0.0,
+        "weighted_f1": float((per["f1"] * per["n"]).sum() / wsum) if wsum else 0.0,
+        "n_assigned": int((~is_nil).sum()),
+        "n_records": int(len(a)),
+    }

@@ -1,0 +1,223 @@
+"""RND — assignment of new records to existing entity profiles.
+
+The Ray-Data re-expression of the reference's RND (real-time name
+disambiguation) task (``/root/reference/whoiswho/training/AutoTrainRND.py``,
+SURVEY.md §3.2): "real-time" is micro-batch scoring against a static
+profile database, so the pipeline is
+
+    profiles   = clusters ⋈ record signatures → one aggregated row per entity
+                 (profile caps follow the reference: ≤256 member token sets,
+                 ``adhoc_features.py:38,105``)
+    candidates = new records → same normalize/vectorize stages → candidate
+                 profiles by shared block key (the J2 fuzzy name→candidate
+                 join collapsed to the normalized blocking key)
+    assign     = per block: score record × profile with the same weighted
+                 feature kernel, take argmax, assign iff score ≥ tau_assign
+                 else NIL (``AutoTrainRND.py:52-71`` NIL-threshold rule,
+                 O3 top-1-with-threshold)
+
+Everything streams: profile building is one groupby(cluster_id), candidate
+generation one groupby(block_key) co-group; no per-record Python in the
+hot path (the scoring reuses ``score_flat_components``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from whoiswho_ray.config import SNDConfig
+from whoiswho_ray.stages.idf import IdfModel, build_idf
+from whoiswho_ray.stages.normalize import normalize_records
+from whoiswho_ray.stages.scoring import vectorize
+
+NIL = "NIL"
+
+PROFILE_TOKEN_CAP = 256  # reference profile cap (adhoc_features.py:105)
+
+
+def _agg_ids(series, cap: int = PROFILE_TOKEN_CAP) -> np.ndarray:
+    """Union of member token-id arrays, most-frequent-first cap, sorted."""
+    arrays = [np.asarray(a, dtype=np.int64) for a in series]
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    allv = np.concatenate(arrays)
+    if allv.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ids, counts = np.unique(allv, return_counts=True)
+    if ids.size > cap:
+        keep = np.argsort(-counts, kind="stable")[:cap]
+        ids = np.sort(ids[keep])
+    return ids
+
+
+def build_profiles(
+    vectorized: "rd.Dataset",
+    clusters: "rd.Dataset",
+    cfg: SNDConfig | None = None,
+) -> "rd.Dataset":
+    """(vectorized records, cluster table) → one profile row per cluster:
+    (cluster_id, block_key, name, tok_ids, repo_ids, ctx_ids, tfv_ids, tfv_w).
+
+    The record⋈cluster join is a co-group on record_id (both sides keyed by
+    it); profile aggregation is one groupby(cluster_id)."""
+    cfg = cfg or SNDConfig()
+
+    sig_cols = ["record_id", "block_key", "name", "tok_ids", "repo_ids",
+                "ctx_ids", "tfv_ids", "tfv_w"]
+    left = vectorized.select_columns(sig_cols)
+    right = clusters.select_columns(["record_id", "cluster_id"])
+
+    # co-group join on record_id (1:1) without a pandas merge of payloads
+    tagged_l = left.map_batches(lambda df: df.assign(__side="l"), batch_format="pandas")
+    tagged_r = right.map_batches(
+        lambda df: df.assign(__side="r"), batch_format="pandas")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["__side"] == "l"]
+        cl = g[g["__side"] == "r"]
+        if len(sig) == 0 or len(cl) == 0:
+            return pd.DataFrame()
+        out = sig.drop(columns=["__side"]).copy()
+        out["cluster_id"] = cl["cluster_id"].iloc[0]
+        return out
+
+    joined = tagged_l.union(tagged_r).groupby("record_id").map_groups(
+        attach, batch_format="pandas")
+
+    def to_profile(g: pd.DataFrame) -> pd.DataFrame:
+        tfv_ids = _agg_ids(g["tfv_ids"])
+        # centroid weights: mean of member weights per kept id, renormalized
+        w_acc = np.zeros(tfv_ids.size, dtype=np.float64)
+        for ids, w in zip(g["tfv_ids"], g["tfv_w"]):
+            ids = np.asarray(ids, dtype=np.int64)
+            w = np.asarray(w, dtype=np.float64)
+            pos = np.searchsorted(tfv_ids, ids)
+            ok = (pos < tfv_ids.size)
+            ok[ok] &= tfv_ids[pos[ok]] == ids[ok]
+            w_acc[pos[ok]] += w[ok]
+        norm = np.linalg.norm(w_acc)
+        if norm > 0:
+            w_acc /= norm
+        name = g["name"].mode().iloc[0] if len(g) else ""
+        return pd.DataFrame({
+            "cluster_id": [g["cluster_id"].iloc[0]],
+            "block_key": [g["block_key"].iloc[0]],
+            "name": [name],
+            "n_members": [len(g)],
+            "tok_ids": [_agg_ids(g["tok_ids"])],
+            "repo_ids": [_agg_ids(g["repo_ids"])],
+            "ctx_ids": [_agg_ids(g["ctx_ids"])],
+            "tfv_ids": [tfv_ids],
+            "tfv_w": [w_acc.astype(np.float32)],
+        })
+
+    return joined.groupby("cluster_id").map_groups(to_profile, batch_format="pandas")
+
+
+def assign_records(
+    new_vectorized: "rd.Dataset",
+    profiles: "rd.Dataset",
+    cfg: SNDConfig | None = None,
+    tau_assign: float | None = None,
+) -> "rd.Dataset":
+    """Score every new record against its block's profiles; argmax ≥
+    tau_assign assigns, else NIL. Returns
+    (record_id, block_key, assigned_cluster, score, n_candidates)."""
+    cfg = cfg or SNDConfig()
+    tau = cfg.tau_edge if tau_assign is None else tau_assign
+
+    rec_cols = ["record_id", "block_key", "name", "tok_ids", "repo_ids",
+                "ctx_ids", "tfv_ids", "tfv_w"]
+    recs = new_vectorized.select_columns(rec_cols).map_batches(
+        lambda df: df.assign(__side="rec"), batch_format="pandas")
+    profs = profiles.map_batches(
+        lambda df: df.rename(columns={"cluster_id": "record_id"})
+        .assign(__side="prof")[rec_cols + ["__side"]],
+        batch_format="pandas",
+    )
+
+    from whoiswho_ray.stages.scoring import jw_memo, score_flat_components
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        rec = g[g["__side"] == "rec"]
+        prof = g[g["__side"] == "prof"]
+        nr, np_ = len(rec), len(prof)
+        if nr == 0:
+            return pd.DataFrame({"record_id": [], "block_key": [], "assigned_cluster": [],
+                                 "score": [], "n_candidates": []})
+        if np_ == 0:
+            return pd.DataFrame({
+                "record_id": rec["record_id"].to_numpy(),
+                "block_key": rec["block_key"].to_numpy(),
+                "assigned_cluster": np.repeat(NIL, nr),
+                "score": np.zeros(nr),
+                "n_candidates": np.zeros(nr, dtype=np.int64),
+            })
+        # full record × profile cross within the block
+        ri = np.repeat(np.arange(nr), np_)
+        pj = np.tile(np.arange(np_), nr)
+
+        def flat_pairs(series, idx):
+            arrays = [np.asarray(a) for a in series]
+            lens = np.fromiter((arrays[i].size for i in idx), np.int64, idx.size)
+            vals = (np.concatenate([arrays[i] for i in idx])
+                    if idx.size else np.empty(0, np.int64))
+            return vals, lens
+
+        feats = score_flat_components(
+            cfg, ri.size,
+            (flat_pairs(rec["tok_ids"], ri), flat_pairs(prof["tok_ids"], pj)),
+            (flat_pairs(rec["repo_ids"], ri), flat_pairs(prof["repo_ids"], pj)),
+            (flat_pairs(rec["ctx_ids"], ri), flat_pairs(prof["ctx_ids"], pj)),
+            (
+                (*flat_pairs(rec["tfv_ids"], ri), flat_pairs(rec["tfv_w"], ri)[0].astype(np.float64)),
+                (*flat_pairs(prof["tfv_ids"], pj), flat_pairs(prof["tfv_w"], pj)[0].astype(np.float64)),
+            ),
+            rec["name"].to_numpy()[ri].tolist(), prof["name"].to_numpy()[pj].tolist(),
+            jw_memo({}),
+        )
+        scores = feats["score"].reshape(nr, np_)
+        # deterministic argmax: score desc, then candidate id asc
+        prof_ids = prof["record_id"].to_numpy()
+        order = np.argsort(prof_ids, kind="stable")
+        scores_o = scores[:, order]
+        best_local = np.argmax(scores_o, axis=1)
+        best_score = scores_o[np.arange(nr), best_local]
+        assigned = np.where(best_score >= tau, prof_ids[order][best_local], NIL)
+        return pd.DataFrame({
+            "record_id": rec["record_id"].to_numpy(),
+            "block_key": rec["block_key"].to_numpy(),
+            "assigned_cluster": assigned,
+            "score": best_score,
+            "n_candidates": np.repeat(np_, nr),
+        })
+
+    return recs.union(profs).groupby("block_key").map_groups(per_block, batch_format="pandas")
+
+
+def run_rnd(
+    known_records: "rd.Dataset | str",
+    new_records: "rd.Dataset | str",
+    cfg: SNDConfig | None = None,
+    tau_assign: float | None = None,
+) -> "rd.Dataset":
+    """End-to-end: cluster the known records (SND), build profiles, assign
+    the new records. Returns the assignment table."""
+    from whoiswho_ray.pipelines.snd import snd_cluster
+
+    cfg = cfg or SNDConfig()
+    if isinstance(known_records, str):
+        known_records = rd.read_parquet(known_records)
+    if isinstance(new_records, str):
+        new_records = rd.read_parquet(new_records)
+
+    known_norm = normalize_records(known_records, cfg).materialize()
+    idf = build_idf(known_norm, cfg)
+    known_vec = vectorize(known_norm, idf, cfg).materialize()
+    clusters = snd_cluster(known_norm, known_vec, cfg)
+    profiles = build_profiles(known_vec, clusters, cfg)
+    new_vec = vectorize(normalize_records(new_records, cfg), idf, cfg)
+    return assign_records(new_vec, profiles, cfg, tau_assign)

@@ -75,6 +75,20 @@ def _edge_rows(edges: "rd.Dataset") -> "rd.Dataset":
     return edges.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def snd_cluster(
+    normalized: "rd.Dataset",
+    vectorized: "rd.Dataset",
+    cfg: SNDConfig | None = None,
+) -> "rd.Dataset":
+    """Clustering tail of the pipeline for callers that already hold the
+    normalized/vectorized records (e.g. the RND pipeline, which reuses
+    them for profile building)."""
+    cfg = cfg or SNDConfig()
+    edges = generate_scored_edges(vectorized, cfg)
+    union = _node_rows(normalized).union(_edge_rows(edges))
+    return cluster_blocks(union, cfg)
+
+
 def run_snd(
     records: "rd.Dataset | str",
     cfg: SNDConfig | None = None,
@@ -98,9 +112,7 @@ def run_snd(
         normalized = normalize_records(records, cfg).materialize()
         idf = build_idf(normalized, cfg)
         vec = vectorize(normalized, idf, cfg)
-        edges = generate_scored_edges(vec, cfg)
-        union = _node_rows(normalized).union(_edge_rows(edges))
-        return cluster_blocks(union, cfg)
+        return snd_cluster(normalized, vec, cfg)
 
     man = Manifest(out_dir, cfg.config_hash())
 
