@@ -415,6 +415,53 @@ def snd_clusters(sf_dir: str):
     return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
+def q_temporal_split(sf_dir: str):
+    """O1: per customer, orders sorted by date; most recent 20% flagged
+    as held-out (the reference's int(n*0.8) split point)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.splits import temporal_split
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    out = temporal_split(ds, "o_custkey", "o_orderdate",
+                         order_cols=["o_orderdate", "o_orderkey"])
+    return out.select_columns(["o_custkey", "o_orderkey", "is_unassigned"])
+
+
+def q_cap_per_group(sf_dir: str):
+    """O5: keep each customer's 5 earliest orders (profile-cap analog)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.splits import cap_per_group
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    out = cap_per_group(ds, "o_custkey", 5, ["o_orderdate", "o_orderkey"])
+    return out.select_columns(["o_custkey", "o_orderkey"])
+
+
+def q_kfold_assign(sf_dir: str):
+    """O7: weight-aware round-robin 5-fold split of customers by order
+    count (the reference's k-fold name split)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.splits import kfold_by_weight
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    counts = grouped_agg(orders, "o_custkey", {"n_orders": (None, "count")})
+    out = kfold_by_weight(counts, "o_custkey", "n_orders", k=5)
+    return out
+
+
+def q_negative_samples(sf_dir: str):
+    """O6: seeded per-block negative sampling over derived records —
+    deterministic but seeded-RNG-specific; rows-only check."""
+    from whoiswho_ray.sources.tables import records_from_documents
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.splits import sample_negatives
+
+    norm = normalize_records(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
+    return sample_negatives(norm.select_columns(["block_key", "record_id"]),
+                            "block_key", "record_id", n_neg=3)
+
+
 def rnd_assign(sf_dir: str):
     """RND pipeline: cluster 80% of derived records as "known", assign the
     held-out 20% to the resulting entity profiles with NIL thresholding
@@ -462,6 +509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": q_knn_ivf,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
+        "q_temporal_split": q_temporal_split,
+        "q_cap_per_group": q_cap_per_group,
+        "q_kfold_assign": q_kfold_assign,
+        "q_negative_samples": q_negative_samples,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_clusters": snd_clusters,
@@ -626,6 +677,36 @@ def oracle_sql() -> dict[str, str]:
                         '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
                         '\s+', ' ', 'g')) AS clean_name
             FROM customer
+        """,
+        "q_temporal_split": """
+            WITH x AS (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn,
+                       count(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   rn > CAST(floor(n * 0.8) AS BIGINT) AS is_unassigned
+            FROM x
+        """,
+        "q_cap_per_group": """
+            WITH x AS (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey FROM x WHERE rn <= 5
+        """,
+        "q_kfold_assign": """
+            WITH w AS (
+                SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+            )
+            SELECT o_custkey,
+                   CAST((row_number() OVER (ORDER BY n_orders DESC, o_custkey) - 1) % 5
+                        AS BIGINT) AS fold
+            FROM w
         """,
         "snd_normalize": f"""
             WITH rec AS (

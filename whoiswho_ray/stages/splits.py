@@ -1,0 +1,112 @@
+"""Split / sampling operators (SURVEY.md §2.6, O1/O5/O6/O7).
+
+Re-expressions of the reference's dataset-construction helpers:
+
+* ``temporal_split`` — per key, sort by time and flag the most recent 20%
+  as "unassigned" (``/root/reference/whoiswho/dataset/data_process.py:
+  323-368``: per (name, aid) pubs sorted by year, last 20% held out).
+* ``cap_per_group`` — keep the first k rows per key in a deterministic
+  order (the profile caps of ``adhoc_features.py:38,105``).
+* ``kfold_by_weight`` — weight-aware round-robin fold assignment
+  (``data_process.py:553-617``: names split into k folds balancing paper
+  counts): keys sorted by weight desc get folds 0,1,...,k-1,0,1,...
+* ``sample_negatives`` — seeded per-group negative sampling
+  (``data_process.py:590-616``: 19 negatives per positive instance).
+
+All are per-group computations after one groupby shuffle; fold assignment
+aggregates weights first (pre-aggregated) and broadcasts the tiny
+key→fold map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def temporal_split(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    holdout_frac: float = 0.2,
+) -> "ray.data.Dataset":
+    """Adds ``is_unassigned``: True for rows after position int(n*(1-frac))
+    in (ts, tiebreak) order within the key group — exactly the reference's
+    ``int(len*0.8)`` split point."""
+    order_cols = order_cols or [ts_col]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable").reset_index(drop=True)
+        cut = int(len(g) * (1.0 - holdout_frac))
+        g["is_unassigned"] = np.arange(len(g)) >= cut
+        return g
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def cap_per_group(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    k: int,
+    order_cols: list[str],
+) -> "ray.data.Dataset":
+    """First k rows per key in (order_cols) order — bounded-profile
+    semantics, deterministic."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, kind="stable").head(k)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def kfold_by_weight(
+    weights: pd.DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 5,
+) -> pd.DataFrame:
+    """(key, weight) → (key, fold): keys in weight-desc (then key-asc)
+    order take folds 0..k-1 round-robin, balancing total weight per fold
+    the way the reference's weight-aware shuffle does."""
+    w = weights.sort_values([weight_col, key_col], ascending=[False, True],
+                            kind="stable").reset_index(drop=True)
+    w["fold"] = np.arange(len(w)) % k
+    return w[[key_col, "fold"]]
+
+
+def sample_negatives(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    n_neg: int = 19,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Per group, for every row sample n_neg OTHER keys from the group
+    (with replacement if the group is small) — the training-pair
+    construction of ``data_process.py:590-616``. Seeded per (seed, group)
+    so output is partition- and order-invariant."""
+    from whoiswho_ray.functions.hashing import stable_hash64
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col, kind="stable").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        n = len(keys)
+        if n < 2:
+            return pd.DataFrame({group_col: [], "pos_key": [], "neg_key": []})
+        rng = np.random.RandomState((seed + stable_hash64(str(g[group_col].iloc[0]))) % (2**31))
+        out_pos, out_neg = [], []
+        for i in range(n):
+            cand = rng.randint(0, n - 1, size=n_neg)
+            cand[cand >= i] += 1  # exclude self
+            out_pos.append(np.repeat(keys[i], n_neg))
+            out_neg.append(keys[cand])
+        return pd.DataFrame({
+            group_col: np.repeat(g[group_col].iloc[0], n * n_neg),
+            "pos_key": np.concatenate(out_pos),
+            "neg_key": np.concatenate(out_neg),
+        })
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
