@@ -98,7 +98,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     qtimes = {}
     queries = entrymod.queries()
-    for name in BENCH_QUERIES:
+    if os.environ.get("RAY_GRAFT_SKIP_QUERIES"):
+        queries = {}
+    for name in (BENCH_QUERIES if queries else []):
         t0 = time.time()
         res = queries[name](sf_dir)
         if hasattr(res, "count"):
@@ -133,7 +135,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ray.shutdown()
     results = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        # scaling measures the headline pipeline only (same input, fresh
+        # process); the query battery is timed by the plain bench run
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), RAY_GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,51 @@
+"""grouped_agg / distinct: partial-combine correctness vs plain pandas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.stages.agg import distinct, grouped_agg
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.RandomState(0)
+    return pd.DataFrame({
+        "k": rng.choice(list("abcde"), 5000),
+        "k2": rng.randint(0, 3, 5000),
+        "x": rng.randint(0, 100, 5000),
+        "y": rng.randn(5000),
+    })
+
+
+def test_sum_count_min_max_mean(frame):
+    ds = rd.from_pandas(frame).repartition(7)
+    got = grouped_agg(ds, "k", {
+        "sx": ("x", "sum"), "n": (None, "count"),
+        "mn": ("x", "min"), "mx": ("x", "max"), "avg": ("x", "mean"),
+    })
+    exp = frame.groupby("k").agg(
+        sx=("x", "sum"), n=("x", "size"), mn=("x", "min"), mx=("x", "max"),
+        avg=("x", "mean")).reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_multi_key_and_shuffle_final(frame):
+    ds = rd.from_pandas(frame).repartition(5)
+    got = grouped_agg(ds, ["k", "k2"], {"n": (None, "count")}, final="shuffle").to_pandas()
+    exp = frame.groupby(["k", "k2"]).size().rename("n").reset_index()
+    got = got.sort_values(["k", "k2"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_distinct(frame):
+    ds = rd.from_pandas(frame).repartition(6)
+    got = distinct(ds, ["k", "k2"])
+    exp = frame[["k", "k2"]].drop_duplicates()
+    assert len(got) == len(exp)
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))
