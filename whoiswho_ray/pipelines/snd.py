@@ -116,13 +116,27 @@ def run_snd(
 
     man = Manifest(out_dir, cfg.config_hash())
 
-    def checkpointed(name: str, inputs: list[str], build) -> "rd.Dataset":
+    def checkpointed(name: str, inputs: list[str], build,
+                     partition_on: str | None = None) -> "rd.Dataset":
         if man.stage_done(name):
             return rd.read_parquet(man.stage_path(name))
         t0 = time.time()
         ds = build()
         tmp = man.begin_stage(name)
-        ds.write_parquet(tmp)
+        if partition_on is not None:
+            # resumable layout: one hive partition per key-hash bucket, so
+            # a consumer (or a finer-grained resume) can skip finished
+            # partitions instead of rereading one monolithic output
+            def add_part(t: pa.Table) -> pa.Table:
+                keys = t.column(partition_on).to_pylist()
+                import zlib
+                part = [zlib.crc32(k.encode()) % 64 for k in keys]
+                return t.append_column("part", pa.array(part, pa.int32()))
+
+            ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+                tmp, partition_cols=["part"])
+        else:
+            ds.write_parquet(tmp)
         out = rd.read_parquet(tmp)
         rows = out.count()
         man.complete_stage(name, tmp, rows, time.time() - t0, inputs)
@@ -160,6 +174,7 @@ def run_snd(
     clusters = checkpointed(
         "clusters", ["normalized", "edges"],
         lambda: cluster_blocks(_node_rows(normalized).union(_edge_rows(edges)), cfg),
+        partition_on="block_key",
     )
     return clusters
 
