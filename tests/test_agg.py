@@ -49,3 +49,19 @@ def test_distinct(frame):
     exp = frame[["k", "k2"]].drop_duplicates()
     assert len(got) == len(exp)
     assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))
+
+
+def test_group_apply_matches_direct_groupby(frame):
+    from whoiswho_ray.stages.agg import group_apply
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"k": [], "total": []})
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "total": [g["x"].sum()]})
+
+    ds = rd.from_pandas(frame).repartition(5)
+    via_helper = group_apply(ds, "k", fn, batch_format="pandas").to_pandas()
+    direct = ds.groupby("k").map_groups(fn, batch_format="pandas").to_pandas()
+    a = via_helper.sort_values("k").reset_index(drop=True)
+    b = direct.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

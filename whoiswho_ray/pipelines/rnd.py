@@ -70,16 +70,38 @@ def build_profiles(
     left = vectorized.select_columns(sig_cols)
     right = clusters.select_columns(["record_id", "cluster_id"])
 
-    # co-group join on record_id (1:1) without a pandas merge of payloads
-    tagged_l = left.map_batches(lambda df: df.assign(__side="l"), batch_format="pandas")
-    tagged_r = right.map_batches(
-        lambda df: df.assign(__side="r"), batch_format="pandas")
+    # co-group join on record_id (1:1) without a pandas merge of payloads;
+    # both sides carry the SAME schema (typed empties on the side that
+    # lacks a column) so downstream block unification never mixes NaN into
+    # array-typed columns
+    _EI = np.empty(0, np.int64)
+    _EF = np.empty(0, np.float32)
+
+    def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cluster_id"] = ""
+        df["__side"] = "l"
+        return df
+
+    def tag_r(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        df = df.copy()
+        df["block_key"] = ""
+        df["name"] = ""
+        for c in ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids"):
+            df[c] = [_EI] * n
+        df["tfv_w"] = [_EF] * n
+        df["__side"] = "r"
+        return df[sig_cols + ["cluster_id", "__side"]]
+
+    tagged_l = left.map_batches(tag_l, batch_format="pandas")
+    tagged_r = right.map_batches(tag_r, batch_format="pandas")
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         sig = g[g["__side"] == "l"]
         cl = g[g["__side"] == "r"]
         if len(sig) == 0 or len(cl) == 0:
-            return pd.DataFrame()
+            return sig.iloc[0:0].drop(columns=["__side"])
         out = sig.drop(columns=["__side"]).copy()
         out["cluster_id"] = cl["cluster_id"].iloc[0]
         return out

@@ -98,6 +98,84 @@ def grouped_agg(
     return result
 
 
+def _num_buckets() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(32, cpus * 4)
+
+
+def group_apply(
+    ds: "ray.data.Dataset",
+    key: str,
+    fn,
+    batch_format: str = "pyarrow",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key grouped apply with O(buckets) Ray groups instead of O(keys).
+
+    ``Dataset.groupby(key).map_groups(fn)`` pays a fixed per-group cost in
+    the Ray layer — ruinous with thousands of keys. This helper hashes the
+    key into ``num_buckets`` (default 4×CPUs) buckets, runs ONE Ray group
+    per bucket, and splits into per-key groups inside the task: sort the
+    bucket by key, find boundaries, and call ``fn`` on zero-copy Arrow
+    slices (or pandas views). Semantics identical to groupby(key) —
+    co-location is guaranteed by the hash bucket.
+    """
+    nb = num_buckets or _num_buckets()
+
+    if batch_format == "pyarrow":
+        import pyarrow as pa
+
+        def add_bucket_arrow(t: pa.Table) -> pa.Table:
+            # hash only the key column — the payload never converts
+            keys = t.column(key).to_pandas()
+            h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+            return t.append_column(
+                "__bucket", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+        bucketed = ds.map_batches(add_bucket_arrow, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=131072)
+
+        def outer(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["__bucket"])
+            t = t.sort_by([(key, "ascending")])  # arrow C++ sort
+            keys_sorted = np.asarray(t.column(key).to_pylist(), dtype=object)
+            bounds = np.flatnonzero(
+                np.r_[True, keys_sorted[1:] != keys_sorted[:-1], True])
+            parts = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                out = fn(t.slice(int(s), int(e - s)))
+                if out.num_rows:
+                    parts.append(out)
+            if not parts:
+                return fn(t.slice(0, 0))
+            return pa.concat_tables(parts, promote_options="default")
+
+        return bucketed.groupby("__bucket").map_groups(outer, batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return df
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas", batch_size=131072)
+
+    def outer_pd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"])
+        parts = []
+        for _, g in df.groupby(key, sort=True):
+            out = fn(g)
+            if len(out):
+                parts.append(out)
+        if not parts:
+            return fn(df.iloc[0:0])
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed.groupby("__bucket").map_groups(outer_pd, batch_format="pandas")
+
+
 def distinct(ds: "ray.data.Dataset", cols: list[str], final: str = "driver"):
     """Distinct rows over cols: local drop_duplicates per batch, then a
     final combine over the (small) survivors — driver-side by default,

@@ -133,8 +133,7 @@ def cluster_blocks(union_ds: "ray.data.Dataset", cfg: SNDConfig | None = None) -
     from whoiswho_ray.stages.pairs import shuffle_partitions
 
     return union_ds.repartition(shuffle_partitions()).groupby("block_key").map_groups(
-        lambda g: cluster_block(g, cfg), batch_format="pandas"
-    )
+        lambda g: cluster_block(g, cfg), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +142,9 @@ def cluster_blocks(union_ds: "ray.data.Dataset", cfg: SNDConfig | None = None) -
 
 
 def _large_star(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) == 0:
+        return pd.DataFrame({"u": pd.Series([], dtype=object),
+                             "v": pd.Series([], dtype=object)})
     u = g["u"].iloc[0]
     nbrs = g["v"].to_numpy()
     m = min(u, nbrs.min())
@@ -154,6 +156,9 @@ def _large_star(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _small_star(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) == 0:
+        return pd.DataFrame({"u": pd.Series([], dtype=object),
+                             "v": pd.Series([], dtype=object)})
     # edges oriented big→small: u > all v in the group
     u = g["u"].iloc[0]
     nbrs = np.unique(g["v"].to_numpy())
@@ -218,8 +223,13 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ra
             break
         prev_sig = sig
     # cur is now (node, root) star edges, possibly with duplicates
-    out = cur.groupby("u").map_groups(
-        lambda g: pd.DataFrame({"node": [g["u"].iloc[0]], "component": [g["v"].min()]}),
-        batch_format="pandas",
-    )
+    from whoiswho_ray.stages.agg import group_apply
+
+    def node_min(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "component": pd.Series([], dtype=object)})
+        return pd.DataFrame({"node": [g["u"].iloc[0]], "component": [g["v"].min()]})
+
+    out = group_apply(cur, "u", node_min, batch_format="pandas")
     return out

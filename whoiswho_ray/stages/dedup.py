@@ -119,24 +119,36 @@ def _components_from_edges(edge_df: pd.DataFrame, keys: pd.Series) -> pd.DataFra
 
 class _JaccardVerifier:
     """Actor: candidate (key_a, key_b) rows → verified edges with exact
-    Jaccard ≥ threshold, using the broadcast token side-table and the
-    vectorized lexsort intersection kernel."""
+    Jaccard ≥ threshold. The token side-table is broadcast once as flat
+    (sorted keys, values, offsets) arrays; per batch the two sides are
+    materialized by one vectorized list-gather and intersected with the
+    shared lexsort kernel — no Python loop over pairs."""
 
     def __init__(self, tok_ref, threshold: float):
-        self.toks: dict = ray.get(tok_ref) if isinstance(tok_ref, ray.ObjectRef) else tok_ref
+        keys, values, offsets = (
+            ray.get(tok_ref) if isinstance(tok_ref, ray.ObjectRef) else tok_ref)
+        self.keys = keys          # sorted
+        self.values = values
+        self.offsets = offsets
+        self.lens = np.diff(offsets)
         self.threshold = threshold
+
+    def _gather(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        l = self.lens[idx]
+        out_off = np.zeros(idx.size + 1, dtype=np.int64)
+        np.cumsum(l, out=out_off[1:])
+        flat = np.repeat(self.offsets[idx], l) + (
+            np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
+        return self.values[flat], l
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if n == 0:
             return pd.DataFrame({"key_a": [], "key_b": [], "jacc": []})
-        toks = self.toks
-        arrs_a = [toks[k] for k in df["key_a"]]
-        arrs_b = [toks[k] for k in df["key_b"]]
-        len_a = np.fromiter((a.size for a in arrs_a), np.int64, n)
-        len_b = np.fromiter((b.size for b in arrs_b), np.int64, n)
-        vals_a = np.concatenate(arrs_a) if n else np.empty(0, np.int64)
-        vals_b = np.concatenate(arrs_b) if n else np.empty(0, np.int64)
+        ia = np.searchsorted(self.keys, df["key_a"].to_numpy())
+        ib = np.searchsorted(self.keys, df["key_b"].to_numpy())
+        vals_a, len_a = self._gather(ia)
+        vals_b, len_b = self._gather(ib)
         inter, _ = _intersections(n, vals_a, len_a, vals_b, len_b)
         union = len_a + len_b - inter
         jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
@@ -182,13 +194,16 @@ def minhash_lsh_dedup(
     cand = exploded.groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
     cand = _local_dedup(cand)
 
-    toks_df = toks.to_pandas()
-    tok_map = {k: np.asarray(v, np.int64)
-               for k, v in zip(toks_df[key_col], toks_df["tok_ids"])}
-    tok_ref = ray.put(tok_map)
+    toks_df = toks.to_pandas().sort_values(key_col)
+    keys = toks_df[key_col].to_numpy()
+    arrays = [np.asarray(a, np.int64) for a in toks_df["tok_ids"]]
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum([a.size for a in arrays], out=offsets[1:])
+    flat_values = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+    tok_ref = ray.put((keys, flat_values, offsets))
     edges = cand.map_batches(
         _JaccardVerifier, fn_constructor_kwargs={"tok_ref": tok_ref, "threshold": threshold},
-        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+        batch_format="pandas", batch_size=32768, concurrency=(1, 8),
     ).to_pandas().drop_duplicates(subset=["key_a", "key_b"])
 
     keys = ds.select_columns([key_col]).to_pandas()[key_col]
@@ -262,7 +277,7 @@ def simhash_dedup(
                                  "key_b": df["key_b"].to_numpy()[ok]})
 
     edges = cand.map_batches(HammingVerifier, batch_format="pandas",
-                             batch_size=65536, concurrency=(1, 4)).to_pandas()
+                             batch_size=32768, concurrency=(1, 8)).to_pandas()
     edges = edges.drop_duplicates(subset=["key_a", "key_b"])
     keys = ds.select_columns([key_col]).to_pandas()[key_col]
     comp = _components_from_edges(edges, keys).rename(columns={"key": key_col})

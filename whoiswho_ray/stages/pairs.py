@@ -368,23 +368,23 @@ def shuffle_partitions() -> int:
 
 
 def generate_scored_edges(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
-    """vectorized records → scored edges (fused blocking + scoring)."""
+    """vectorized records → scored edges (fused blocking + scoring).
+
+    Repartitions to ~4×CPU blocks first so the sort shuffle and the
+    per-group map tasks use every core."""
     cfg = cfg or SNDConfig()
     return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
-        lambda g: make_scored_edges(g, cfg), batch_format="pyarrow"
-    )
+        lambda g: make_scored_edges(g, cfg), batch_format="pyarrow")
 
 
 def generate_pairs(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     """vectorized records → pair rows (the blocking shuffle, operator A1)."""
     cfg = cfg or SNDConfig()
-    return vectorized.groupby("block_key").map_groups(
-        lambda g: make_pairs(g, cfg), batch_format="pyarrow"
-    )
+    return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
+        lambda g: make_pairs(g, cfg), batch_format="pyarrow")
 
 
 def generate_block_metrics(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     cfg = cfg or SNDConfig()
-    return vectorized.groupby("block_key").map_groups(
-        lambda g: block_metrics(g, cfg), batch_format="pyarrow"
-    )
+    return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
+        lambda g: block_metrics(g, cfg), batch_format="pyarrow")

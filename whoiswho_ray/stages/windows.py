@@ -57,18 +57,38 @@ def sessionize(
     one user fit one group; the groupby shuffle co-locates them."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"] if "event_id" in g.columns else [ts_col])
-        ts = g[ts_col]
-        new_session = (ts.diff() > gap).fillna(True)
-        sid = new_session.cumsum()
-        out = g.groupby(sid).agg(
-            n_events=(ts_col, "size"),
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
+    def per_batch(g: pd.DataFrame) -> pd.DataFrame:
+        """One group-batch may hold MANY users (hash-bucketed); the whole
+        sessionization is vectorized: one sort, one diff, one C groupby."""
+        order = [user_col, ts_col] + (["event_id"] if "event_id" in g.columns else [])
+        g = g.sort_values(order, kind="stable").reset_index(drop=True)
+        same_user = g[user_col].eq(g[user_col].shift())
+        new_session = (~same_user) | (g[ts_col].diff() > gap)
+        g["__sid"] = new_session.cumsum()
+        out = g.groupby("__sid", sort=True).agg(
+            **{
+                user_col: (user_col, "first"),
+                "n_events": (ts_col, "size"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+            }
         ).reset_index(drop=True)
-        out.insert(0, "session_id", np.arange(1, len(out) + 1))
-        out.insert(0, user_col, g[user_col].iloc[0])
-        return out
+        out["session_id"] = out.groupby(user_col).cumcount() + 1
+        return out[[user_col, "session_id", "n_events", "session_start", "session_end"]]
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    # co-locate each user's events with a hash-bucket groupby, then run the
+    # vectorized kernel once per bucket
+    nb = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[user_col], index=False).to_numpy()
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: per_batch(g.drop(columns=["__bucket"])),
+                    batch_format="pandas")
+    )
