@@ -41,7 +41,10 @@ def bench_records_path(sf: float, seed: int = 42) -> tuple[str, int]:
 
     from whoiswho_ray.fixtures import FixtureSpec, gen_block
 
-    n_blocks = max(20, int(9600 * sf * 10))  # sf0.1 → 9600 blocks ≈ 1.1M records
+    # sf0.1 → 19200 blocks ≈ 2.1M records: big enough that parallel compute
+    # dominates the ~15 s of fixed per-run cost (idf reduce, pool startup,
+    # shuffle coordination) at both parallelism levels
+    n_blocks = max(20, int(19200 * sf * 10))
     spec = FixtureSpec(n_blocks=n_blocks, hot_factor=20, seed=seed)
     tag = f"whoiswho_bench_{n_blocks}_{spec.hot_factor}_{seed}"
     path = os.path.join("/tmp", tag)
