@@ -100,9 +100,12 @@ def build_idf(
         order = np.argsort(raw_ids, kind="stable")
         sids = raw_ids[order]
         sdf = raw_df[order]
-        starts = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1]])
-        ids = sids[starts]
-        df = np.add.reduceat(sdf, starts) if sids.size else sdf
+        if sids.size:
+            starts = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1]])
+            ids = sids[starts]
+            df = np.add.reduceat(sdf, starts)
+        else:
+            ids, df = sids, sdf
     n_total = ids.size
 
     keep = df >= cfg.min_df
