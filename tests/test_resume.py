@@ -87,3 +87,47 @@ class TestResume:
         for bk, n in sizes.items():
             assert got[bk] == n
         assert {"n_pairs", "salted", "truncated_pairs"} <= set(bm.columns)
+
+
+class TestPartitionResume:
+    """North-rule mid-shuffle resume: the edges stage commits one
+    block-hash partition at a time with its own lineage/metrics."""
+
+    def test_partitioned_edges_match_default_and_resume_mid_shuffle(
+        self, tiny_tables, tmp_path
+    ):
+        tabs = tiny_tables
+        out = str(tmp_path / "prun")
+        first = run_snd(_input_ds(tabs), out_dir=out, partition_resume=True,
+                        n_edge_partitions=4).to_pandas()
+        # same clusters as the default single-stage path
+        plain = run_snd(_input_ds(tabs)).to_pandas()
+        a = first.sort_values("record_id").reset_index(drop=True)
+        b = plain.sort_values("record_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["record_id", "cluster_id"]],
+                                      b[["record_id", "cluster_id"]])
+        man = snd_summary(out)
+        parts = [s for s in man["stages"] if s.startswith("edges/part=")]
+        assert len(parts) == 4
+        assert all("wall_sec" in man["stages"][p] for p in parts)
+
+        # simulate a crash after two edge partitions: drop the others + all
+        # downstream stages, rerun, and verify survivors were not rebuilt
+        import json as _json
+        import shutil as _shutil
+        with open(os.path.join(out, "manifest.json")) as f:
+            m = _json.load(f)
+        for victim in ["edges/part=2", "edges/part=3", "clusters", "block_metrics"]:
+            if victim in m["stages"]:
+                _shutil.rmtree(m["stages"][victim]["path"], ignore_errors=True)
+                del m["stages"][victim]
+        with open(os.path.join(out, "manifest.json"), "w") as f:
+            _json.dump(m, f)
+        survivor = m["stages"]["edges/part=0"]["path"]
+        mt = {p: os.path.getmtime(os.path.join(survivor, p)) for p in os.listdir(survivor)}
+        second = run_snd(_input_ds(tabs), out_dir=out, partition_resume=True,
+                         n_edge_partitions=4).to_pandas()
+        mt2 = {p: os.path.getmtime(os.path.join(survivor, p)) for p in os.listdir(survivor)}
+        assert mt == mt2
+        c = second.sort_values("record_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, c)

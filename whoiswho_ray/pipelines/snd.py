@@ -93,12 +93,20 @@ def run_snd(
     records: "rd.Dataset | str",
     cfg: SNDConfig | None = None,
     out_dir: str | None = None,
+    partition_resume: bool = False,
+    n_edge_partitions: int = 16,
 ) -> "rd.Dataset":
     """Run the pipeline; returns the cluster Dataset
     ``(block_key, record_id, cluster_id, content_sha256)``.
 
     ``records``: a Dataset or a parquet path of the input_hint table.
     ``out_dir``: enables checkpoint/resume through a manifest.
+    ``partition_resume``: computes the edges stage (the expensive blocked
+    shuffle) one block-hash partition at a time, committing each partition
+    to the manifest with its own rows/wall metrics — a killed run resumes
+    *mid-shuffle*, re-doing only unfinished partitions. Costs one extra
+    read of the (compact) normalized checkpoint per partition; off by
+    default for lowest wall time.
     """
     cfg = cfg or SNDConfig()
     if isinstance(records, str):
@@ -163,10 +171,40 @@ def run_snd(
             "wall_sec": round(time.time() - t0, 3),
         })
 
-    edges = checkpointed(
-        "edges", ["normalized", "idf"],
-        lambda: generate_scored_edges(vectorize(normalized, idf, cfg), cfg),
-    )
+    if partition_resume:
+        import zlib
+
+        def part_of(key: str) -> int:
+            return zlib.crc32(key.encode()) % n_edge_partitions
+
+        for part in range(n_edge_partitions):
+            name = f"edges/part={part}"
+            if man.stage_done(name):
+                continue
+            t0 = time.time()
+
+            def bucket_filter(t: pa.Table, part=part) -> pa.Table:
+                keys = t.column("block_key").to_pylist()
+                mask = [part_of(k) == part for k in keys]
+                return t.filter(pa.array(mask))
+
+            sub = normalized.map_batches(bucket_filter, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+            part_edges = generate_scored_edges(vectorize(sub, idf, cfg), cfg)
+            tmp = man.begin_stage(name.replace("/", "_"))
+            part_edges.write_parquet(tmp)
+            rows = rd.read_parquet(tmp).count()
+            man.complete_stage(name, tmp, rows, time.time() - t0,
+                               ["normalized", "idf"],
+                               metrics={"partition": part})
+        part_sets = [rd.read_parquet(man.stage_path(f"edges/part={p}"))
+                     for p in range(n_edge_partitions)]
+        edges = part_sets[0].union(*part_sets[1:]) if len(part_sets) > 1 else part_sets[0]
+    else:
+        edges = checkpointed(
+            "edges", ["normalized", "idf"],
+            lambda: generate_scored_edges(vectorize(normalized, idf, cfg), cfg),
+        )
     checkpointed(
         "block_metrics", ["normalized"],
         lambda: generate_block_metrics(normalized, cfg),

@@ -65,6 +65,7 @@ class Manifest:
                        wall_sec: float, inputs: list[str],
                        metrics: dict | None = None) -> str:
         final = self.stage_dir_for(name)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp_dir, final)
