@@ -462,6 +462,19 @@ def q_negative_samples(sf_dir: str):
                             "block_key", "record_id", n_neg=3)
 
 
+def snd_publications(sf_dir: str):
+    """The reference's task on its NATIVE data shape: deterministic
+    WhoIsWho-style publications (authors: list<struct<name,org>>) exploded
+    to (paper, author-slot) records and clustered per ambiguous name.
+    Self-contained fixture (seeded); rows-only check."""
+    import ray.data as _rd
+
+    from whoiswho_ray.sources.publications import cluster_publications, make_mini_publications
+
+    pubs, _truth = make_mini_publications(seed=42)
+    return cluster_publications(_rd.from_arrow(pubs))
+
+
 def rnd_assign(sf_dir: str):
     """RND pipeline: cluster 80% of derived records as "known", assign the
     held-out 20% to the resulting entity profiles with NIL thresholding
@@ -516,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_clusters": snd_clusters,
+        "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
     }
 
