@@ -221,6 +221,16 @@ def q_events_tumbling(sf_dir: str):
         {"n_events": (None, "count"), "sum_value_cents": ("value_cents", "sum")})
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (2 h size, 30 min hop): every event contributes to
+    4 overlapping windows."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import sliding_window
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return sliding_window(ds, size_minutes=120, hop_minutes=30)
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (gap 30 min) per user via sorted map_groups."""
     from whoiswho_ray.sources.tables import read_table
@@ -508,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_keys": q_union_keys,
         "q_orders_by_month": q_orders_by_month,
         "q_events_tumbling": q_events_tumbling,
+        "q_events_sliding": q_events_sliding,
         "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
         "q_doc_token_stats": q_doc_token_stats,
@@ -592,6 +603,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "q_events_sliding": f"""
+            WITH x AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1800000000) * 1800000000
+                           - CAST(k.k AS BIGINT) * 1800000000 AS window_start_us,
+                       {cents.format(x='value')} AS value_cents
+                FROM events
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) AS k
+            )
+            SELECT event_type, window_start_us,
+                   count(*) AS n_events,
+                   CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+            FROM x GROUP BY 1, 2
         """,
         "q_events_sessions": """
             WITH x AS (

@@ -206,3 +206,25 @@ class TestMultimodal:
         out = sample_audio_frames(rd.from_pandas(df)).to_pandas()
         assert len(out["frame_energy"].iloc[0]) == 8
         assert out["duration_sec"].iloc[0] > 0
+
+
+class TestSlidingWindow:
+    def test_each_event_covers_size_over_hop_windows(self):
+        from whoiswho_ray.stages.windows import sliding_window
+
+        ts = pd.to_datetime(["2024-01-01 10:15"])
+        df = pd.DataFrame({"event_type": ["click"], "ts": ts, "value": [2.0]})
+        out = sliding_window(rd.from_pandas(df), size_minutes=60, hop_minutes=15)
+        # one event → 4 windows: 09:30, 09:45, 10:00, 10:15
+        assert len(out) == 4
+        starts = sorted(out["window_start_us"])
+        assert starts[-1] - starts[0] == 45 * 60 * 1_000_000
+        assert (out["n_events"] == 1).all()
+        assert (out["sum_value_cents"] == 200).all()
+
+    def test_size_must_divide(self):
+        from whoiswho_ray.stages.windows import sliding_window
+
+        with pytest.raises(ValueError):
+            sliding_window(rd.from_pandas(pd.DataFrame({"event_type": [], "ts": [], "value": []})),
+                           size_minutes=50, hop_minutes=30)

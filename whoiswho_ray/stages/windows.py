@@ -43,6 +43,49 @@ def tumbling_window(
     return agg
 
 
+def sliding_window(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    size_minutes: int = 120,
+    hop_minutes: int = 30,
+):
+    """Sliding (hopping) windows: each event lands in size/hop overlapping
+    windows; per (key, window_start): count + integer-cents sum.
+
+    Expressed as an explode (one row per covering window, epoch-micros
+    arithmetic so the oracle is bit-exact) + the pre-aggregated grouped
+    combine. ``window_start_us`` is int64 epoch microseconds."""
+    if size_minutes % hop_minutes != 0:
+        raise ValueError("size must be a multiple of hop")
+    n_win = size_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes * 60 * 1_000_000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col)
+        base = (ts_us // hop_us) * hop_us
+        n = len(ts_us)
+        ks = np.arange(n_win, dtype=np.int64)
+        window_start = (base[:, None] - ks[None, :] * hop_us).ravel()
+        cents = np.floor(np.repeat(vals, n_win) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            key_col: pc.take(keys, pa.array(np.repeat(np.arange(n), n_win))),
+            "window_start_us": pa.array(window_start),
+            "value_cents": pa.array(cents),
+        })
+
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "window_start_us"],
+        {"n_events": (None, "count"), "sum_value_cents": ("value_cents", "sum")},
+    )
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     ts_col: str = "ts",
