@@ -54,14 +54,17 @@ class TestUnionFind:
 
 
 def _mk_group(node_ids, edges, shas=None):
-    """Build the union-frame a cluster_block group receives."""
+    """Build the union-frame a cluster_block group receives (edges carry
+    block-local positions in record_id-sorted order, like make_scored_edges
+    emits)."""
     shas = shas or {r: f"sha-{r}" for r in node_ids}
+    pos = {r: i for i, r in enumerate(sorted(node_ids))}
     rows = []
     for r in node_ids:
-        rows.append({"block_key": "bk", "id_a": r, "id_b": "", "score": np.nan,
+        rows.append({"block_key": "bk", "ix_a": -1, "ix_b": -1, "score": np.nan,
                      "record_id": r, "content_sha256": shas[r]})
     for a, b, s in edges:
-        rows.append({"block_key": "bk", "id_a": a, "id_b": b, "score": s,
+        rows.append({"block_key": "bk", "ix_a": pos[a], "ix_b": pos[b], "score": s,
                      "record_id": "", "content_sha256": ""})
     return pd.DataFrame(rows)
 

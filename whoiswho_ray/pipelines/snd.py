@@ -42,7 +42,7 @@ from whoiswho_ray.stages.pairs import generate_block_metrics, generate_scored_ed
 from whoiswho_ray.stages.scoring import vectorize
 from whoiswho_ray.state.manifest import Manifest
 
-NODE_MARKER = ""  # id_b value marking a node (non-edge) row in the cluster input
+NODE_MARKER = -1  # ix_a value marking a node (non-edge) row in the cluster input
 
 
 def _node_rows(normalized: "rd.Dataset") -> "rd.Dataset":
@@ -52,9 +52,9 @@ def _node_rows(normalized: "rd.Dataset") -> "rd.Dataset":
         n = t.num_rows
         return pa.table({
             "block_key": t.column("block_key"),
-            "id_a": t.column("record_id"),
-            "id_b": pa.array([NODE_MARKER] * n, pa.string()),
-            "score": pa.array(np.full(n, np.nan), pa.float64()),
+            "ix_a": pa.array(np.full(n, NODE_MARKER, dtype=np.int32)),
+            "ix_b": pa.array(np.full(n, NODE_MARKER, dtype=np.int32)),
+            "score": pa.array(np.full(n, np.nan, dtype=np.float32)),
             "record_id": t.column("record_id"),
             "content_sha256": t.column("content_sha256"),
         })
@@ -62,13 +62,17 @@ def _node_rows(normalized: "rd.Dataset") -> "rd.Dataset":
 
 
 def _edge_rows(edges: "rd.Dataset") -> "rd.Dataset":
+    """Compact edge rows: block-local int32 positions (in record_id-sorted
+    order, assigned by make_scored_edges) + float32 score — no strings
+    beyond the block key travel through the cluster shuffle."""
     def to_edges(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        import pyarrow.compute as pc
         return pa.table({
             "block_key": t.column("block_key"),
-            "id_a": t.column("id_a"),
-            "id_b": t.column("id_b"),
-            "score": t.column("score"),
+            "ix_a": t.column("ix_a"),
+            "ix_b": t.column("ix_b"),
+            "score": pc.cast(t.column("score"), pa.float32()),
             "record_id": pa.array([""] * n, pa.string()),
             "content_sha256": pa.array([""] * n, pa.string()),
         })
@@ -122,7 +126,9 @@ def run_snd(
         vec = vectorize(normalized, idf, cfg)
         return snd_cluster(normalized, vec, cfg)
 
-    man = Manifest(out_dir, cfg.config_hash())
+    # the format version guards stage schemas: resuming with checkpoints
+    # written by an older engine layout recomputes instead of mixing
+    man = Manifest(out_dir, f"{cfg.config_hash()}-fmt2")
 
     def checkpointed(name: str, inputs: list[str], build,
                      partition_on: str | None = None) -> "rd.Dataset":

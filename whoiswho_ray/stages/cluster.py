@@ -68,54 +68,80 @@ class UnionFind:
                            dtype=np.int64, count=self.parent.size)
 
 
+def cc_labels(n: int, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Vectorized connected components over dense int edges: min-label
+    propagation with pointer jumping. Labels converge to the minimum node
+    index per component (same partition UnionFind would yield; asserted in
+    tests). Dense cliques settle in 1–2 rounds; chains in O(log n)."""
+    labels = np.arange(n, dtype=np.int64)
+    if ia.size == 0:
+        return labels
+    while True:
+        before = labels.copy()
+        m = np.minimum(labels[ia], labels[ib])
+        np.minimum.at(labels, ia, m)
+        np.minimum.at(labels, ib, m)
+        while True:
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels, before):
+            return labels
+
+
 def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
     """One block's node+edge rows → (block_key, record_id, cluster_id, content_sha256).
 
     Input rows are the union of node rows (id_b == "") and scored edge rows
-    (see ``pipelines/snd.py``).
-    """
-    is_node = group["id_b"] == ""
+    (see ``pipelines/snd.py``). Fully vectorized: record ids map to dense
+    indices via searchsorted, components via ``cc_labels``, and the
+    post-match best-partner selection via one lexsort."""
+    is_node = group["ix_a"].to_numpy() < 0
     nodes = group[is_node]
     edges = group[~is_node]
     block_key = group["block_key"].iloc[0]
 
-    rids = nodes["record_id"].to_numpy()
-    order = np.argsort(rids, kind="stable")
-    rids = rids[order]
-    shas = nodes["content_sha256"].to_numpy()[order]
-    index = {r: i for i, r in enumerate(rids.tolist())}
+    rids = np.sort(nodes["record_id"].to_numpy())
+    order_sha = np.argsort(nodes["record_id"].to_numpy(), kind="stable")
+    shas = nodes["content_sha256"].to_numpy()[order_sha]
     n = rids.size
 
-    uf = UnionFind(n)
-    ea = edges["id_a"].to_numpy()
-    eb = edges["id_b"].to_numpy()
+    # edge endpoints are block-local positions in record_id-sorted order
+    # (assigned in make_scored_edges against the same block membership)
+    ia = edges["ix_a"].to_numpy().astype(np.int64)
+    ib = edges["ix_b"].to_numpy().astype(np.int64)
     es = edges["score"].to_numpy(dtype=np.float64)
-    strong = es >= cfg.tau_edge
-    for a, b in zip(ea[strong].tolist(), eb[strong].tolist()):
-        ia, ib = index.get(a), index.get(b)
-        if ia is not None and ib is not None:
-            uf.union(ia, ib)
+    if ia.size:
+        ok = (ia >= 0) & (ia < n) & (ib >= 0) & (ib < n)
+        ia, ib, es = ia[ok], ib[ok], es[ok]
 
-    labels = uf.labels()
+    strong = es >= cfg.tau_edge
+    labels = cc_labels(n, ia[strong], ib[strong])
+
     # ---- post-match (AutoTrainSND.py:163-206 analog) ----
     sizes = np.bincount(labels, minlength=n)
     is_singleton = sizes[labels] == 1
-    if is_singleton.any() and len(edges):
-        attach = es >= cfg.tau_attach
-        best: dict[int, tuple[float, str, int]] = {}
-        for a, b, s in zip(ea[attach].tolist(), eb[attach].tolist(), es[attach].tolist()):
-            ia, ib = index.get(a), index.get(b)
-            if ia is None or ib is None:
-                continue
-            for x, y in ((ia, ib), (ib, ia)):
-                if is_singleton[x]:
-                    cand = (-s, rids[y], y)
-                    if x not in best or cand < best[x]:
-                        best[x] = cand
-        # attach against the PRE-attachment labels (reference semantics)
-        for x, (_, _, y) in best.items():
-            uf.union(x, y)
-        labels = uf.labels()
+    if is_singleton.any() and ia.size:
+        att = es >= cfg.tau_attach
+        # each attach edge, both directions: (x = maybe-singleton, partner)
+        x = np.concatenate([ia[att], ib[att]])
+        partner = np.concatenate([ib[att], ia[att]])
+        s = np.concatenate([es[att], es[att]])
+        keep = is_singleton[x]
+        x, partner, s = x[keep], partner[keep], s[keep]
+        if x.size:
+            # best partner per singleton: score desc, partner index asc
+            # (partner index order == record_id order since rids is sorted)
+            ordr = np.lexsort((partner, -s, x))
+            xs = x[ordr]
+            first = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+            bx = xs[first]
+            bp = partner[ordr][first]
+            # connectivity over strong ∪ best-attach edges == the reference's
+            # sequential singleton unions (union-find is order-independent)
+            labels = cc_labels(n, np.concatenate([ia[strong], bx]),
+                               np.concatenate([ib[strong], bp]))
 
     roots = rids[labels]
     return pd.DataFrame(

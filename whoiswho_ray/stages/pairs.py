@@ -341,17 +341,26 @@ def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
             jw_fn,
         )
     keep = feats["score"] >= min(cfg.tau_attach, cfg.tau_edge)
+    # block-local indices in record_id-sorted order: the cluster stage
+    # re-sorts node rids and joins edges by POSITION — edge rows then carry
+    # two int32s instead of two 40-char ids (≈3× less shuffle volume)
+    sorted_pos = np.empty(n, dtype=np.int32)
+    sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int32)
     return pa.table({
         "block_key": pa.array(np.repeat(group.column("block_key")[0].as_py(), int(keep.sum())),
                               pa.string()),
         "id_a": pa.array(rids[ii[keep]], pa.string()),
         "id_b": pa.array(rids[jj[keep]], pa.string()),
+        "ix_a": pa.array(sorted_pos[ii[keep]]),
+        "ix_b": pa.array(sorted_pos[jj[keep]]),
         **{k: pa.array(v[keep]) for k, v in feats.items()},
     })
 
 
 def _empty_edges_table() -> pa.Table:
     cols = {c: pa.array([], pa.string()) for c in ("block_key", "id_a", "id_b")}
+    cols["ix_a"] = pa.array([], pa.int32())
+    cols["ix_b"] = pa.array([], pa.int32())
     for c in ("j_tok", "t_repo", "t_ctx", "cos", "jw", "score"):
         cols[c] = pa.array([], pa.float64())
     return pa.table(cols)
