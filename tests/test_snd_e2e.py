@@ -70,3 +70,15 @@ class TestSNDEndToEnd:
         a = pred.sort_values("record_id").reset_index(drop=True)
         b = pred2.sort_values("record_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a[["record_id", "cluster_id"]], b[["record_id", "cluster_id"]])
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_f1_gate_holds_across_seeds(seed):
+    """Thresholds must not be overfit to the default fixture seed."""
+    from whoiswho_ray.fixtures import FixtureSpec, generate_tables
+
+    tabs = generate_tables(FixtureSpec(n_blocks=6, hot_factor=3, seed=seed))
+    pred = run_snd(rd.from_arrow(tabs["records"])).to_pandas()
+    ev = pairwise_f1_frames(pred, tabs["ground_truth"].to_pandas())
+    mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+    assert mean_f1 >= 0.99
