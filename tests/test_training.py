@@ -37,3 +37,18 @@ def test_learned_config_reaches_f1_gate(small_fixture):
     ev = pairwise_f1_frames(pred, tabs["ground_truth"].to_pandas())
     mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
     assert mean_f1 >= 0.99, (diag, ev.tail(3))
+
+
+def test_learned_config_recovers_hard_ambiguity():
+    """Under heavy cross-entity token sharing the fixed default weights
+    drop below the gate (~0.97); fitting on labeled pairs recovers it —
+    the reason the trainer surface exists (the reference's T6 role)."""
+    from whoiswho_ray.fixtures import FixtureSpec, generate_tables
+
+    tabs = generate_tables(FixtureSpec(n_blocks=6, hot_factor=2, seed=11, ambiguity=0.3))
+    records = rd.from_arrow(tabs["records"])
+    cfg, diag = fit_snd_config(records, tabs["labeled_pairs"].to_pandas())
+    pred = run_snd(records, cfg).to_pandas()
+    ev = pairwise_f1_frames(pred, tabs["ground_truth"].to_pandas())
+    mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+    assert mean_f1 >= 0.99, (diag, ev.tail(3))
