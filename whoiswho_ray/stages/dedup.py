@@ -108,13 +108,14 @@ def _components_from_edges(edge_df: pd.DataFrame, keys: pd.Series) -> pd.DataFra
     distributed path for unbounded edge sets is
     ``stages.cluster.connected_components`` (same semantics, asserted
     equivalent in tests)."""
+    from whoiswho_ray.stages.cluster import cc_labels
+
     uniq = pd.Index(keys.unique()).sort_values()
-    pos = {k: i for i, k in enumerate(uniq)}
-    uf = UnionFind(len(uniq))
-    for a, b in zip(edge_df["key_a"], edge_df["key_b"]):
-        uf.union(pos[a], pos[b])
-    labels = uf.labels()
-    return pd.DataFrame({"key": uniq, "dup_group": uniq.to_numpy()[labels]})
+    arr = uniq.to_numpy()
+    ia = np.searchsorted(arr, edge_df["key_a"].to_numpy())
+    ib = np.searchsorted(arr, edge_df["key_b"].to_numpy())
+    labels = cc_labels(len(uniq), ia.astype(np.int64), ib.astype(np.int64))
+    return pd.DataFrame({"key": uniq, "dup_group": arr[labels]})
 
 
 class _JaccardVerifier:
@@ -190,9 +191,9 @@ def minhash_lsh_dedup(
             "key": pa.array(np.repeat(keys, bands)),
         })
 
-    exploded = toks.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    cand = exploded.groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
-    cand = _local_dedup(cand)
+    # materialize the (tiny) exploded table: the sort-based groupby
+    # otherwise re-executes its input for boundary sampling
+    exploded = toks.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     toks_df = toks.to_pandas().sort_values(key_col)
     keys = toks_df[key_col].to_numpy()
@@ -200,11 +201,58 @@ def minhash_lsh_dedup(
     offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
     np.cumsum([a.size for a in arrays], out=offsets[1:])
     flat_values = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
-    tok_ref = ray.put((keys, flat_values, offsets))
-    edges = cand.map_batches(
-        _JaccardVerifier, fn_constructor_kwargs={"tok_ref": tok_ref, "threshold": threshold},
-        batch_format="pandas", batch_size=32768, concurrency=(1, 8),
-    ).to_pandas().drop_duplicates(subset=["key_a", "key_b"])
+
+    if keys.size and keys.size <= 8192:
+        # small-corpus fast path, all driver-side numpy: bucket segments
+        # from one lexsort, dedup by packed pair id, and one hybrid
+        # intersection matrix answers every candidate in O(1)
+        from whoiswho_ray.stages.scoring import allpairs_matrix
+
+        ex_df = exploded.to_pandas()
+        bk = ex_df["bucket"].to_numpy()
+        kk = np.searchsorted(keys, ex_df["key"].to_numpy())
+        order = np.lexsort((kk, bk))
+        bk, kk = bk[order], kk[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        pis, pjs = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            members = np.unique(kk[s:e])
+            m = members.size
+            if m < 2:
+                continue
+            if m * (m - 1) // 2 <= _PAIR_BUDGET:
+                ti, tj = np.triu_indices(m, 1)
+                pis.append(members[ti])
+                pjs.append(members[tj])
+            else:
+                w = max(1, _PAIR_BUDGET // m)
+                for d in range(1, min(w, m - 1) + 1):
+                    pis.append(members[:-d])
+                    pjs.append(members[d:])
+        if pis:
+            ia = np.concatenate(pis)
+            ib = np.concatenate(pjs)
+            packed = np.unique(ia * np.int64(keys.size) + ib)
+            ia, ib = packed // keys.size, packed % keys.size
+        else:
+            ia = ib = np.empty(0, dtype=np.int64)
+
+        M = allpairs_matrix(keys.size, flat_values, offsets)
+        lens = np.diff(offsets).astype(np.float64)
+        inter = M[ia, ib]
+        union = lens[ia] + lens[ib] - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        ok = jacc >= threshold
+        edges = pd.DataFrame({"key_a": keys[ia[ok]], "key_b": keys[ib[ok]],
+                              "jacc": jacc[ok]})
+    else:
+        cand = exploded.groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
+        cand = _local_dedup(cand)
+        tok_ref = ray.put((keys, flat_values, offsets))
+        edges = cand.map_batches(
+            _JaccardVerifier, fn_constructor_kwargs={"tok_ref": tok_ref, "threshold": threshold},
+            batch_format="pandas", batch_size=32768, concurrency=(1, 8),
+        ).to_pandas().drop_duplicates(subset=["key_a", "key_b"])
 
     keys = ds.select_columns([key_col]).to_pandas()[key_col]
     comp = _components_from_edges(edges, keys).rename(columns={"key": key_col})
