@@ -107,6 +107,26 @@ class TestClusterBlock:
         assert out["b1"] == out["b2"]
         assert out["a1"] != out["b1"]
 
+    def test_postmatch_singleton_pair_chain_merges(self):
+        """ALL singleton–singleton attach edges merge (AutoTrainSND.py
+        paper_pair1 loop) — not only each side's best partner (ADVICE r1)."""
+        cfg = SNDConfig(tau_edge=1.5, tau_attach=1.3)
+        g = _mk_group(["r1", "r2", "r3", "r4"],
+                      [("r1", "r2", 1.45), ("r3", "r4", 1.45), ("r2", "r3", 1.35)])
+        out = cluster_block(g, cfg).set_index("record_id")["cluster_id"]
+        assert out["r1"] == out["r2"] == out["r3"] == out["r4"]
+
+    def test_postmatch_attach_prefers_best_nonsingleton(self):
+        """A singleton with attach edges into two clusters joins only the
+        best-scoring one (reference argmax over non-outlier clusters)."""
+        cfg = SNDConfig(tau_edge=1.5, tau_attach=1.3)
+        g = _mk_group(["a1", "a2", "b1", "b2", "s0"],
+                      [("a1", "a2", 2.0), ("b1", "b2", 2.0),
+                       ("s0", "a1", 1.35), ("s0", "b1", 1.4)])
+        out = cluster_block(g, cfg).set_index("record_id")["cluster_id"]
+        assert out["s0"] == out["b1"]
+        assert out["a1"] != out["b1"]
+
     def test_row_order_invariance(self):
         cfg = SNDConfig()
         g = _mk_group(["r3", "r1", "r2"], [("r2", "r3", 2.0)])

@@ -67,6 +67,25 @@ class TestIdf:
         assert ids.tolist() == [stable_hash64("foo")]
         assert w.size == 1
 
+    def test_empty_docs_still_count_toward_n_records(self):
+        """A batch of all-empty token lists must contribute its row count
+        to n_records (ADVICE r1: the carrier row was dropped)."""
+        ds = rd.from_arrow(pa.table({
+            "tok_ids": pa.array([[], [], [7, 8]], pa.list_(pa.int64()))}))
+        idf = build_idf(ds, SNDConfig(min_df=1))
+        assert idf.n_records == 3
+        assert set(idf.ids.tolist()) == {7, 8}
+        # and the df=0 carrier never enters the vocab even with min_df=0
+        idf0 = build_idf(ds, SNDConfig(min_df=0))
+        assert set(idf0.ids.tolist()) == {7, 8}
+
+    def test_all_empty_corpus(self):
+        ds = rd.from_arrow(pa.table({
+            "tok_ids": pa.array([[], []], pa.list_(pa.int64()))}))
+        idf = build_idf(ds, SNDConfig(min_df=1))
+        assert idf.n_records == 2
+        assert idf.ids.size == 0
+
 
 def _flatten(arrays):
     offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
@@ -168,3 +187,17 @@ class TestScoring:
         assert j == pytest.approx(2 / 5)
         assert t == pytest.approx(1.0)
         assert score == pytest.approx(2 / 5 + 1.0)
+
+    def test_vectorizer_all_empty_batch(self):
+        """Non-empty vocab + batch whose every row has zero tokens must not
+        crash (ADVICE r1: UnboundLocalError on 'pos')."""
+        from whoiswho_ray.stages.idf import IdfModel
+        from whoiswho_ray.stages.scoring import TfidfVectorizer
+
+        idf = IdfModel(ids=np.array([5, 9], dtype=np.int64),
+                       idf=np.array([1.0, 2.0], dtype=np.float32),
+                       n_records=2, n_tokens_total=2, truncated=False)
+        t = pa.table({"tok_ids": pa.array([[], [], []], pa.list_(pa.int64()))})
+        out = TfidfVectorizer(idf)(t)
+        assert out.column("tfv_ids").to_pylist() == [[], [], []]
+        assert out.column("tfv_w").to_pylist() == [[], [], []]

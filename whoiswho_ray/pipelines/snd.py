@@ -54,7 +54,7 @@ def _node_rows(normalized: "rd.Dataset") -> "rd.Dataset":
             "block_key": t.column("block_key"),
             "ix_a": pa.array(np.full(n, NODE_MARKER, dtype=np.int32)),
             "ix_b": pa.array(np.full(n, NODE_MARKER, dtype=np.int32)),
-            "score": pa.array(np.full(n, np.nan, dtype=np.float32)),
+            "score": pa.array(np.full(n, np.nan, dtype=np.float64)),
             "record_id": t.column("record_id"),
             "content_sha256": t.column("content_sha256"),
         })
@@ -63,18 +63,22 @@ def _node_rows(normalized: "rd.Dataset") -> "rd.Dataset":
 
 def _edge_rows(edges: "rd.Dataset") -> "rd.Dataset":
     """Compact edge rows: block-local int32 positions (in record_id-sorted
-    order, assigned by make_scored_edges) + float32 score — no strings
-    beyond the block key travel through the cluster shuffle."""
+    order, assigned by make_scored_edges) + float64 score — no strings
+    beyond the block key travel through the cluster shuffle. The score
+    stays float64 so the cluster stage compares against tau_edge/tau_attach
+    with exactly the same rounding as the make_scored_edges filter (a
+    float32 round-trip would drop near-threshold edges: float32(1.3) < 1.3).
+    The id columns are all-null arrays (validity bitmap only — no per-row
+    string payload) purely to align the node/edge union schema."""
     def to_edges(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        import pyarrow.compute as pc
         return pa.table({
             "block_key": t.column("block_key"),
             "ix_a": t.column("ix_a"),
             "ix_b": t.column("ix_b"),
-            "score": pc.cast(t.column("score"), pa.float32()),
-            "record_id": pa.array([""] * n, pa.string()),
-            "content_sha256": pa.array([""] * n, pa.string()),
+            "score": t.column("score"),
+            "record_id": pa.nulls(n, pa.string()),
+            "content_sha256": pa.nulls(n, pa.string()),
         })
     return edges.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -119,29 +119,43 @@ def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
     strong = es >= cfg.tau_edge
     labels = cc_labels(n, ia[strong], ib[strong])
 
-    # ---- post-match (AutoTrainSND.py:163-206 analog) ----
+    # ---- post-match (AutoTrainSND.py:163-206) ----
+    # The reference's two post-match moves, both reproduced:
+    #   (a) each outlier (singleton) attaches to its argmax-scoring
+    #       NON-outlier neighbor when that score ≥ tau_attach
+    #       (AutoTrainSND.py:179-195 attach-to-cluster loop);
+    #   (b) ALL outlier–outlier pairs ≥ tau_attach are merged
+    #       (AutoTrainSND.py:197-206 paper_pair1 loop) — not just each
+    #       side's best partner, so chains of weak singleton edges fuse.
+    # Both read singleton-ness from the PRE-attachment labels, like the
+    # reference scoring outliers against the fixed DBSCAN clusters.
     sizes = np.bincount(labels, minlength=n)
     is_singleton = sizes[labels] == 1
     if is_singleton.any() and ia.size:
         att = es >= cfg.tau_attach
-        # each attach edge, both directions: (x = maybe-singleton, partner)
-        x = np.concatenate([ia[att], ib[att]])
-        partner = np.concatenate([ib[att], ia[att]])
-        s = np.concatenate([es[att], es[att]])
-        keep = is_singleton[x]
+        aa, ab, asc = ia[att], ib[att], es[att]
+        both_single = is_singleton[aa] & is_singleton[ab]
+        # (a) singleton→best non-singleton partner
+        x = np.concatenate([aa, ab])
+        partner = np.concatenate([ab, aa])
+        s = np.concatenate([asc, asc])
+        keep = is_singleton[x] & ~is_singleton[partner]
         x, partner, s = x[keep], partner[keep], s[keep]
+        extra_a = [aa[both_single]]
+        extra_b = [ab[both_single]]
         if x.size:
             # best partner per singleton: score desc, partner index asc
             # (partner index order == record_id order since rids is sorted)
             ordr = np.lexsort((partner, -s, x))
             xs = x[ordr]
             first = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
-            bx = xs[first]
-            bp = partner[ordr][first]
-            # connectivity over strong ∪ best-attach edges == the reference's
-            # sequential singleton unions (union-find is order-independent)
-            labels = cc_labels(n, np.concatenate([ia[strong], bx]),
-                               np.concatenate([ib[strong], bp]))
+            extra_a.append(xs[first])
+            extra_b.append(partner[ordr][first])
+        if extra_a[0].size or len(extra_a) > 1:
+            # connectivity over strong ∪ attach edges == the reference's
+            # sequential unions (union-find is order-independent)
+            labels = cc_labels(n, np.concatenate([ia[strong], *extra_a]),
+                               np.concatenate([ib[strong], *extra_b]))
 
     roots = rids[labels]
     return pd.DataFrame(

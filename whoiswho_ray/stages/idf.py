@@ -56,9 +56,12 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     values = flat.flatten().to_numpy(zero_copy_only=False)
     n_rows = batch.num_rows
     if values.size == 0:
-        return pa.table({"tok_id": pa.array([], pa.int64()),
-                         "df": pa.array([], pa.int64()),
-                         "n_rec": pa.array([], pa.int64())})
+        # still emit the record-count carrier row: a batch of all-empty
+        # documents must contribute to n_records (df=0 row is pruned by
+        # the min_df>=1 floor after the merge, never enters the vocab)
+        return pa.table({"tok_id": pa.array([0], pa.int64()),
+                         "df": pa.array([0], pa.int64()),
+                         "n_rec": pa.array([n_rows], pa.int64())})
     ids, counts = np.unique(values, return_counts=True)  # tok_ids unique/row ⇒ df
     n_rec = np.zeros(ids.size, dtype=np.int64)
     n_rec[0] = n_rows  # carry the record count once per batch
@@ -108,7 +111,7 @@ def build_idf(
             ids, df = sids, sdf
     n_total = ids.size
 
-    keep = df >= cfg.min_df
+    keep = df >= max(int(cfg.min_df), 1)  # floor 1 also drops the empty-batch carrier row
     ids, df = ids[keep], df[keep]
     truncated = False
     if ids.size > cfg.max_vocab:

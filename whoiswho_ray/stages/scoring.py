@@ -65,6 +65,7 @@ class TfidfVectorizer:
             pos[pos == vocab.size] = 0
             hit = vocab[pos] == values
         else:
+            pos = np.zeros(0, dtype=np.int64)
             hit = np.zeros(values.size, dtype=bool)
 
         row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
