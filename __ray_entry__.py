@@ -156,10 +156,11 @@ def q_supplier_volume(sf_dir: str):
         lambda df: df.rename(columns={"s_suppkey": "l_suppkey"}), batch_format="pandas"
     )
     joined = shuffle_hash_join(li, sup, on="l_suppkey", num_buckets=8)
+    # unbounded key cardinality (one row per supplier): distributed final
     return grouped_agg(joined, "s_name", {
         "sum_qty": ("l_quantity", "sum"),
         "n_items": (None, "count"),
-    })
+    }, final="shuffle")
 
 
 def q_distinct_flags(sf_dir: str):
@@ -180,7 +181,8 @@ def q_union_keys(sf_dir: str):
         lambda t: pa.table({"key": t.column("c_custkey")}), batch_format="pyarrow")
     s = read_table(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
         lambda t: pa.table({"key": t.column("s_suppkey")}), batch_format="pyarrow")
-    return distinct(c.union(s), ["key"])
+    # unbounded distinct-key cardinality: distributed final
+    return distinct(c.union(s), ["key"], final="shuffle")
 
 
 def q_orders_by_month(sf_dir: str):
@@ -218,7 +220,8 @@ def q_events_tumbling(sf_dir: str):
     return grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         ["event_type", "window_start"],
-        {"n_events": (None, "count"), "sum_value_cents": ("value_cents", "sum")})
+        {"n_events": (None, "count"), "sum_value_cents": ("value_cents", "sum")},
+        final="shuffle")  # key count grows with the covered time span
 
 
 def q_events_sliding(sf_dir: str):
@@ -240,7 +243,8 @@ def q_events_sessions(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     sess = sessionize(ds, gap_minutes=30.0)
     return grouped_agg(sess, "user_id", {
-        "n_sessions": (None, "count"), "n_events": ("n_events", "sum")})
+        "n_sessions": (None, "count"), "n_events": ("n_events", "sum")},
+        final="shuffle")  # one row per user
 
 
 def q_events_user_stats(sf_dir: str):
@@ -265,6 +269,7 @@ def q_events_user_stats(sf_dir: str):
             "min_ts_us": ("ts_us", "min"),
             "max_ts_us": ("ts_us", "max"),
         },
+        final="shuffle",  # one row per user: unbounded at scale
     )
 
 

@@ -25,6 +25,24 @@ def docs_ds():
     return rd.from_pandas(df)
 
 
+def _near_dup_corpus(n_pairs: int) -> pd.DataFrame:
+    """Deterministic corpus of n_pairs (original, 2-token-mutated) doc
+    pairs over a 500-word vocabulary — every planted pair has distinct-token
+    Jaccard 28/32 = 0.875."""
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"w{i:03d}" for i in range(500)])
+    texts, ids = [], []
+    for i in range(n_pairs):
+        base = rng.choice(vocab, 30, replace=False)
+        texts.append(" ".join(base))
+        ids.append(f"d{i:03d}a")
+        mut = base.copy()
+        mut[:2] = rng.choice(np.setdiff1d(vocab, base), 2, replace=False)
+        texts.append(" ".join(mut))
+        ids.append(f"d{i:03d}b")
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
 class TestDedup:
     def test_exact_dedup(self, docs_ds):
         from whoiswho_ray.stages.dedup import exact_dedup
@@ -58,6 +76,48 @@ class TestDedup:
         # exact value check: docs 0/2 differ by one token out of 9 distinct
         row = pairs[(pairs.key_a == 0) & (pairs.key_b == 2)].iloc[0]
         assert row["jacc"] == pytest.approx(7 / 9)
+
+    def test_minhash_distributed_equals_fast_path(self):
+        """driver_max=0 forces the fully-distributed path (bucketed
+        candidates → shuffle-join verify → star-contraction components);
+        it must produce exactly the fast path's groups."""
+        from whoiswho_ray.stages.dedup import minhash_lsh_dedup
+
+        ds = rd.from_pandas(_near_dup_corpus(80))
+        fast = minhash_lsh_dedup(ds, threshold=0.7).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        dist = minhash_lsh_dedup(ds, threshold=0.7, driver_max=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+        # sanity: the planted pairs actually grouped
+        g = fast.set_index("doc_id")["dup_group"]
+        assert g["d000a"] == g["d000b"]
+
+    def test_simhash_distributed_equals_fast_path(self):
+        from whoiswho_ray.stages.dedup import simhash_dedup
+
+        ds = rd.from_pandas(_near_dup_corpus(80))
+        fast = simhash_dedup(ds, max_hamming=6).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        dist = simhash_dedup(ds, max_hamming=6, driver_max=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+
+    def test_minhash_recall_vs_exact_oracle(self):
+        """LSH recall against the exact all-pairs Jaccard oracle
+        (ngram_jaccard_pairs) on a planted near-dup corpus: ≥ 0.9."""
+        from whoiswho_ray.stages.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+        df = _near_dup_corpus(60)
+        df["source"] = "all"
+        ds = rd.from_pandas(df)
+        exact = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+        truth = {frozenset((a, b)) for a, b in zip(exact["key_a"], exact["key_b"])}
+        comp = minhash_lsh_dedup(ds, threshold=0.8, driver_max=0).to_pandas()
+        g = comp.set_index("doc_id")["dup_group"]
+        found = sum(1 for p in truth if len({g[k] for k in p}) == 1)
+        assert truth, "oracle found no pairs — corpus generator broken"
+        assert found / len(truth) >= 0.9
 
     def test_embedding_dup_pairs(self):
         from whoiswho_ray.stages.dedup import embedding_dup_pairs

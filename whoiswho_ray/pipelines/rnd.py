@@ -97,19 +97,39 @@ def build_profiles(
     tagged_l = left.map_batches(tag_l, batch_format="pandas")
     tagged_r = right.map_batches(tag_r, batch_format="pandas")
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sig = g[g["__side"] == "l"]
-        cl = g[g["__side"] == "r"]
-        if len(sig) == 0 or len(cl) == 0:
-            return sig.iloc[0:0].drop(columns=["__side"])
-        out = sig.drop(columns=["__side"]).copy()
-        out["cluster_id"] = cl["cluster_id"].iloc[0]
-        return out
+    # hash-bucket co-group on record_id: ONE Ray group per bucket (4×CPUs
+    # buckets total), one vectorized pandas merge inside — never one Ray
+    # group per record (the r1 version paid ~0.5 ms of grouping overhead
+    # per record; at 2M records that was 17 CPU-minutes of pure overhead)
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
 
-    joined = tagged_l.union(tagged_r).groupby("record_id").map_groups(
-        attach, batch_format="pandas")
+    bucketed = _bucket_by(tagged_l.union(tagged_r), "record_id", _cc_num_buckets())
+
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"])
+        sig = df[df["__side"] == "l"].drop(columns=["__side", "cluster_id"])
+        cl = df[df["__side"] == "r"][["record_id", "cluster_id"]]
+        if len(sig) == 0 or len(cl) == 0:
+            out = sig.iloc[0:0].copy()
+            out["cluster_id"] = pd.Series([], dtype=object)
+            return out
+        return sig.merge(cl, on="record_id", how="inner")
+
+    joined = bucketed.groupby("__bucket").map_groups(attach_bucket, batch_format="pandas")
 
     def to_profile(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "cluster_id": pd.Series([], dtype=object),
+                "block_key": pd.Series([], dtype=object),
+                "name": pd.Series([], dtype=object),
+                "n_members": pd.Series([], dtype=np.int64),
+                "tok_ids": pd.Series([], dtype=object),
+                "repo_ids": pd.Series([], dtype=object),
+                "ctx_ids": pd.Series([], dtype=object),
+                "tfv_ids": pd.Series([], dtype=object),
+                "tfv_w": pd.Series([], dtype=object),
+            })
         tfv_ids = _agg_ids(g["tfv_ids"])
         # centroid weights: mean of member weights per kept id, renormalized
         w_acc = np.zeros(tfv_ids.size, dtype=np.float64)
@@ -136,7 +156,10 @@ def build_profiles(
             "tfv_w": [w_acc.astype(np.float32)],
         })
 
-    return joined.groupby("cluster_id").map_groups(to_profile, batch_format="pandas")
+    # O(buckets) Ray groups, per-cluster split inside the bucket task
+    from whoiswho_ray.stages.agg import group_apply
+
+    return group_apply(joined, "cluster_id", to_profile, batch_format="pandas")
 
 
 def assign_records(
@@ -217,7 +240,10 @@ def assign_records(
             "n_candidates": np.repeat(np_, nr),
         })
 
-    return recs.union(profs).groupby("block_key").map_groups(per_block, batch_format="pandas")
+    # O(buckets) Ray groups — block count is unbounded at scale
+    from whoiswho_ray.stages.agg import group_apply
+
+    return group_apply(recs.union(profs), "block_key", per_block, batch_format="pandas")
 
 
 def run_rnd(

@@ -179,43 +179,94 @@ def cluster_blocks(union_ds: "ray.data.Dataset", cfg: SNDConfig | None = None) -
 # ---------------------------------------------------------------------------
 # Global connected components — alternating star contraction
 # ---------------------------------------------------------------------------
+#
+# One Ray group per HASH BUCKET (4×CPUs), never per node: edges are
+# hash-partitioned on u, and each bucket task resolves every u-group in the
+# bucket with one pandas groupby-transform — a fixed number of wide tasks
+# per round regardless of node count (the r1 per-node-group version was
+# builder-capped at ~100k nodes; this one is bounded only by per-bucket
+# memory, and buckets shrink with num_buckets).
 
 
-def _large_star(g: pd.DataFrame) -> pd.DataFrame:
-    if len(g) == 0:
-        return pd.DataFrame({"u": pd.Series([], dtype=object),
-                             "v": pd.Series([], dtype=object)})
-    u = g["u"].iloc[0]
-    nbrs = g["v"].to_numpy()
-    m = min(u, nbrs.min())
-    keep = nbrs > u
-    if not keep.any():
-        return pd.DataFrame({"u": [], "v": []}, dtype=object)
-    vv = np.unique(nbrs[keep])
-    return pd.DataFrame({"u": vv, "v": np.repeat(m, vv.size)})
+def _cc_num_buckets() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(16, cpus * 2)
 
 
-def _small_star(g: pd.DataFrame) -> pd.DataFrame:
-    if len(g) == 0:
-        return pd.DataFrame({"u": pd.Series([], dtype=object),
-                             "v": pd.Series([], dtype=object)})
-    # edges oriented big→small: u > all v in the group
-    u = g["u"].iloc[0]
-    nbrs = np.unique(g["v"].to_numpy())
-    m = nbrs.min()  # < u always
-    out_u = [x for x in nbrs.tolist() if x != m] + [u]
-    return pd.DataFrame({"u": out_u, "v": np.repeat(m, len(out_u))})
+def _bucket_by(ds: "ray.data.Dataset", col: str, nb: int) -> "ray.data.Dataset":
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return df
+
+    return ds.map_batches(add, batch_format="pandas", batch_size=262144)
 
 
-def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ray.data.Dataset":
+def _large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All u-groups of one hash bucket at once (input: both-direction
+    edges): for each node u, attach every neighbor v > u to
+    m = min(u, min(N(u))). Vectorized via groupby-transform."""
+    df = g.drop(columns=["__bucket"])
+    if not len(df):
+        return df
+    m = df.groupby("u", sort=False)["v"].transform("min")
+    m = m.where(m < df["u"], df["u"])
+    keep = (df["v"] > df["u"]).to_numpy()
+    out = pd.DataFrame({"u": df["v"].to_numpy()[keep], "v": m.to_numpy()[keep]})
+    return out[out["u"] != out["v"]].drop_duplicates()
+
+
+def _small_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All u-groups of one bucket (input oriented big→small, u > v): link
+    every neighbor and u itself to the minimum neighbor m."""
+    df = g.drop(columns=["__bucket"])
+    if not len(df):
+        return df
+    m = df.groupby("u", sort=False)["v"].transform("min")
+    nbr = pd.DataFrame({"u": df["v"].to_numpy(), "v": m.to_numpy()})
+    self_rows = pd.DataFrame({"u": df["u"].to_numpy(), "v": m.to_numpy()})
+    out = pd.concat([nbr, self_rows], ignore_index=True)
+    return out[out["u"] != out["v"]].drop_duplicates()
+
+
+def min_by_key(ds: "ray.data.Dataset", key: str, val: str,
+               out_key: str, out_val: str,
+               num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Distributed min(val) per key: one Ray group per hash bucket, pandas
+    groupby-min inside. Works for any comparable dtype (incl. strings,
+    which Ray's native Min aggregate does not support everywhere)."""
+    nb = num_buckets or _cc_num_buckets()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"])
+        out = df.groupby(key, sort=False)[val].min().reset_index()
+        return out.rename(columns={key: out_key, val: out_val})
+
+    return _bucket_by(ds.select_columns([key, val]), key, nb).groupby(
+        "__bucket").map_groups(kernel, batch_format="pandas")
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 50,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
     """Edge Dataset (columns ``u``, ``v``) → label Dataset (``node``, ``component``)
     where ``component`` is the minimum node id of the component.
 
-    Iterative groupby rounds; each round materializes the (shrinking) edge
-    set. Isolated nodes don't appear — callers union them back as
-    self-labeled.
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — PAPERS.md),
+    O(log n) rounds. Each round runs 2 bucketed shuffles; the per-round
+    convergence check is a pre-aggregated signature (one tiny row per
+    batch), never a full materialization. Isolated nodes don't appear —
+    callers union them back as self-labeled.
     """
     import pyarrow as pa
+
+    nb = num_buckets or _cc_num_buckets()
 
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.concat_tables([
@@ -227,23 +278,23 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ra
         import pyarrow.compute as pc
         return t.filter(pc.invert(pc.equal(t.column("u"), t.column("v"))))
 
+    def orient(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u, v = t.column("u"), t.column("v")
+        return pa.table({"u": pc.max_element_wise(u, v),
+                         "v": pc.min_element_wise(u, v)})
+
     cur = edges.map_batches(no_self, batch_format="pyarrow").materialize()
     prev_sig = None
     for _ in range(max_rounds):
-        # large-star needs all orientations of each node's neighborhood
+        # large-star: needs all orientations of each node's neighborhood
         ls_in = cur.map_batches(both_dirs, batch_format="pyarrow")
-        cur = ls_in.groupby("u").map_groups(_large_star, batch_format="pandas")
-        cur = cur.map_batches(no_self, batch_format="pyarrow")
+        cur = _bucket_by(ls_in, "u", nb).groupby("__bucket").map_groups(
+            _large_star_bucket, batch_format="pandas")
         # small-star: orient big→small
-        def orient(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            u, v = t.column("u"), t.column("v")
-            big = pc.max_element_wise(u, v)
-            small = pc.min_element_wise(u, v)
-            return pa.table({"u": big, "v": small})
-        cur = cur.map_batches(orient, batch_format="pyarrow")
-        cur = cur.groupby("u").map_groups(_small_star, batch_format="pandas")
-        cur = cur.map_batches(no_self, batch_format="pyarrow").materialize()
+        ss_in = cur.map_batches(orient, batch_format="pyarrow")
+        cur = _bucket_by(ss_in, "u", nb).groupby("__bucket").map_groups(
+            _small_star_bucket, batch_format="pandas").materialize()
         # convergence: stable (count, order-invariant checksum) of the edges
         def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
             h = pd.util.hash_pandas_object(
@@ -263,13 +314,4 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 50) -> "ra
             break
         prev_sig = sig
     # cur is now (node, root) star edges, possibly with duplicates
-    from whoiswho_ray.stages.agg import group_apply
-
-    def node_min(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"node": pd.Series([], dtype=object),
-                                 "component": pd.Series([], dtype=object)})
-        return pd.DataFrame({"node": [g["u"].iloc[0]], "component": [g["v"].min()]})
-
-    out = group_apply(cur, "u", node_min, batch_format="pandas")
-    return out
+    return min_by_key(cur, "u", "v", "node", "component", num_buckets=nb)

@@ -9,12 +9,17 @@ primitives as the SND pipeline (MinHash salting, threshold edges,
 connected components, the lexsort intersection kernel).
 
 Scale notes: the LSH shuffles move one **(bucket, key)** row per
-(doc, band) — token payloads never enter the all-to-all; candidate pairs
-are deduped by a native Count aggregate; verification reads the token
-side-table from a broadcast (``ray.put`` once, fetched per actor), with a
-bucketed join as the documented fallback when the side-table outgrows
-worker memory. Oversized buckets degrade to sorted-window pairs under a
-budget — bounded, logged, recall recovered by the transitive closure.
+(doc, band) — token payloads never enter the candidate all-to-all.
+Corpora up to ``driver_max`` docs run a driver-side numpy fast path (it
+doubles as the oracle-speed path for the small-SF correctness queries);
+above it everything is distributed: candidate generation is one Ray group
+per HASH BUCKET (vectorized segment loop inside), verification is a
+partitioned shuffle join of the candidate pairs against the token/simhash
+side-table (``joins.shuffle_hash_join`` — the side-table is never
+collected on the driver, never broadcast whole), and the duplicate groups
+come from ``cluster.connected_components`` (bucketed star contraction).
+Oversized buckets degrade to sorted-window pairs under a budget —
+bounded, recall recovered by the transitive closure.
 """
 
 from __future__ import annotations
@@ -73,25 +78,6 @@ def _tokenize_table(ds: "ray.data.Dataset", text_col: str, key_col: str) -> "ray
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _bucket_candidates(g: pd.DataFrame, budget: int = _PAIR_BUDGET) -> pd.DataFrame:
-    """One bucket group of (bucket, key) rows → candidate key pairs.
-    All-pairs under the budget, else deterministic sorted-window pairs."""
-    keys = np.unique(g["key"].to_numpy())
-    m = keys.size
-    if m < 2:
-        return pd.DataFrame({"key_a": keys[:0], "key_b": keys[:0]})
-    if m * (m - 1) // 2 <= budget:
-        ii, jj = np.triu_indices(m, 1)
-        return pd.DataFrame({"key_a": keys[ii], "key_b": keys[jj]})
-    out_a, out_b = [], []
-    w = max(1, budget // m)
-    for d in range(1, min(w, m - 1) + 1):
-        out_a.append(keys[:-d])
-        out_b.append(keys[d:])
-    return pd.DataFrame({"key_a": np.concatenate(out_a)[:budget],
-                         "key_b": np.concatenate(out_b)[:budget]})
-
-
 def _local_dedup(cand: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-batch duplicate-pair pruning. Cross-batch duplicates survive —
     deliberately: duplicate candidates only cost re-verification (cheap,
@@ -99,6 +85,154 @@ def _local_dedup(cand: "ray.data.Dataset") -> "ray.data.Dataset":
     would buy nothing but an all-to-all."""
     return cand.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas",
                             batch_size=262144)
+
+
+def _candidates_distributed(
+    exploded: "ray.data.Dataset",
+    budget: int = _PAIR_BUDGET,
+) -> "ray.data.Dataset":
+    """(bucket, key) rows → candidate (key_a, key_b) pairs, one Ray group
+    per HASH BUCKET of LSH-bucket ids (never per LSH bucket): each task
+    sorts its partition once and walks bucket segments vectorized."""
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["bucket", "key"], kind="stable")
+        bk = df["bucket"].to_numpy()
+        keys = df["key"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            members = pd.unique(keys[s:e])  # sorted (input sorted by key)
+            m = members.size
+            if m < 2:
+                continue
+            if m * (m - 1) // 2 <= budget:
+                ii, jj = np.triu_indices(m, 1)
+                out_a.append(members[ii])
+                out_b.append(members[jj])
+            else:
+                w = max(1, budget // m)
+                for d in range(1, min(w, m - 1) + 1):
+                    out_a.append(members[:-d])
+                    out_b.append(members[d:])
+        if not out_a:
+            return pd.DataFrame({"key_a": np.empty(0, object),
+                                 "key_b": np.empty(0, object)})
+        return pd.DataFrame({"key_a": np.concatenate(out_a),
+                             "key_b": np.concatenate(out_b)}).drop_duplicates()
+
+    return _bucket_by(exploded, "bucket", _cc_num_buckets()).groupby(
+        "__bucket").map_groups(kernel, batch_format="pandas")
+
+
+def _attach_side(
+    cand: "ray.data.Dataset",
+    side_table: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    pair_key: str,
+    out_val: str,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """Shuffle-join one side-table payload column onto the candidate pairs.
+
+    Arrow-native partitioned hash join: both inputs are tagged, null-padded
+    to a common schema, unioned, hash-bucketed on the join key, and matched
+    inside one task per bucket (sorted side keys + searchsorted — no
+    per-row Python). The side-table stays distributed end to end — never
+    driver-collected, never broadcast whole; list payloads ride the shuffle
+    as Arrow lists."""
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except Exception:  # object dtype etc. → string keys
+            return pa.string()
+
+    sside = side_table.schema()
+    val_type = _pa_type(dict(zip(sside.names, sside.types))[val_col])
+    scand = cand.schema()
+    cand_names = list(scand.names)
+    cand_types = {n: _pa_type(t) for n, t in zip(scand.names, scand.types)}
+
+    def _buckets_of(keys_pd) -> np.ndarray:
+        h = pd.util.hash_pandas_object(keys_pd, index=False).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {nm: t.column(nm) for nm in cand_names}
+        cols[out_val] = pa.nulls(n, val_type)
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["__bucket"] = pa.array(_buckets_of(t.column(pair_key).to_pandas()))
+        return pa.table(cols)
+
+    def tag_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for nm in cand_names:
+            cols[nm] = t.column(key_col) if nm == pair_key else pa.nulls(n, cand_types[nm])
+        cols[out_val] = t.column(val_col)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__bucket"] = pa.array(_buckets_of(t.column(key_col).to_pandas()))
+        return pa.table(cols)
+
+    tagged = cand.map_batches(tag_cand, batch_format="pyarrow", zero_copy_batch=True).union(
+        side_table.map_batches(tag_side, batch_format="pyarrow", zero_copy_batch=True))
+
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side_mask = pc.equal(t.column("__side"), pa.scalar(0, pa.int8()))
+        s = t.filter(side_mask)
+        c = t.filter(pc.invert(side_mask))
+        skeys = np.asarray(s.column(pair_key).to_pylist(), dtype=object)
+        order = np.argsort(skeys, kind="stable")
+        ssorted = skeys[order]
+        ckeys = np.asarray(c.column(pair_key).to_pylist(), dtype=object)
+        if ssorted.size:
+            pos = np.searchsorted(ssorted, ckeys)
+            pos[pos == ssorted.size] = 0
+            ok = ssorted[pos] == ckeys
+        else:
+            pos = np.zeros(ckeys.size, dtype=np.int64)
+            ok = np.zeros(ckeys.size, dtype=bool)
+        c_ok = c.filter(pa.array(ok))
+        idx = order[pos[ok]]
+        attached = s.column(out_val).combine_chunks().take(pa.array(idx, pa.int64()))
+        cols = {nm: c_ok.column(nm) for nm in cand_names}
+        cols[out_val] = attached
+        return pa.table(cols)
+
+    return tagged.groupby("__bucket").map_groups(match, batch_format="pyarrow")
+
+
+def _labels_with_isolates(
+    ds: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    key_col: str,
+) -> "ray.data.Dataset":
+    """Verified (key_a, key_b) edges + the full corpus → one (key_col,
+    dup_group) row per document, all distributed: bucketed star-contraction
+    components unioned with self-labels, min per key."""
+    from whoiswho_ray.stages.cluster import connected_components, min_by_key
+
+    cc_in = edges.map_batches(
+        lambda df: pd.DataFrame({"u": df["key_a"], "v": df["key_b"]}),
+        batch_format="pandas")
+    comps = connected_components(cc_in)
+
+    # pandas output to match comps' block type (a union of heterogeneous
+    # block types breaks downstream batching)
+    def self_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[key_col], "component": df[key_col]})
+
+    lab = comps.union(ds.select_columns([key_col]).map_batches(
+        self_labels, batch_format="pandas"))
+    return min_by_key(lab, "node", "component", key_col, "dup_group")
 
 
 def _components_from_edges(edge_df: pd.DataFrame, keys: pd.Series) -> pd.DataFrame:
@@ -118,47 +252,6 @@ def _components_from_edges(edge_df: pd.DataFrame, keys: pd.Series) -> pd.DataFra
     return pd.DataFrame({"key": uniq, "dup_group": arr[labels]})
 
 
-class _JaccardVerifier:
-    """Actor: candidate (key_a, key_b) rows → verified edges with exact
-    Jaccard ≥ threshold. The token side-table is broadcast once as flat
-    (sorted keys, values, offsets) arrays; per batch the two sides are
-    materialized by one vectorized list-gather and intersected with the
-    shared lexsort kernel — no Python loop over pairs."""
-
-    def __init__(self, tok_ref, threshold: float):
-        keys, values, offsets = (
-            ray.get(tok_ref) if isinstance(tok_ref, ray.ObjectRef) else tok_ref)
-        self.keys = keys          # sorted
-        self.values = values
-        self.offsets = offsets
-        self.lens = np.diff(offsets)
-        self.threshold = threshold
-
-    def _gather(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        l = self.lens[idx]
-        out_off = np.zeros(idx.size + 1, dtype=np.int64)
-        np.cumsum(l, out=out_off[1:])
-        flat = np.repeat(self.offsets[idx], l) + (
-            np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
-        return self.values[flat], l
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({"key_a": [], "key_b": [], "jacc": []})
-        ia = np.searchsorted(self.keys, df["key_a"].to_numpy())
-        ib = np.searchsorted(self.keys, df["key_b"].to_numpy())
-        vals_a, len_a = self._gather(ia)
-        vals_b, len_b = self._gather(ib)
-        inter, _ = _intersections(n, vals_a, len_a, vals_b, len_b)
-        union = len_a + len_b - inter
-        jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        ok = jacc >= self.threshold
-        return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
-                             "key_b": df["key_b"].to_numpy()[ok],
-                             "jacc": jacc[ok]})
-
-
 def minhash_lsh_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -167,6 +260,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     rows: int = 8,
     seed: int = 42,
+    driver_max: int = 8192,
 ) -> "ray.data.Dataset":
     """MinHash+LSH near-dup clustering: shingle → minhash → band →
     bucket-groupby → verify exact Jaccard ≥ threshold → connected
@@ -175,7 +269,12 @@ def minhash_lsh_dedup(
     P(candidate | J) = 1 - (1 - J^rows)^bands; defaults give ≈0.96 recall
     at J=0.8. Verification makes precision exact; recall is approximate
     (documented LSH semantics — the exactness oracle is
-    ``ngram_jaccard_pairs``)."""
+    ``ngram_jaccard_pairs``).
+
+    Corpora ≤ ``driver_max`` docs take a one-machine numpy fast path;
+    larger corpora run fully distributed (bucketed candidate generation,
+    shuffle-join verification, star-contraction components) — nothing
+    corpus-sized ever lands on the driver."""
     toks = _tokenize_table(ds, text_col, key_col).materialize()
     mh = MinHasher(num_hashes=bands * rows, seed=seed)
 
@@ -195,18 +294,19 @@ def minhash_lsh_dedup(
     # otherwise re-executes its input for boundary sampling
     exploded = toks.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    toks_df = toks.to_pandas().sort_values(key_col)
-    keys = toks_df[key_col].to_numpy()
-    arrays = [np.asarray(a, np.int64) for a in toks_df["tok_ids"]]
-    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
-    np.cumsum([a.size for a in arrays], out=offsets[1:])
-    flat_values = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
-
-    if keys.size and keys.size <= 8192:
+    n_docs = toks.count()
+    if n_docs and n_docs <= driver_max:
         # small-corpus fast path, all driver-side numpy: bucket segments
         # from one lexsort, dedup by packed pair id, and one hybrid
         # intersection matrix answers every candidate in O(1)
         from whoiswho_ray.stages.scoring import allpairs_matrix
+
+        toks_df = toks.to_pandas().sort_values(key_col)
+        keys = toks_df[key_col].to_numpy()
+        arrays = [np.asarray(a, np.int64) for a in toks_df["tok_ids"]]
+        offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+        np.cumsum([a.size for a in arrays], out=offsets[1:])
+        flat_values = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
 
         ex_df = exploded.to_pandas()
         bk = ex_df["bucket"].to_numpy()
@@ -245,19 +345,42 @@ def minhash_lsh_dedup(
         ok = jacc >= threshold
         edges = pd.DataFrame({"key_a": keys[ia[ok]], "key_b": keys[ib[ok]],
                               "jacc": jacc[ok]})
-    else:
-        cand = exploded.groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
-        cand = _local_dedup(cand)
-        tok_ref = ray.put((keys, flat_values, offsets))
-        edges = cand.map_batches(
-            _JaccardVerifier, fn_constructor_kwargs={"tok_ref": tok_ref, "threshold": threshold},
-            batch_format="pandas", batch_size=32768, concurrency=(1, 8),
-        ).to_pandas().drop_duplicates(subset=["key_a", "key_b"])
+        all_keys = ds.select_columns([key_col]).to_pandas()[key_col]
+        comp = _components_from_edges(edges, all_keys).rename(columns={"key": key_col})
+        import ray.data as rd
+        return rd.from_pandas(comp)
 
-    keys = ds.select_columns([key_col]).to_pandas()[key_col]
-    comp = _components_from_edges(edges, keys).rename(columns={"key": key_col})
-    import ray.data as rd
-    return rd.from_pandas(comp)
+    # ---- distributed path: nothing corpus-sized touches the driver ----
+    from whoiswho_ray.stages.cluster import _cc_num_buckets
+
+    nb = _cc_num_buckets()
+    cand = _local_dedup(_candidates_distributed(exploded))
+    with_a = _attach_side(cand, toks, key_col, "tok_ids", "key_a", "tok_a", nb)
+    with_ab = _attach_side(with_a, toks, key_col, "tok_ids", "key_b", "tok_b", nb)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"key_a": np.empty(0, object),
+                                 "key_b": np.empty(0, object),
+                                 "jacc": np.empty(0, np.float64)})
+        def flat(col):
+            arrays = [np.asarray(a, np.int64) for a in col]
+            lens = np.fromiter((a.size for a in arrays), np.int64, n)
+            vals = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+            return vals, lens
+        va, la = flat(df["tok_a"])
+        vb, lb = flat(df["tok_b"])
+        inter, _ = _intersections(n, va, la, vb, lb)
+        union = la + lb - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ok = jacc >= threshold
+        return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
+                             "key_b": df["key_b"].to_numpy()[ok],
+                             "jacc": jacc[ok]})
+
+    edges_ds = with_ab.map_batches(verify, batch_format="pandas", batch_size=32768)
+    return _labels_with_isolates(ds, edges_ds, key_col)
 
 
 _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
@@ -274,11 +397,17 @@ def simhash_dedup(
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 3,
+    driver_max: int = 8192,
 ) -> "ray.data.Dataset":
     """SimHash near-dup clustering: 64-bit simhash, split into
     (max_hamming+1) pieces (pigeonhole: any pair within the radius agrees
     on ≥1 piece), bucket-groupby per piece, verify exact Hamming, connected
-    components. Returns (key_col, dup_group)."""
+    components. Returns (key_col, dup_group).
+
+    Corpora ≤ ``driver_max`` docs: driver-side numpy fast path. Larger:
+    bucketed candidates → shuffle-join the (key, sim) side-table onto the
+    pairs (8 B per doc, but still never driver-collected) → distributed
+    components."""
     n_pieces = max_hamming + 1
     width = 64 // n_pieces
 
@@ -302,35 +431,68 @@ def simhash_dedup(
                                    "key": pa.array(keys)}))
         return pa.concat_tables(parts)
 
-    cand = _local_dedup(
-        sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket").map_groups(_bucket_candidates, batch_format="pandas")
-    )
+    exploded = sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    n_docs = sh.count()
 
-    sh_df = sh.to_pandas()
-    sim_map = dict(zip(sh_df["key"], sh_df["sim"].astype(np.uint64)))
-    sim_ref = ray.put(sim_map)
+    if n_docs and n_docs <= driver_max:
+        # driver-side fast path: one lexsort over the exploded pieces,
+        # candidate segments, vectorized popcount verify, local components
+        sh_df = sh.to_pandas().sort_values("key")
+        keys = sh_df["key"].to_numpy()
+        sims = sh_df["sim"].to_numpy().astype(np.uint64)
+        ex_df = exploded.to_pandas()
+        bk = ex_df["bucket"].to_numpy()
+        kk = np.searchsorted(keys, ex_df["key"].to_numpy())
+        order = np.lexsort((kk, bk))
+        bk, kk = bk[order], kk[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        pis, pjs = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            members = np.unique(kk[s:e])
+            m = members.size
+            if m < 2:
+                continue
+            if m * (m - 1) // 2 <= _PAIR_BUDGET:
+                ti, tj = np.triu_indices(m, 1)
+                pis.append(members[ti])
+                pjs.append(members[tj])
+            else:
+                w = max(1, _PAIR_BUDGET // m)
+                for d in range(1, min(w, m - 1) + 1):
+                    pis.append(members[:-d])
+                    pjs.append(members[d:])
+        if pis:
+            packed = np.unique(np.concatenate(pis) * np.int64(keys.size) + np.concatenate(pjs))
+            ia, ib = packed // keys.size, packed % keys.size
+            ok = _hamming_matrix(sims[ia], sims[ib]) <= max_hamming
+            edges = pd.DataFrame({"key_a": keys[ia[ok]], "key_b": keys[ib[ok]]})
+        else:
+            edges = pd.DataFrame({"key_a": np.empty(0, object), "key_b": np.empty(0, object)})
+        all_keys = ds.select_columns([key_col]).to_pandas()[key_col]
+        comp = _components_from_edges(edges, all_keys).rename(columns={"key": key_col})
+        import ray.data as rd
+        return rd.from_pandas(comp)
 
-    class HammingVerifier:
-        def __init__(self):
-            self.sims = ray.get(sim_ref)
+    # ---- distributed path ----
+    from whoiswho_ray.stages.cluster import _cc_num_buckets
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"key_a": [], "key_b": []})
-            sa = np.fromiter((self.sims[k] for k in df["key_a"]), np.uint64, len(df))
-            sb = np.fromiter((self.sims[k] for k in df["key_b"]), np.uint64, len(df))
-            ok = _hamming_matrix(sa, sb) <= max_hamming
-            return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
-                                 "key_b": df["key_b"].to_numpy()[ok]})
+    nb = _cc_num_buckets()
+    cand = _local_dedup(_candidates_distributed(exploded))
+    with_a = _attach_side(cand, sh, "key", "sim", "key_a", "sim_a", nb)
+    with_ab = _attach_side(with_a, sh, "key", "sim", "key_b", "sim_b", nb)
 
-    edges = cand.map_batches(HammingVerifier, batch_format="pandas",
-                             batch_size=32768, concurrency=(1, 8)).to_pandas()
-    edges = edges.drop_duplicates(subset=["key_a", "key_b"])
-    keys = ds.select_columns([key_col]).to_pandas()[key_col]
-    comp = _components_from_edges(edges, keys).rename(columns={"key": key_col})
-    import ray.data as rd
-    return rd.from_pandas(comp)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"key_a": np.empty(0, object),
+                                 "key_b": np.empty(0, object)})
+        sa = df["sim_a"].to_numpy().astype(np.uint64)
+        sb = df["sim_b"].to_numpy().astype(np.uint64)
+        ok = _hamming_matrix(sa, sb) <= max_hamming
+        return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
+                             "key_b": df["key_b"].to_numpy()[ok]})
+
+    edges_ds = with_ab.map_batches(verify, batch_format="pandas", batch_size=65536)
+    return _labels_with_isolates(ds, edges_ds, key_col)
 
 
 def ngram_jaccard_pairs(

@@ -13,7 +13,11 @@ Re-expressions of the reference's dataset-construction helpers:
 * ``sample_negatives`` — seeded per-group negative sampling
   (``data_process.py:590-616``: 19 negatives per positive instance).
 
-All are per-group computations after one groupby shuffle; fold assignment
+All are per-group computations after one shuffle — but the shuffle is
+hash-BUCKETED (one Ray group per bucket, ~4×CPUs buckets), never one Ray
+group per key: group sizes/ranks come from vectorized pandas
+groupby-transforms inside the bucket task, so key cardinality (customers,
+entities) can grow without per-group scheduling overhead. Fold assignment
 aggregates weights first (pre-aggregated) and broadcasts the tiny
 key→fold map.
 """
@@ -38,13 +42,20 @@ def temporal_split(
     ``int(len*0.8)`` split point."""
     order_cols = order_cols or [ts_col]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="stable").reset_index(drop=True)
-        cut = int(len(g) * (1.0 - holdout_frac))
-        g["is_unassigned"] = np.arange(len(g)) >= cut
-        return g
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"]).sort_values(
+            [key_col] + order_cols, kind="stable").reset_index(drop=True)
+        gb = df.groupby(key_col, sort=False)
+        size = gb[key_col].transform("size").to_numpy()
+        pos = gb.cumcount().to_numpy()
+        cut = (size * (1.0 - holdout_frac)).astype(np.int64)  # == int(n*0.8)
+        df["is_unassigned"] = pos >= cut
+        return df
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
+
+    return _bucket_by(ds, key_col, _cc_num_buckets()).groupby("__bucket").map_groups(
+        kernel, batch_format="pandas")
 
 
 def cap_per_group(
@@ -56,10 +67,16 @@ def cap_per_group(
     """First k rows per key in (order_cols) order — bounded-profile
     semantics, deterministic."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, kind="stable").head(k)
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"]).sort_values(
+            [key_col] + order_cols, kind="stable").reset_index(drop=True)
+        pos = df.groupby(key_col, sort=False).cumcount().to_numpy()
+        return df[pos < k]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
+
+    return _bucket_by(ds, key_col, _cc_num_buckets()).groupby("__bucket").map_groups(
+        kernel, batch_format="pandas")
 
 
 def kfold_by_weight(
@@ -109,4 +126,6 @@ def sample_negatives(
             "neg_key": np.concatenate(out_neg),
         })
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    from whoiswho_ray.stages.agg import group_apply
+
+    return group_apply(ds, group_col, per_group, batch_format="pandas")
