@@ -1,0 +1,142 @@
+"""Fuzzy name matching (M2/M3/M4/M5/M8) — behavior parity with the
+reference's match_name cascade / tokenize_name / get_author_index."""
+
+import pytest
+
+from whoiswho_ray.functions.names import (
+    best_author_slot,
+    is_chinese_name,
+    is_pinyin_token,
+    match_name,
+    match_name_pair,
+    name_block_key,
+    pinyin_of,
+    set_pinyin_table,
+    tokenize_name,
+    unify_name_order,
+)
+
+
+class TestTokenizeName:
+    def test_basic_and_diacritics(self):
+        assert tokenize_name("M. Ćwiok") == ["m", "cwiok"]
+
+    def test_glued_two_cap_abbreviation(self):
+        assert tokenize_name("XY Zhang") == ["x", "y", "zhang"]
+
+    def test_nickname_and_apostrophe(self):
+        assert tokenize_name("Bill O'Brien") == ["william", "obrien"]
+
+    def test_stopwords_dropped(self):
+        assert tokenize_name("John Smith Jr.") == ["john", "smith"]
+
+    def test_multidot_split(self):
+        assert tokenize_name("A.B. Smith") == ["a", "b", "smith"]
+
+    def test_jr_dotted_is_honorific(self):
+        # "J.R." strips to "jr" — an honorific stopword, dropped (the
+        # reference's tokenize_name does the same, token.py:115)
+        assert tokenize_name("J.R. Smith") == ["smith"]
+
+
+class TestUnifyNameOrder:
+    def test_two_tokens(self):
+        assert unify_name_order("wei_zhang") == ("weizhang", "zhangwei")
+
+    def test_three_tokens(self):
+        # utils.py:163-178: 3 tokens → t0t1t2 and t2t0t1
+        assert unify_name_order("jose_luis_garcia") == ("joseluisgarcia", "garciajoseluis")
+
+
+class TestMatchName:
+    """The 7-rule cascade (match_name.py:31-94)."""
+
+    def test_initial_matches_full(self):
+        assert match_name("J. Smith", "john_smith")
+
+    def test_reversed_order(self):
+        assert match_name("Smith John", "john_smith")
+
+    def test_middle_name_skipped(self):
+        assert match_name("john q smith", "john_smith")
+
+    def test_glued_two_letter_abbrev(self):
+        # "zhang xy" can denote xiaoyu_zhang (x..y.. in the given name)
+        assert match_name("zhang xy", "xiaoyu_zhang")
+
+    def test_reversed_single_initials(self):
+        assert match_name("zhang y x", "xiaoyu_zhang")
+
+    def test_alias_table(self):
+        assert match_name("takeshi tanaka", "takashi_tanaka")
+
+    def test_wrong_name_rejected(self):
+        assert not match_name("jane smith", "john_smith")
+        assert not match_name("j jones", "john_smith")
+
+    def test_single_token_never_matches(self):
+        assert not match_name("smith", "john_smith")
+
+    def test_cjk_gated_without_table(self):
+        set_pinyin_table(None)
+        assert pinyin_of("李明") is None
+        assert not match_name("李明", "ming_li")
+
+    def test_cjk_with_table(self):
+        set_pinyin_table({"李": "li", "明": "ming"})
+        try:
+            assert match_name("李明", "ming_li")
+            assert not match_name("李明", "ming_wang")
+        finally:
+            set_pinyin_table(None)
+
+
+class TestMatchNamePair:
+    def test_symmetric_variants(self):
+        assert match_name_pair("J. Smith", "John Smith")
+        assert match_name_pair("John Smith", "Smith, John")
+        assert not match_name_pair("Mary Smith", "John Smith")
+
+
+class TestBlockKey:
+    def test_variants_collapse(self):
+        keys = {name_block_key(n) for n in ["John Smith", "J. Smith", "Smith, John"]}
+        assert keys == {"smith.j"}
+
+    def test_distinct_names_distinct_keys(self):
+        assert name_block_key("Wei Zhang") == "zhang.w"
+        assert name_block_key("Wei Zhang") != name_block_key("John Smith")
+
+    def test_single_token(self):
+        assert name_block_key("Cher") == "cher"
+        assert name_block_key("") == ""
+
+
+class TestChineseHeuristic:
+    def test_pinyin_tokens(self):
+        assert is_pinyin_token("zhang")
+        assert is_pinyin_token("xiaoyu")
+        assert not is_pinyin_token("smith")
+
+    def test_names(self):
+        assert is_chinese_name("wei zhang")
+        assert is_chinese_name("李明")
+        assert not is_chinese_name("john smith")
+        assert not is_chinese_name("maria garcia")
+
+
+class TestBestAuthorSlot:
+    def test_exact_token_hit(self):
+        assert best_author_slot("j smith", ["Wei Zhang", "John Smith", "Maria Garcia"]) == 1
+
+    def test_full_name(self):
+        assert best_author_slot("maria garcia",
+                                ["Wei Zhang", "John Smith", "Maria Garcia"]) == 2
+
+    def test_ambiguous_duplicate_slots(self):
+        assert best_author_slot("john smith", ["John Smith", "John Smith"]) == -1
+
+    def test_initialed_form(self):
+        # "m garcia" shares token "garcia"; unique hit resolves stage 1
+        assert best_author_slot("m garcia",
+                                ["Wei Zhang", "John Smith", "Maria Garcia"]) == 2

@@ -44,6 +44,17 @@ class TestPublications:
         assert norm["record_id"].is_unique
         assert norm["record_id"].str.match(r"p\d{5}-\d+").all()
 
+    def test_variant_surface_forms_co_block(self, mini_pubs):
+        """'John Smith' / 'J. Smith' / 'Smith, John' land in ONE block
+        (name_block_key) — the r1 recall hole where abbreviated forms were
+        never compared."""
+        pubs, truth = mini_pubs
+        norm = normalized_from_publications(rd.from_arrow(pubs)).to_pandas()
+        smith = norm[norm["block_key"] == "smith.j"]
+        assert smith["name"].nunique() >= 2  # several surfaces, same block
+        # and no other block contains a smith-surface record
+        assert set(norm[norm["name"].str.contains("smith")]["block_key"]) == {"smith.j"}
+
     def test_cluster_publications_f1(self, mini_pubs):
         """The reference's own task on its own data shape: cluster each
         ambiguous name's papers into per-person groups, F1 ≥ 0.99."""

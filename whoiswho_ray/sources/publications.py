@@ -31,6 +31,7 @@ import ray.data as rd
 
 from whoiswho_ray.config import SNDConfig
 from whoiswho_ray.functions.hashing import hash_tokens64, sha256_hex
+from whoiswho_ray.functions.names import name_block_key, tokenize_name
 from whoiswho_ray.functions.textnorm import clean_text, tokenize_text
 
 PUBLICATION_SCHEMA = pa.schema([
@@ -66,9 +67,12 @@ def normalized_from_publications(
 
     The flat_map over author slots replaces the reference's
     ``get_author_index`` resolution (``whoiswho/utils.py:99-161``): every
-    slot becomes a linkage record keyed ``pid-idx``, blocked by its own
-    cleaned name — downstream grouping decides which slots are "the same
-    person"."""
+    slot becomes a linkage record keyed ``pid-idx``, blocked by its
+    **abbreviation/order-invariant name key** (``names.name_block_key``) —
+    "John Smith", "J. Smith" and "Smith, John" co-block, closing the r1
+    recall hole where abbreviated forms were never compared. The ``name``
+    column carries the nickname-canonicalized token form so the
+    Jaro-Winkler feature sees normalized surfaces."""
     cfg = cfg or SNDConfig()
 
     def explode(t: pa.Table) -> pa.Table:
@@ -91,7 +95,8 @@ def normalized_from_publications(
             year = clamp_year(years[i])
             coauthor_names = [_clean_name(a.get("name", "")) for a in authors]
             for idx, a in enumerate(authors):
-                me = _clean_name(a.get("name", ""))
+                raw_name = a.get("name", "") or ""
+                me = name_block_key(raw_name)
                 if not me:
                     continue
                 rid = f"{pids[i]}-{idx}"
@@ -100,7 +105,7 @@ def normalized_from_publications(
                 ctx = venue_toks + ([f"y{year}"] if year else [])
                 out["record_id"].append(rid)
                 out["block_key"].append(me)
-                out["name"].append(a.get("name") or "")
+                out["name"].append(" ".join(tokenize_name(raw_name)))
                 out["repo"].append(a.get("org") or "")
                 out["path"].append(rid)
                 out["commit"].append(pids[i])
@@ -136,13 +141,25 @@ def cluster_publications(pubs: "rd.Dataset", cfg: SNDConfig | None = None) -> "r
     return snd_cluster(norm, vec, cfg)
 
 
+def _surface_variants(name: str) -> list[str]:
+    """Surface forms one canonical "First Last" name appears under in real
+    bibliographies: canonical, first-initial abbreviation, comma-reversed."""
+    parts = name.split()
+    if len(parts) < 2:
+        return [name]
+    first, last = parts[0], parts[-1]
+    return [name, f"{first[0]}. {last}", f"{last}, {first}"]
+
+
 def make_mini_publications(seed: int = 42) -> tuple[pa.Table, "pa.Table"]:
     """Deterministic WhoIsWho-shaped mini fixture (FIXTURES.md §4): a few
     ambiguous names, 2–3 planted authors each, distinguishable by coauthor
-    circles + orgs. Returns (publications, truth) where truth =
-    (block_key, entity_id, record_id='pid-idx')."""
+    circles + orgs. Every author's name appears under VARIANT surface forms
+    ("John Smith" / "J. Smith" / "Smith, John") — the abbreviation-recall
+    case the r1 blocking missed. Returns (publications, truth) where
+    truth = (block_key, entity_id, record_id='pid-idx')."""
     rng = np.random.RandomState(seed)
-    names = ["Wei Zhang", "J. Smith", "Maria Garcia"]
+    names = ["Wei Zhang", "John Smith", "Maria Garcia"]
     coauthor_pool = [f"Coauthor {c}{i}" for c in "ABCDEF" for i in range(6)]
     venue_pool = ["ICML", "KDD", "VLDB", "ICDE", "ACL", "NeurIPS"]
     word_pool = [f"topic{i:03d}" for i in range(200)]
@@ -151,9 +168,10 @@ def make_mini_publications(seed: int = 42) -> tuple[pa.Table, "pa.Table"]:
     truth = {"block_key": [], "entity_id": [], "record_id": []}
     pid_counter = 0
     for name in names:
+        variants = _surface_variants(name)
         n_entities = 2 + rng.randint(0, 2)
         for e in range(n_entities):
-            entity_id = f"{_clean_name(name)}#{e}"
+            entity_id = f"{name_block_key(name)}#{e}"
             circle = list(rng.choice(coauthor_pool, size=5, replace=False))
             org = f"University {rng.randint(100)} Dept {rng.randint(10)}"
             topics = list(rng.choice(word_pool, size=12, replace=False))
@@ -161,11 +179,12 @@ def make_mini_publications(seed: int = 42) -> tuple[pa.Table, "pa.Table"]:
             for _ in range(4 + rng.randint(0, 5)):
                 pid = f"p{pid_counter:05d}"
                 pid_counter += 1
+                surface = variants[int(rng.randint(len(variants)))]
                 ca = list(rng.choice(circle, size=3, replace=False))
                 slot = int(rng.randint(0, 4))
                 authors = [{"name": c, "org": f"Org of {c}"} for c in ca]
-                authors.insert(min(slot, len(authors)), {"name": name, "org": org})
-                idx = next(i for i, a in enumerate(authors) if a["name"] == name)
+                authors.insert(min(slot, len(authors)), {"name": surface, "org": org})
+                idx = next(i for i, a in enumerate(authors) if a["name"] == surface)
                 title_words = rng.choice(topics, size=6, replace=False)
                 pubs_rows.append({
                     "pid": pid,
@@ -176,7 +195,7 @@ def make_mini_publications(seed: int = 42) -> tuple[pa.Table, "pa.Table"]:
                     "year": int(2000 + rng.randint(24)),
                     "authors": authors,
                 })
-                truth["block_key"].append(_clean_name(name))
+                truth["block_key"].append(name_block_key(name))
                 truth["entity_id"].append(entity_id)
                 truth["record_id"].append(f"{pid}-{idx}")
     pubs = pa.Table.from_pylist(pubs_rows, schema=PUBLICATION_SCHEMA)
