@@ -385,8 +385,9 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_clean_names(sf_dir: str):
-    """The cleaning_name normalization chain (M1/M6) over customer names."""
-    from whoiswho_ray.functions.textnorm import clean_text
+    """The cleaning_name normalization chain (M1/M6) over customer names —
+    vectorized Arrow kernels (scalar fallback only for non-ASCII rows)."""
+    from whoiswho_ray.functions.textnorm import clean_text_column
     from whoiswho_ray.sources.tables import read_table
 
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
@@ -394,8 +395,7 @@ def q_clean_names(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         return pa.table({
             "c_custkey": t.column("c_custkey"),
-            "clean_name": pa.array([clean_text(x or "") for x in t.column("c_name").to_pylist()],
-                                   pa.string()),
+            "clean_name": clean_text_column(t.column("c_name")),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -466,8 +466,8 @@ def q_kfold_assign(sf_dir: str):
 
 
 def q_negative_samples(sf_dir: str):
-    """O6: seeded per-block negative sampling over derived records —
-    deterministic but seeded-RNG-specific; rows-only check."""
+    """O6: seeded per-block negative sampling over derived records — the
+    md5-permutation draw is SQL-expressible, so this has an exact oracle."""
     from whoiswho_ray.sources.tables import records_from_documents
     from whoiswho_ray.stages.normalize import normalize_records
     from whoiswho_ray.stages.splits import sample_negatives
@@ -548,6 +548,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
     }
+
+
+def _langid_oracle_sql() -> str:
+    """Exact SQL for the stopword-hit-rate language id: same word split,
+    same profiles (composed from the Python constants so they can't
+    drift), same argmax-with-ties-first-and-all-zero-is-und rule."""
+    from whoiswho_ray.stages.text_analysis import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)  # en, de, fr, es — argmax tie order
+    hits = ",\n                   ".join(
+        f"count(*) FILTER (w IN ({', '.join(repr(w) for w in sorted(_LANG_STOPWORDS[lang]))})) AS h_{lang}"
+        for lang in langs
+    )
+    scores = ", ".join(f"CAST(h_{lang} AS DOUBLE) / n AS s_{lang}" for lang in langs)
+    # CASE chain in profile order == numpy argmax first-max-wins
+    case = "CASE WHEN " + " = 0 AND ".join(f"s_{lang}" for lang in langs) + " = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{m}" for m in langs[i + 1:]]
+        cond = " AND ".join(later) if later else "TRUE"
+        case += f"WHEN {cond} THEN '{lang}' "
+    case += "END"
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                          '[a-zàâäéèêëîïôöùûüçáíóúñß]+')) AS w
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, count(*) AS n,
+                   {hits}
+            FROM words GROUP BY doc_id
+        ),
+        scored AS (SELECT doc_id, {scores} FROM counts),
+        best AS (
+            SELECT doc_id, {case} AS pred_lang, {greatest} AS lang_score
+            FROM scored
+        )
+        SELECT d.doc_id,
+               coalesce(b.pred_lang, 'und') AS pred_lang,
+               coalesce(b.lang_score, 0.0) AS lang_score
+        FROM documents d LEFT JOIN best b USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -770,4 +814,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_records
             FROM documents GROUP BY 1
         """,
+        "q_negative_samples": f"""
+            WITH rec AS (
+                SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
+                       substr(sha256(
+                           'corpus/' || source || chr(31) ||
+                           'docs/' || lang || '/doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) || '.txt' || chr(31) ||
+                           substr(sha256(text), 1, 40)), 1, 40) AS record_id
+                FROM documents
+            ),
+            perm AS (
+                SELECT block_key, record_id,
+                       row_number() OVER (PARTITION BY block_key
+                                          ORDER BY md5('42|' || record_id), record_id) - 1 AS r,
+                       count(*) OVER (PARTITION BY block_key) AS n
+                FROM rec
+            )
+            SELECT p.block_key, p.record_id AS pos_key, q.record_id AS neg_key
+            FROM perm p
+            CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) js
+            JOIN perm q ON q.block_key = p.block_key
+                       AND q.r = (p.r + 1 + (js.j % (p.n - 1))) % p.n
+            WHERE p.n >= 2
+        """,
+        "q_doc_langid": _langid_oracle_sql(),
     }

@@ -21,6 +21,8 @@ import posixpath
 import re
 import unicodedata
 
+import numpy as np
+
 # Reference stopword lists (data_process.py:19-31) are English article/glue
 # words; for code content the analogous glue is language keywords and
 # single-letter identifiers.
@@ -60,6 +62,34 @@ def clean_text(s: str) -> str:
     s = ascii_fold(s).lower()
     s = _PUNCS_RE.sub(" ", s)
     return _WS_RE.sub(" ", s).strip()
+
+
+def clean_text_column(col):
+    """Vectorized :func:`clean_text` over an Arrow string column.
+
+    ASCII rows (the overwhelming majority of code/doc corpora) run entirely
+    through Arrow kernels; rows containing non-ASCII codepoints fall back
+    to the scalar function (NFKD folding has no Arrow kernel) — same
+    output, bit-for-bit, as mapping ``clean_text`` per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, pattern=_PUNCS_RE.pattern, replacement=" ")
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    x = pc.utf8_trim_whitespace(x)
+    non_ascii = pc.match_substring_regex(col, "[^\\x00-\\x7F]")
+    if pc.any(non_ascii).as_py():
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        fixed = pa.array([clean_text(col[int(i)].as_py()) for i in idx], pa.string())
+        x = pa.concat_arrays([x]) if isinstance(x, pa.ChunkedArray) else x
+        np_x = np.asarray(x.to_pylist(), dtype=object)
+        np_x[idx] = np.asarray(fixed.to_pylist(), dtype=object)
+        return pa.array(np_x, pa.string())
+    return x
 
 
 def tokenize_text(s: str, stopwords: frozenset[str] = STOPWORDS, min_len: int = 2) -> list[str]:

@@ -101,29 +101,33 @@ def sample_negatives(
     n_neg: int = 19,
     seed: int = 42,
 ) -> "ray.data.Dataset":
-    """Per group, for every row sample n_neg OTHER keys from the group
-    (with replacement if the group is small) — the training-pair
-    construction of ``data_process.py:590-616``. Seeded per (seed, group)
-    so output is partition- and order-invariant."""
-    from whoiswho_ray.functions.hashing import stable_hash64
+    """Per group, for every row take n_neg OTHER keys — the training-pair
+    construction of ``data_process.py:590-616``, as a seeded pseudo-random
+    draw that is also **SQL-expressible** (exact DuckDB oracle): the
+    group's keys are permuted by ``md5('{seed}|{key}')`` (deterministic,
+    identical in hashlib and DuckDB), and the row at permuted position r
+    takes negatives ``perm[(r + 1 + (j % (n-1))) % n]`` for j < n_neg —
+    never itself, cycling through all other members (repeats only when the
+    group is smaller than n_neg, matching the reference's
+    with-replacement fallback for small groups). Fully vectorized;
+    partition- and order-invariant."""
+    import hashlib
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col, kind="stable").reset_index(drop=True)
-        keys = g[key_col].to_numpy()
-        n = len(keys)
+        keys = np.sort(g[key_col].to_numpy())
+        n = keys.size
         if n < 2:
             return pd.DataFrame({group_col: [], "pos_key": [], "neg_key": []})
-        rng = np.random.RandomState((seed + stable_hash64(str(g[group_col].iloc[0]))) % (2**31))
-        out_pos, out_neg = [], []
-        for i in range(n):
-            cand = rng.randint(0, n - 1, size=n_neg)
-            cand[cand >= i] += 1  # exclude self
-            out_pos.append(np.repeat(keys[i], n_neg))
-            out_neg.append(keys[cand])
+        digs = np.array([hashlib.md5(f"{seed}|{k}".encode()).hexdigest() for k in keys],
+                        dtype=object)
+        perm = keys[np.lexsort((keys, digs))]
+        r = np.arange(n)
+        j = np.arange(n_neg)
+        idx = (r[:, None] + 1 + (j[None, :] % (n - 1))) % n
         return pd.DataFrame({
             group_col: np.repeat(g[group_col].iloc[0], n * n_neg),
-            "pos_key": np.concatenate(out_pos),
-            "neg_key": np.concatenate(out_neg),
+            "pos_key": np.repeat(perm, n_neg),
+            "neg_key": perm[idx.ravel()],
         })
 
     from whoiswho_ray.stages.agg import group_apply

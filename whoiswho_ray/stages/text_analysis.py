@@ -2,9 +2,16 @@
 
 Language-ID (stopword/n-gram heuristic), quality scoring (length / punct /
 stopword ratios), token counting, and rolling-hash document
-fingerprinting — each a vectorized ``map_batches`` stage over the
-``documents`` table. The quality/token kernels are defined with exact
-ASCII-class semantics so a DuckDB SQL oracle computes identical values.
+fingerprinting — each a ``map_batches`` stage over the ``documents``
+table. The quality/token kernels are defined with exact ASCII-class
+semantics so a DuckDB SQL oracle computes identical values.
+
+All kernels are VECTORIZED: character/token counts come from
+``pyarrow.compute`` regex-count kernels (one C pass per column, no Python
+row loop); language-ID flattens the tokenized column once and resolves
+stopword membership with one hashed ``isin`` per profile; fingerprinting
+hashes only each batch's *unique* tokens (dictionary-encode) before the
+per-row numpy winnowing.
 """
 
 from __future__ import annotations
@@ -14,16 +21,13 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from whoiswho_ray.functions.hashing import stable_hash64, winnow_fingerprints
 
 _TOKEN_RE = re.compile(r"\S+")
-_ALPHA_RE = re.compile(r"[a-zA-Z]")
-_DIGIT_RE = re.compile(r"[0-9]")
-_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")  # ASCII punctuation blocks
-_UPPER_RE = re.compile(r"[A-Z]")
 
 # small per-language stopword profiles for the heuristic language id
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {
@@ -34,21 +38,24 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 }
 
 
+def _counts(col, pattern: str) -> np.ndarray:
+    return pc.count_substring_regex(col, pattern).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def token_stats_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc_id") -> pa.Table:
     """(key, n_tokens, n_chars, avg_token_len) — tokens are \\S+ runs.
 
-    SQL oracle: ``array_length(regexp_extract_all(text, '\\S+'))`` etc."""
-    texts = t.column(text_col).to_pylist()
-    n = len(texts)
-    n_tokens = np.empty(n, np.int64)
-    n_chars = np.empty(n, np.int64)
-    tok_chars = np.empty(n, np.int64)
-    for i, x in enumerate(texts):
-        x = x or ""
-        toks = _TOKEN_RE.findall(x)
-        n_tokens[i] = len(toks)
-        n_chars[i] = len(x)
-        tok_chars[i] = sum(len(w) for w in toks)
+    SQL oracle: ``array_length(regexp_extract_all(text, '\\S+'))`` etc.
+    Sum of token lengths == non-whitespace character count, so everything
+    is three regex-count kernels — no per-row work at all."""
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = _counts(col, r"\S+")
+    tok_chars = n_chars - _counts(col, r"\s")
     avg = np.where(n_tokens > 0, tok_chars / np.maximum(n_tokens, 1), 0.0)
     return pa.table({
         key_col: t.column(key_col),
@@ -63,18 +70,18 @@ def quality_score_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc
 
     ratios are count(class)/length (0 for empty text); quality =
     alpha_ratio - punct_ratio - digit_ratio, clamped to [0, 1]."""
-    texts = t.column(text_col).to_pylist()
-    n = len(texts)
-    cols = {k: np.zeros(n, np.float64) for k in ("alpha_ratio", "digit_ratio", "punct_ratio", "upper_ratio")}
-    for i, x in enumerate(texts):
-        x = x or ""
-        ln = len(x)
-        if ln == 0:
-            continue
-        cols["alpha_ratio"][i] = len(_ALPHA_RE.findall(x)) / ln
-        cols["digit_ratio"][i] = len(_DIGIT_RE.findall(x)) / ln
-        cols["punct_ratio"][i] = len(_PUNCT_RE.findall(x)) / ln
-        cols["upper_ratio"][i] = len(_UPPER_RE.findall(x)) / ln
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    ln = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    denom = np.maximum(ln, 1.0)
+    cols = {
+        "alpha_ratio": _counts(col, "[a-zA-Z]") / denom,
+        "digit_ratio": _counts(col, "[0-9]") / denom,
+        "punct_ratio": _counts(col, r"[!-/:-@\[-`{-~]") / denom,
+        "upper_ratio": _counts(col, "[A-Z]") / denom,
+    }
     quality = np.clip(cols["alpha_ratio"] - cols["punct_ratio"] - cols["digit_ratio"], 0.0, 1.0)
     out = {key_col: t.column(key_col)}
     out.update({k: pa.array(v) for k, v in cols.items()})
@@ -83,29 +90,53 @@ def quality_score_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc
 
 
 class LangId:
-    """Actor: heuristic language id by stopword-profile hit rate (regexes
-    compiled and profiles indexed once per actor)."""
+    """Actor: heuristic language id by stopword-profile hit rate.
+
+    Per batch: one Arrow split to a flat word stream, dictionary-encode so
+    membership is resolved once per batch-UNIQUE word (one vectorized
+    siphash + one ``isin`` per profile over the vocabulary, typically
+    100–1000× smaller than the word stream), then per-row ``bincount``.
+    Profile hash sets are built once per actor."""
+
+    _WORD_SPLIT = r"[^a-zàâäéèêëîïôöùûüçáíóúñß]+"
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zàâäéèêëîïôöùûüçáíóúñß]+")
-        self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
+        self.langs = list(_LANG_STOPWORDS)
+        self.profiles = {
+            lang: pd.util.hash_pandas_object(
+                pd.Series(sorted(stops)), index=False).to_numpy()
+            for lang, stops in _LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs, scores = [], []
-        for x in batch["text"]:
-            words = self.word_re.findall((x or "").lower())
-            best_lang, best = "und", 0.0
-            for lang, stops in self.profiles.items():
-                if not words:
-                    break
-                hit = sum(w in stops for w in words) / len(words)
-                if hit > best:
-                    best_lang, best = lang, hit
-            langs.append(best_lang)
-            scores.append(best)
+        n = len(batch)
+        col = pa.array(batch["text"].fillna("").astype(str), pa.string())
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), self._WORD_SPLIT)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = enc.dictionary
+            word_ok = (pc.utf8_length(uniq).to_numpy(zero_copy_only=False) > 0)
+            uh = pd.util.hash_pandas_object(
+                pd.Series(uniq.to_numpy(zero_copy_only=False)), index=False).to_numpy()
+            n_words = np.bincount(row_idx[word_ok[codes]], minlength=n).astype(np.float64)
+            denom = np.maximum(n_words, 1.0)
+            for j, lang in enumerate(self.langs):
+                uniq_hit = np.isin(uh, self.profiles[lang]) & word_ok
+                hits = np.bincount(row_idx[uniq_hit[codes]], minlength=n)
+                scores[:, j] = hits / denom
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n), best]
+        langs = np.where(best_score > 0, np.asarray(self.langs, dtype=object)[best], "und")
         out = batch[["doc_id"]].copy()
         out["pred_lang"] = langs
-        out["lang_score"] = scores
+        out["lang_score"] = best_score
         return out
 
 
@@ -113,12 +144,30 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc_i
                       k: int = 5, window: int = 4) -> pa.Table:
     """Winnowed rolling-hash fingerprints over the token sequence
     (Schleimer et al. 2003). Returns (key, n_fingerprints, min_fingerprint,
-    fingerprints:list<uint64-as-int64>)."""
-    texts = t.column(text_col).to_pylist()
+    fingerprints:list<uint64-as-int64>).
+
+    Token hashing is done once per batch-unique token (dictionary encode),
+    preserving the exact per-row fingerprint values of the scalar path."""
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
+
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    uniq_hash = np.fromiter(
+        (stable_hash64(u) if u else -1 for u in uniq), np.int64, len(uniq))
+    ids_all = uniq_hash[codes] if codes.size else np.empty(0, np.int64)
+
+    n = len(toks)
     fps = []
-    for x in texts:
-        toks = _TOKEN_RE.findall((x or "").lower())
-        ids = np.fromiter((stable_hash64(w) for w in toks), dtype=np.int64, count=len(toks))
+    for i in range(n):
+        ids = ids_all[offsets[i]: offsets[i + 1]]
+        ids = ids[ids != -1]  # empty-string splits from leading/trailing ws
         fp = winnow_fingerprints(ids, k=k, window=window)
         fps.append((fp >> np.uint64(1)).astype(np.int64))
     return pa.table({
@@ -140,7 +189,7 @@ def quality_scores(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
 
 
 def lang_id(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
-    return ds.map_batches(LangId, batch_format="pandas", batch_size=2048,
+    return ds.map_batches(LangId, batch_format="pandas", batch_size=8192,
                           concurrency=(1, concurrency))
 
 
