@@ -339,6 +339,31 @@ def q_doc_fingerprints(sf_dir: str):
     return fingerprints(ds).select_columns(["doc_id", "n_fingerprints", "min_fingerprint"])
 
 
+def q_doc_embed(sf_dir: str):
+    """T4-shaped encoder stage (actor pool, model loaded once per actor;
+    fake deterministic backend — the real transformer is import-gated).
+    Rows-only check; determinism asserted in tests."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.encoder import encode_column
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = encode_column(ds, dim=32)
+
+    def project(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False).reshape(-1, 32)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "emb_argmax": pa.array(_np.argmax(vals, axis=1).astype(_np.int64)),
+            "emb_nonzero": pa.array((vals != 0).sum(axis=1).astype(_np.int64)),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _load_queries(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -362,13 +387,17 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed ANN (approximate); rows-only check by design."""
+    """Real inverted file: build (hive-partitioned by cell) + search (only
+    probed cell partitions read). Approximate — rows-only check by design;
+    recall vs the exact oracle is asserted in tests on clustered data.
+    n_probe=5/8 because the synthetic embeddings are unclustered (worst
+    case for a coarse quantizer)."""
     from whoiswho_ray.sources.tables import read_table
     from whoiswho_ray.stages.similarity_search import knn_ivf
 
     qids, qvecs = _load_queries(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = knn_ivf(ds, qids, qvecs, k=KNN_K, n_cells=8, n_probe=3)
+    out = knn_ivf(ds, qids, qvecs, k=KNN_K, n_cells=8, n_probe=5)
     return out.map_batches(
         lambda df: df[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rnk"}),
         batch_format="pandas",
@@ -533,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_langid": q_doc_langid,
+        "q_doc_embed": q_doc_embed,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_knn_cosine": q_knn_cosine,
         "q_knn_ivf": q_knn_ivf,

@@ -152,3 +152,56 @@ class TestSimilarity:
                 "select jaro_winkler_similarity(?, ?)", [s1, s2]
             ).fetchone()[0]
             assert jaro_winkler(s1, s2) == pytest.approx(theirs, abs=1e-9), (s1, s2)
+
+
+class TestKnrm:
+    """Kernel pooling (T5, model.py:103-135 analog)."""
+
+    def test_kernel_layout(self):
+        from whoiswho_ray.functions.similarity import knrm_mus_sigmas
+
+        mus, sigmas = knrm_mus_sigmas(11, 0.1)
+        assert mus.size == sigmas.size == 11
+        assert mus[-1] == 1.0 and sigmas[-1] == pytest.approx(1e-3)
+        assert np.all(np.diff(mus) > 0)
+        assert -1 < mus[0] < mus[-2] < 1
+
+    def test_exact_match_kernel_fires_on_identical(self):
+        from whoiswho_ray.functions.similarity import knrm_features
+
+        sims_same = np.array([[1.0, 0.1]])
+        sims_diff = np.array([[0.5, 0.1]])
+        f_same = knrm_features(sims_same, n_kernels=11)
+        f_diff = knrm_features(sims_diff, n_kernels=11)
+        # last kernel (exact @ mu=1) much larger when an exact match exists
+        assert f_same[-1] > f_diff[-1] + 5
+
+    def test_multi_resolution_separates_distributions(self):
+        """Two sim distributions with the SAME mean but different shape
+        give different kernel histograms — the signal plain cosine loses."""
+        from whoiswho_ray.functions.similarity import knrm_features
+
+        a = np.full((1, 10), 0.5)                       # all moderate
+        b = np.array([[1.0] * 5 + [0.0] * 5])           # half exact, half none
+        fa = knrm_features(a, n_kernels=11)
+        fb = knrm_features(b, n_kernels=11)
+        assert not np.allclose(fa, fb)
+        assert fb[-1] > fa[-1]  # b has exact matches
+
+    def test_empty_matrix(self):
+        from whoiswho_ray.functions.similarity import knrm_features
+
+        assert np.array_equal(knrm_features(np.zeros((0, 0)), 11), np.zeros(11))
+
+    def test_profile_features_sparse(self):
+        from whoiswho_ray.functions.similarity import knrm_profile_features
+
+        rec = (np.array([1, 2, 3]), np.array([0.6, 0.6, 0.5]))
+        members = [
+            (np.array([1, 2, 3]), np.array([0.6, 0.6, 0.5])),   # identical
+            (np.array([9, 10]), np.array([0.7, 0.7])),          # disjoint
+        ]
+        f = knrm_profile_features(rec[0], rec[1],
+                                  [m[0] for m in members], [m[1] for m in members])
+        assert f.size == 21
+        assert np.isfinite(f).all()

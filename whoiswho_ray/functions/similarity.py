@@ -120,3 +120,52 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: 
             break
         prefix += 1
     return jv + prefix * prefix_weight * (1.0 - jv)
+
+
+# ---------------------------------------------------------------------------
+# KNRM kernel pooling (operator T5)
+# ---------------------------------------------------------------------------
+
+
+def knrm_mus_sigmas(n_kernels: int = 21, sigma: float = 0.1,
+                    exact_sigma: float = 1e-3) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's kernel layout (``featureGenerator/rndFeature/
+    model.py:103-135``): n_kernels-1 Gaussian kernels with means evenly
+    spaced over [-1, 1) plus one exact-match kernel at mu=1 with a tiny
+    sigma."""
+    if n_kernels < 2:
+        return np.array([1.0]), np.array([exact_sigma])
+    step = 2.0 / (n_kernels - 1)
+    mus = np.concatenate([-1.0 + step / 2 + step * np.arange(n_kernels - 1), [1.0]])
+    sigmas = np.concatenate([np.full(n_kernels - 1, sigma), [exact_sigma]])
+    return mus, sigmas
+
+
+def knrm_features(sims: np.ndarray, n_kernels: int = 21, sigma: float = 0.1,
+                  exact_sigma: float = 1e-3) -> np.ndarray:
+    """Kernel-pooled soft-match histogram of a similarity matrix
+    (Xiong et al., "End-to-End Neural Ad-hoc Ranking with Kernel Pooling",
+    SIGIR 2017 — the reference's KNRM feature without the learned dense
+    layer): phi_k = sum_i log( max(sum_j exp(-(s_ij-mu_k)^2 / 2 sigma_k^2),
+    1e-10) ). ``sims``: (n_query_items, n_doc_items) cosine matrix →
+    float64[n_kernels]. Empty matrices give all-log(1e-10) * 0 rows = 0."""
+    mus, sigmas = knrm_mus_sigmas(n_kernels, sigma, exact_sigma)
+    if sims.size == 0:
+        return np.zeros(mus.size)
+    d = sims[:, :, None] - mus[None, None, :]
+    pooled = np.exp(-(d * d) / (2.0 * sigmas[None, None, :] ** 2)).sum(axis=1)
+    return np.log(np.maximum(pooled, 1e-10)).sum(axis=0)
+
+
+def knrm_profile_features(
+    rec_ids: np.ndarray, rec_w: np.ndarray,
+    member_ids: "list[np.ndarray]", member_w: "list[np.ndarray]",
+    n_kernels: int = 21, sigma: float = 0.1,
+) -> np.ndarray:
+    """KNRM features of one record against a profile's MEMBER vectors —
+    the multi-resolution replacement for plain centroid cosine (the
+    reference pools paper-vs-each-profile-paper similarities,
+    ``model.py:202-241``). Sparse cosines via the shared sorted-ids dot."""
+    sims = np.array([[cosine_sparse(rec_ids, rec_w, mi, mw)
+                      for mi, mw in zip(member_ids, member_w)]])
+    return knrm_features(sims, n_kernels=n_kernels, sigma=sigma)
