@@ -364,6 +364,16 @@ def q_doc_embed(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing with md5 grams — the oracle-checkable variant of the
+    fingerprint operator (rolling k-grams, window minima, dedup, all
+    reproducible in DuckDB list comprehensions)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import winnow_md5
+
+    return winnow_md5(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _load_queries(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -494,6 +504,27 @@ def q_kfold_assign(sf_dir: str):
     return out
 
 
+def q_events_top_per_user(sf_dir: str):
+    """Per-group top-k with DESCENDING order (O2/O5 family): each user's 3
+    highest-value events — bucketed kernel, one Ray group per hash bucket."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.splits import cap_per_group
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "value_cents": pa.array(_cents(t.column("value").to_numpy(zero_copy_only=False))),
+        })
+
+    out = cap_per_group(ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+                        "user_id", 3, ["value_cents", "event_id"],
+                        ascending=[False, True])
+    return out.select_columns(["user_id", "event_id", "value_cents"])
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -563,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_langid": q_doc_langid,
         "q_doc_embed": q_doc_embed,
+        "q_doc_winnow": q_doc_winnow,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_knn_cosine": q_knn_cosine,
         "q_knn_ivf": q_knn_ivf,
@@ -571,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temporal_split": q_temporal_split,
         "q_cap_per_group": q_cap_per_group,
         "q_kfold_assign": q_kfold_assign,
+        "q_events_top_per_user": q_events_top_per_user,
         "q_negative_samples": q_negative_samples,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
@@ -867,5 +900,38 @@ def oracle_sql() -> dict[str, str]:
                        AND q.r = (p.r + 1 + (js.j % (p.n - 1))) % p.n
             WHERE p.n >= 2
         """,
+        "q_events_top_per_user": f"""
+            WITH x AS (
+                SELECT user_id, event_id,
+                       {cents.format(x='value')} AS value_cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY {cents.format(x='value')} DESC,
+                                                   event_id) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id, value_cents FROM x WHERE rn <= 3
+        """,
         "q_doc_langid": _langid_oracle_sql(),
+        "q_doc_winnow": """
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       [md5(toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
+                        FOR i IN generate_series(1, len(toks) - 2)] AS grams
+                FROM d
+            ),
+            w AS (
+                SELECT doc_id,
+                       [list_min(grams[i:i+3])
+                        FOR i IN generate_series(1, len(grams) - 3)] AS mins
+                FROM g
+            )
+            SELECT doc_id,
+                   len(list_distinct(mins)) AS n_fingerprints,
+                   list_min(mins) AS min_fingerprint
+            FROM w
+        """,
     }

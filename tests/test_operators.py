@@ -365,3 +365,22 @@ class TestEncoder:
 
         with pytest.raises(ValueError, match="unknown backend"):
             TextEncoder(backend="nope")
+
+
+class TestWinnowMd5:
+    def test_known_values_and_short_docs(self):
+        import hashlib
+        from whoiswho_ray.stages.text_analysis import winnow_md5
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "text": ["a b c d e f g h", "a b", ""]})
+        out = winnow_md5(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+        toks = "a b c d e f g h".split()
+        grams = [hashlib.md5("|".join(toks[i:i+3]).encode()).hexdigest()
+                 for i in range(6)]
+        mins = {min(grams[i:i+4]) for i in range(3)}
+        assert out.loc[1, "n_fingerprints"] == len(mins)
+        assert out.loc[1, "min_fingerprint"] == min(mins)
+        # too short for one gram / empty: zero fingerprints, NULL min
+        assert out.loc[2, "n_fingerprints"] == 0 and out.loc[2, "min_fingerprint"] is None
+        assert out.loc[3, "n_fingerprints"] == 0

@@ -36,11 +36,12 @@ def grouped_agg(
     per batch, small by construction — are tree-combined on the driver with
     one pandas groupby; returns a DataFrame. Right whenever the result
     cardinality is human-scale (reports, dashboards, dimension rollups).
-    ``final='shuffle'``: a distributed ``groupby().aggregate`` over the
-    partials; returns a Dataset — for unbounded key cardinality.
+    ``final='shuffle'``: a distributed final over the partials for
+    unbounded key cardinality; returns a Dataset. One Ray group per HASH
+    BUCKET (never per key — Ray's native per-key aggregate pays ~1 ms per
+    group), with a vectorized pandas combine inside each bucket task.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    from ray.data.aggregate import Max, Min, Sum
 
     # expand means into sum+count partials
     plan: dict[str, tuple[str | None, str]] = {}
@@ -88,14 +89,27 @@ def grouped_agg(
         ).reset_index()
         return finish(combined)
 
-    aggs = []
-    for out, (src, op) in plan.items():
-        cls = {"sum": Sum, "min": Min, "max": Max}[_FINAL[op]]
-        aggs.append(cls(out, alias_name=out))
-    result = partials.groupby(keys).aggregate(*aggs)
-    if means:
-        result = result.map_batches(finish, batch_format="pandas")
-    return result
+    nb = _num_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in keys:
+                h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                    df[k], index=False).to_numpy().astype(np.uint64)
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"])
+        out = df.groupby(keys, sort=False, dropna=False).agg(
+            {o: _FINAL[op] for o, (src, op) in plan.items()}
+        ).reset_index()
+        return finish(out)
+
+    return partials.map_batches(add_bucket, batch_format="pandas").groupby(
+        "__bucket").map_groups(combine, batch_format="pandas")
 
 
 def _num_buckets() -> int:
@@ -190,6 +204,22 @@ def distinct(ds: "ray.data.Dataset", cols: list[str], final: str = "driver"):
         parts = [ray.get(r) for r in local.to_arrow_refs()]
         return pa.concat_tables(parts, promote_options="default").to_pandas().drop_duplicates(
         ).reset_index(drop=True)
-    from ray.data.aggregate import Count
 
-    return local.groupby(cols).aggregate(Count(alias_name="_n")).select_columns(cols)
+    # distributed final: one Ray group per hash bucket, vectorized
+    # drop_duplicates inside (never one Ray group per distinct value)
+    nb = _num_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in cols:
+                h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                    df[k], index=False).to_numpy().astype(np.uint64)
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return df
+
+    return local.map_batches(add_bucket, batch_format="pandas").groupby(
+        "__bucket").map_groups(
+        lambda g: g.drop(columns=["__bucket"]).drop_duplicates(),
+        batch_format="pandas")

@@ -97,26 +97,40 @@ def _candidates_distributed(
     from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.sort_values(["bucket", "key"], kind="stable")
+        df = g.drop_duplicates(["bucket", "key"]).sort_values(
+            ["bucket", "key"], kind="stable")
         bk = df["bucket"].to_numpy()
         keys = df["key"].to_numpy()
         bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        m = np.diff(bounds)
+        starts = bounds[:-1]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            members = pd.unique(keys[s:e])  # sorted (input sorted by key)
-            m = members.size
-            if m < 2:
-                continue
-            if m * (m - 1) // 2 <= budget:
-                ii, jj = np.triu_indices(m, 1)
-                out_a.append(members[ii])
-                out_b.append(members[jj])
-            else:
-                w = max(1, budget // m)
-                for d in range(1, min(w, m - 1) + 1):
-                    out_a.append(members[:-d])
-                    out_b.append(members[d:])
+        # vectorized pair enumeration across ALL under-budget segments at
+        # once (square enumeration + i<j filter — the budget bounds every
+        # segment at ≤ ~320 members, so Σm² stays small); only the rare
+        # over-budget segments fall back to a Python window loop
+        small = (m >= 2) & (m * (m - 1) // 2 <= budget)
+        if small.any():
+            ss, ms = starts[small], m[small]
+            sq = ms * ms
+            off2 = np.zeros(sq.size + 1, np.int64)
+            np.cumsum(sq, out=off2[1:])
+            t = np.arange(int(off2[-1]), dtype=np.int64)
+            gi = np.searchsorted(off2, t, side="right") - 1
+            local = t - off2[gi]
+            i = local // ms[gi]
+            j = local % ms[gi]
+            keep = i < j
+            out_a.append(keys[ss[gi[keep]] + i[keep]])
+            out_b.append(keys[ss[gi[keep]] + j[keep]])
+        big = (m >= 2) & ~small
+        for s, mm in zip(starts[big], m[big]):
+            members = keys[s:s + mm]
+            w = max(1, budget // mm)
+            for d in range(1, min(w, mm - 1) + 1):
+                out_a.append(members[:-d])
+                out_b.append(members[d:])
         if not out_a:
             return pd.DataFrame({"key_a": np.empty(0, object),
                                  "key_b": np.empty(0, object)})
@@ -214,11 +228,47 @@ def _labels_with_isolates(
     ds: "ray.data.Dataset",
     edges: "ray.data.Dataset",
     key_col: str,
+    driver_cc_max: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Verified (key_a, key_b) edges + the full corpus → one (key_col,
-    dup_group) row per document, all distributed: bucketed star-contraction
-    components unioned with self-labels, min per key."""
-    from whoiswho_ray.stages.cluster import connected_components, min_by_key
+    dup_group) row per document.
+
+    The edge set is OUTPUT-bounded (true duplicate pairs), not
+    corpus-bounded — so up to ``driver_cc_max`` edges the components run as
+    one driver union-find over edge endpoints only, and the resulting
+    (node → group) map (again output-sized) is broadcast and applied to the
+    corpus distributedly. Above the cap: bucketed star-contraction rounds.
+    Nothing corpus-sized ever lands on the driver on either path."""
+    from whoiswho_ray.stages.cluster import cc_labels, connected_components, min_by_key
+
+    edges = edges.materialize()
+    if edges.count() <= driver_cc_max:
+        edf = pd.concat(
+            [b for b in edges.select_columns(["key_a", "key_b"]).iter_batches(
+                batch_format="pandas", batch_size=262144)],
+            ignore_index=True) if edges.count() else pd.DataFrame(
+                {"key_a": [], "key_b": []})
+        nodes = pd.Index(pd.concat([edf["key_a"], edf["key_b"]],
+                                   ignore_index=True).unique()).sort_values()
+        arr = nodes.to_numpy()
+        ia = np.searchsorted(arr, edf["key_a"].to_numpy())
+        ib = np.searchsorted(arr, edf["key_b"].to_numpy())
+        labels = cc_labels(arr.size, ia.astype(np.int64), ib.astype(np.int64))
+        mapping = dict(zip(arr, arr[labels]))
+        map_ref = ray.put(mapping)
+
+        class Label:
+            def __init__(self):
+                self.m = ray.get(map_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                keys = df[key_col]
+                grp = keys.map(self.m)
+                return pd.DataFrame({key_col: keys,
+                                     "dup_group": grp.where(grp.notna(), keys)})
+
+        return ds.select_columns([key_col]).map_batches(
+            Label, batch_format="pandas", batch_size=262144, concurrency=(1, 8))
 
     cc_in = edges.map_batches(
         lambda df: pd.DataFrame({"u": df["key_a"], "v": df["key_b"]}),

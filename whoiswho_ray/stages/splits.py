@@ -63,13 +63,16 @@ def cap_per_group(
     key_col: str,
     k: int,
     order_cols: list[str],
+    ascending: "list[bool] | None" = None,
 ) -> "ray.data.Dataset":
-    """First k rows per key in (order_cols) order — bounded-profile
-    semantics, deterministic."""
+    """First k rows per key in (order_cols, ascending) order — bounded-
+    profile semantics / per-group top-k, deterministic."""
+    asc = ascending if ascending is not None else [True] * len(order_cols)
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         df = g.drop(columns=["__bucket"]).sort_values(
-            [key_col] + order_cols, kind="stable").reset_index(drop=True)
+            [key_col] + order_cols, ascending=[True] + list(asc),
+            kind="stable").reset_index(drop=True)
         pos = df.groupby(key_col, sort=False).cumcount().to_numpy()
         return df[pos < k]
 

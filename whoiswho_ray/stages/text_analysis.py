@@ -196,3 +196,43 @@ def lang_id(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
 def fingerprints(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return ds.map_batches(lambda t: fingerprint_batch(t, **kw),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_md5_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc_id",
+                     k: int = 3, window: int = 4) -> pa.Table:
+    """Oracle-checkable winnowing variant: k-gram hashes are md5 hex
+    strings (identical in hashlib and DuckDB), fingerprints are the
+    distinct window-minima (lexicographic over hex == over digest bytes).
+    Windows shorter than ``window`` produce no fingerprint — exactly the
+    SQL formulation with list slicing, so documents shorter than
+    k+window-1 tokens yield (0, NULL).
+
+    The int64 splitmix path (``fingerprint_batch``) remains the scale
+    path; this one exists so the winnowing LOGIC (rolling grams, window
+    min, dedup) has an exact cross-engine oracle."""
+    import hashlib
+
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks_col = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+    n_fp = []
+    min_fp = []
+    for row in toks_col.to_pylist():
+        toks = [w for w in row if w]
+        grams = [hashlib.md5("|".join(toks[i:i + k]).encode()).hexdigest()
+                 for i in range(len(toks) - k + 1)]
+        mins = [min(grams[i:i + window]) for i in range(len(grams) - window + 1)]
+        fps = set(mins)
+        n_fp.append(len(fps))
+        min_fp.append(min(fps) if fps else None)
+    return pa.table({
+        key_col: t.column(key_col),
+        "n_fingerprints": pa.array(n_fp, pa.int64()),
+        "min_fingerprint": pa.array(min_fp, pa.string()),
+    })
+
+
+def winnow_md5(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    return ds.map_batches(lambda t: winnow_md5_batch(t, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
