@@ -82,3 +82,26 @@ def test_f1_gate_holds_across_seeds(seed):
     ev = pairwise_f1_frames(pred, tabs["ground_truth"].to_pandas())
     mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
     assert mean_f1 >= 0.99
+
+
+def test_fused_clusters_equal_staged(small_fixture):
+    """The fused one-shuffle path (make_block_clusters) must produce
+    exactly the staged edges->union->cluster path's clusters."""
+    import ray.data as rd
+
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.pipelines.snd import snd_cluster
+    from whoiswho_ray.stages.idf import build_idf
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.scoring import vectorize
+
+    spec, tabs = small_fixture
+    cfg = SNDConfig()
+    norm = normalize_records(rd.from_arrow(tabs["records"]), cfg).materialize()
+    idf = build_idf(norm, cfg)
+    vec = vectorize(norm, idf, cfg).materialize()
+    fused = snd_cluster(norm, vec, cfg).to_pandas().sort_values("record_id").reset_index(drop=True)
+    staged = snd_cluster(norm, vec, cfg, staged=True).to_pandas().sort_values(
+        "record_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(fused, staged)

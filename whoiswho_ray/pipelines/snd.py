@@ -87,14 +87,26 @@ def snd_cluster(
     normalized: "rd.Dataset",
     vectorized: "rd.Dataset",
     cfg: SNDConfig | None = None,
+    staged: bool = False,
 ) -> "rd.Dataset":
     """Clustering tail of the pipeline for callers that already hold the
     normalized/vectorized records (e.g. the RND pipeline, which reuses
-    them for profile building)."""
+    them for profile building).
+
+    Default is the FUSED path: scoring and clustering run inside the one
+    blocking groupby (``pairs.make_block_clusters``) — no edge shuffle, no
+    node/edge union, no second sort. ``staged=True`` keeps the explicit
+    edges→union→cluster chain (the resume-granular shape the checkpointed
+    pipeline uses); both produce identical clusters (asserted in tests)."""
     cfg = cfg or SNDConfig()
-    edges = generate_scored_edges(vectorized, cfg)
-    union = _node_rows(normalized).union(_edge_rows(edges))
-    return cluster_blocks(union, cfg)
+    if staged:
+        edges = generate_scored_edges(vectorized, cfg)
+        union = _node_rows(normalized).union(_edge_rows(edges))
+        return cluster_blocks(union, cfg)
+    from whoiswho_ray.stages.pairs import make_block_clusters, shuffle_partitions
+
+    return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
+        lambda g: make_block_clusters(g, cfg), batch_format="pyarrow")
 
 
 def run_snd(

@@ -90,32 +90,16 @@ def cc_labels(n: int, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
             return labels
 
 
-def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
-    """One block's node+edge rows → (block_key, record_id, cluster_id, content_sha256).
-
-    Input rows are the union of node rows (id_b == "") and scored edge rows
-    (see ``pipelines/snd.py``). Fully vectorized: record ids map to dense
-    indices via searchsorted, components via ``cc_labels``, and the
-    post-match best-partner selection via one lexsort."""
-    is_node = group["ix_a"].to_numpy() < 0
-    nodes = group[is_node]
-    edges = group[~is_node]
-    block_key = group["block_key"].iloc[0]
-
-    rids = np.sort(nodes["record_id"].to_numpy())
-    order_sha = np.argsort(nodes["record_id"].to_numpy(), kind="stable")
-    shas = nodes["content_sha256"].to_numpy()[order_sha]
-    n = rids.size
-
-    # edge endpoints are block-local positions in record_id-sorted order
-    # (assigned in make_scored_edges against the same block membership)
-    ia = edges["ix_a"].to_numpy().astype(np.int64)
-    ib = edges["ix_b"].to_numpy().astype(np.int64)
-    es = edges["score"].to_numpy(dtype=np.float64)
-    if ia.size:
-        ok = (ia >= 0) & (ia < n) & (ib >= 0) & (ib < n)
-        ia, ib, es = ia[ok], ib[ok], es[ok]
-
+def cluster_edge_arrays(
+    n: int,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    es: np.ndarray,
+    cfg: SNDConfig,
+) -> np.ndarray:
+    """Core clustering over dense int edge arrays: strong-edge components
+    + the reference's post-match. Shared by the staged (node/edge-union)
+    path and the fused in-block path — equivalence asserted in tests."""
     strong = es >= cfg.tau_edge
     labels = cc_labels(n, ia[strong], ib[strong])
 
@@ -156,7 +140,36 @@ def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
             # sequential unions (union-find is order-independent)
             labels = cc_labels(n, np.concatenate([ia[strong], *extra_a]),
                                np.concatenate([ib[strong], *extra_b]))
+    return labels
 
+
+def cluster_block(group: pd.DataFrame, cfg: SNDConfig) -> pd.DataFrame:
+    """One block's node+edge rows → (block_key, record_id, cluster_id, content_sha256).
+
+    Input rows are the union of node rows (id_b == "") and scored edge rows
+    (see ``pipelines/snd.py``). Fully vectorized: record ids map to dense
+    indices via searchsorted, components via ``cc_labels``, and the
+    post-match best-partner selection via one lexsort."""
+    is_node = group["ix_a"].to_numpy() < 0
+    nodes = group[is_node]
+    edges = group[~is_node]
+    block_key = group["block_key"].iloc[0]
+
+    rids = np.sort(nodes["record_id"].to_numpy())
+    order_sha = np.argsort(nodes["record_id"].to_numpy(), kind="stable")
+    shas = nodes["content_sha256"].to_numpy()[order_sha]
+    n = rids.size
+
+    # edge endpoints are block-local positions in record_id-sorted order
+    # (assigned in make_scored_edges against the same block membership)
+    ia = edges["ix_a"].to_numpy().astype(np.int64)
+    ib = edges["ix_b"].to_numpy().astype(np.int64)
+    es = edges["score"].to_numpy(dtype=np.float64)
+    if ia.size:
+        ok = (ia >= 0) & (ia < n) & (ib >= 0) & (ib < n)
+        ia, ib, es = ia[ok], ib[ok], es[ok]
+
+    labels = cluster_edge_arrays(n, ia, ib, es, cfg)
     roots = rids[labels]
     return pd.DataFrame(
         {

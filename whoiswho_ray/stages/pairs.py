@@ -263,27 +263,19 @@ def block_metrics(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     })
 
 
-def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
-    """One block → scored edge rows directly (pair generation and scoring
-    fused in the block task).
-
-    This is the flagship path at scale: pair payloads (token signatures)
-    never leave the task — only scored edges (~100 B/row, and only those ≥
-    min(tau_attach, tau_edge)) enter the object store, a ~16× reduction
-    over materializing payload-carrying pair rows. The standalone
-    ``scoring.PairScorer`` actor pool remains for decoupled scoring of
-    externally-supplied pair tables; both run the same
-    ``score_flat_components`` kernel (equivalence is asserted in tests).
-    """
+def _score_block(group: pa.Table, cfg: SNDConfig):
+    """One block → (rids, ii, jj, feats) — candidate generation + fused
+    scoring; None when the block yields no candidate pairs. Shared by the
+    edge-emitting and the fused cluster-emitting kernels."""
     from whoiswho_ray.stages.scoring import allpairs_matrix, jw_memo, score_flat_components
 
     n = group.num_rows
     if n < 2:
-        return _empty_edges_table()
+        return None
     rids, tok_values, tok_offsets, repo_first = _block_arrays(group)
     ii, jj, _trunc = candidate_index_pairs(rids, tok_values, tok_offsets, repo_first, cfg)
     if ii.size == 0:
-        return _empty_edges_table()
+        return None
 
     names = np.asarray(group.column("name").to_pylist(), dtype=object)
     jw_fn = jw_memo({})
@@ -340,6 +332,26 @@ def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
             names[ii].tolist(), names[jj].tolist(),
             jw_fn,
         )
+    return rids, ii, jj, feats
+
+
+def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
+    """One block → scored edge rows directly (pair generation and scoring
+    fused in the block task).
+
+    This is the flagship path at scale: pair payloads (token signatures)
+    never leave the task — only scored edges (~100 B/row, and only those ≥
+    min(tau_attach, tau_edge)) enter the object store, a ~16× reduction
+    over materializing payload-carrying pair rows. The standalone
+    ``scoring.PairScorer`` actor pool remains for decoupled scoring of
+    externally-supplied pair tables; both run the same
+    ``score_flat_components`` kernel (equivalence is asserted in tests).
+    """
+    scored = _score_block(group, cfg)
+    if scored is None:
+        return _empty_edges_table()
+    rids, ii, jj, feats = scored
+    n = group.num_rows
     keep = feats["score"] >= min(cfg.tau_attach, cfg.tau_edge)
     # block-local indices in record_id-sorted order: the cluster stage
     # re-sorts node rids and joins edges by POSITION — edge rows then carry
@@ -354,6 +366,43 @@ def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
         "ix_a": pa.array(sorted_pos[ii[keep]]),
         "ix_b": pa.array(sorted_pos[jj[keep]]),
         **{k: pa.array(v[keep]) for k, v in feats.items()},
+    })
+
+
+def make_block_clusters(group: pa.Table, cfg: SNDConfig) -> pa.Table:
+    """One block → cluster rows DIRECTLY: scoring and clustering fused in
+    the blocking task, so the whole SND tail is ONE all-to-all (the
+    blocking groupby) — no edge shuffle, no node/edge union, no second
+    sort. Semantics identical to the staged edges→cluster path (the same
+    ``cluster_edge_arrays`` core; equivalence asserted in tests). The
+    checkpointed pipeline keeps the staged path for resume granularity."""
+    from whoiswho_ray.stages.cluster import cluster_edge_arrays
+
+    n = group.num_rows
+    block_key = group.column("block_key")[0].as_py() if n else ""
+    rid_col = np.asarray(group.column("record_id").to_pylist(), dtype=object)
+    sha_col = np.asarray(group.column("content_sha256").to_pylist(), dtype=object)
+    order = np.argsort(rid_col, kind="stable")
+    rids_sorted = rid_col[order]
+    shas_sorted = sha_col[order]
+
+    scored = _score_block(group, cfg)
+    if scored is None:
+        labels = np.arange(n, dtype=np.int64)
+    else:
+        rids, ii, jj, feats = scored
+        keep = feats["score"] >= min(cfg.tau_attach, cfg.tau_edge)
+        sorted_pos = np.empty(n, dtype=np.int64)
+        sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
+        labels = cluster_edge_arrays(
+            n, sorted_pos[ii[keep]], sorted_pos[jj[keep]],
+            feats["score"][keep], cfg)
+    roots = rids_sorted[labels]
+    return pa.table({
+        "block_key": pa.array(np.repeat(block_key, n), pa.string()),
+        "record_id": pa.array(rids_sorted, pa.string()),
+        "cluster_id": pa.array([f"{block_key}#{r}" for r in roots], pa.string()),
+        "content_sha256": pa.array(shas_sorted, pa.string()),
     })
 
 
