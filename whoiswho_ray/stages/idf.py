@@ -68,6 +68,26 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     return pa.table({"tok_id": ids, "df": counts, "n_rec": n_rec})
 
 
+def _merge_partials(batch: pa.Table) -> pa.Table:
+    """Combine partial (tok_id, df, n_rec) rows: sum df per token, sum the
+    record-count carriers — one sort + reduceat per (large) batch."""
+    ids = batch.column("tok_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rec = int(batch.column("n_rec").to_numpy(zero_copy_only=False).sum())
+    if ids.size == 0:
+        return pa.table({"tok_id": pa.array([0], pa.int64()),
+                         "df": pa.array([0], pa.int64()),
+                         "n_rec": pa.array([n_rec], pa.int64())})
+    order = np.argsort(ids, kind="stable")
+    sids, sdf = ids[order], df[order]
+    starts = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1]])
+    out_ids = sids[starts]
+    out_df = np.add.reduceat(sdf, starts)
+    out_n = np.zeros(out_ids.size, dtype=np.int64)
+    out_n[0] = n_rec
+    return pa.table({"tok_id": out_ids, "df": out_df, "n_rec": out_n})
+
+
 def build_idf(
     normalized: "ray.data.Dataset",
     cfg: SNDConfig | None = None,
@@ -85,6 +105,12 @@ def build_idf(
     partial = normalized.select_columns(["tok_ids"]).map_batches(
         _partial_df, batch_format="pyarrow", zero_copy_batch=True
     )
+    # second-level tree combine: merge many per-batch partials inside big
+    # map tasks so the final reduce sees O(vocab) rows per combine task,
+    # not O(vocab × batches). Without this the driver reduce GROWS with
+    # parallelism (more blocks → more partials) and anti-scales.
+    partial = partial.map_batches(_merge_partials, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=4_000_000)
     if combine == "shuffle":
         from ray.data.aggregate import Sum
 
