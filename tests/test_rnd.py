@@ -70,3 +70,53 @@ class TestRND:
         })
         out = run_rnd(rd.from_pandas(known), rd.from_pandas(new), cfg).to_pandas()
         assert out["assigned_cluster"].tolist() == [NIL]
+
+
+class TestKnrmFeatures:
+    def test_member_retention_and_knrm_separation(self, ray_cluster=None):
+        """Profiles keep capped member vectors; KNRM features distinguish
+        'one member matches exactly' from 'uniformly similar to the
+        centroid' — the multi-resolution signal the centroid cosine loses."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from whoiswho_ray.pipelines.rnd import build_profiles, rnd_knrm_features
+
+        # two profiles in one block: P1 has heterogeneous members (one of
+        # them IDENTICAL to the query record), P2's members are all
+        # moderately similar to the query
+        def vec_row(rid, bk, ids, w):
+            return {"record_id": rid, "block_key": bk, "name": rid,
+                    "tok_ids": np.asarray(ids, np.int64),
+                    "repo_ids": np.empty(0, np.int64),
+                    "ctx_ids": np.empty(0, np.int64),
+                    "tfv_ids": np.asarray(ids, np.int64),
+                    "tfv_w": np.asarray(w, np.float32)}
+
+        # unit-norm sparse vectors (cosine_sparse assumes normalized input)
+        q_ids, q_w = [1, 2], [0.6, 0.8]
+        members = [
+            ("m1", q_ids, q_w),                # identical to query (cos=1)
+            ("m2", [7, 8], [0.6, 0.8]),        # disjoint (cos=0)
+            ("m3", [1, 9], [0.6, 0.8]),        # partial (cos=0.36)
+            ("m4", [2, 9], [0.8, 0.6]),        # partial (cos=0.64)
+        ]
+        rows = [vec_row(r, "bk", i, w) for r, i, w in members]
+        vec = rd.from_pandas(pd.DataFrame(rows))
+        clusters = rd.from_pandas(pd.DataFrame({
+            "record_id": ["m1", "m2", "m3", "m4"],
+            "cluster_id": ["P1", "P1", "P2", "P2"],
+        }))
+        profs = build_profiles(vec, clusters, keep_members=8)
+        pdf = profs.to_pandas()
+        assert "member_tfv_ids" in pdf.columns
+        assert sorted(len(m) for m in pdf["member_tfv_ids"]) == [2, 2]
+
+        newrec = rd.from_pandas(pd.DataFrame([vec_row("q0", "bk", q_ids, q_w)]))
+        feats = rnd_knrm_features(newrec, profs).to_pandas()
+        assert len(feats) == 2
+        f = feats.set_index("candidate_cluster")["knrm"]
+        # exact-match kernel (last) fires for P1 (contains the identical
+        # member), not for P2
+        assert f["P1"][-1] > f["P2"][-1] + 1.0

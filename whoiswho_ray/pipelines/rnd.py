@@ -57,9 +57,16 @@ def build_profiles(
     vectorized: "rd.Dataset",
     clusters: "rd.Dataset",
     cfg: SNDConfig | None = None,
+    keep_members: int = 0,
 ) -> "rd.Dataset":
     """(vectorized records, cluster table) → one profile row per cluster:
     (cluster_id, block_key, name, tok_ids, repo_ids, ctx_ids, tfv_ids, tfv_w).
+
+    ``keep_members`` > 0 additionally retains up to that many MEMBER TF-IDF
+    vectors per profile (``member_tfv_ids`` / ``member_tfv_w`` list-of-list
+    columns, record_id-sorted prefix — the reference's ≤40-paper profile
+    cap for its KNRM features, ``oagbert_features.py:45``) so downstream
+    scoring can pool per-member similarities instead of only the centroid.
 
     The record⋈cluster join is a co-group on record_id (both sides keyed by
     it); profile aggregation is one groupby(cluster_id)."""
@@ -119,7 +126,7 @@ def build_profiles(
 
     def to_profile(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame({
+            cols = {
                 "cluster_id": pd.Series([], dtype=object),
                 "block_key": pd.Series([], dtype=object),
                 "name": pd.Series([], dtype=object),
@@ -129,7 +136,11 @@ def build_profiles(
                 "ctx_ids": pd.Series([], dtype=object),
                 "tfv_ids": pd.Series([], dtype=object),
                 "tfv_w": pd.Series([], dtype=object),
-            })
+            }
+            if keep_members:
+                cols["member_tfv_ids"] = pd.Series([], dtype=object)
+                cols["member_tfv_w"] = pd.Series([], dtype=object)
+            return pd.DataFrame(cols)
         tfv_ids = _agg_ids(g["tfv_ids"])
         # centroid weights: mean of member weights per kept id, renormalized
         w_acc = np.zeros(tfv_ids.size, dtype=np.float64)
@@ -144,7 +155,7 @@ def build_profiles(
         if norm > 0:
             w_acc /= norm
         name = g["name"].mode().iloc[0] if len(g) else ""
-        return pd.DataFrame({
+        cols = {
             "cluster_id": [g["cluster_id"].iloc[0]],
             "block_key": [g["block_key"].iloc[0]],
             "name": [name],
@@ -154,7 +165,12 @@ def build_profiles(
             "ctx_ids": [_agg_ids(g["ctx_ids"])],
             "tfv_ids": [tfv_ids],
             "tfv_w": [w_acc.astype(np.float32)],
-        })
+        }
+        if keep_members:
+            gg = g.sort_values("record_id", kind="stable").head(keep_members)
+            cols["member_tfv_ids"] = [[np.asarray(x, np.int64) for x in gg["tfv_ids"]]]
+            cols["member_tfv_w"] = [[np.asarray(x, np.float64) for x in gg["tfv_w"]]]
+        return pd.DataFrame(cols)
 
     # O(buckets) Ray groups, per-cluster split inside the bucket task
     from whoiswho_ray.stages.agg import group_apply
@@ -269,3 +285,77 @@ def run_rnd(
     profiles = build_profiles(known_vec, clusters, cfg)
     new_vec = vectorize(normalize_records(new_records, cfg), idf, cfg)
     return assign_records(new_vec, profiles, cfg, tau_assign)
+
+
+def rnd_knrm_features(
+    new_vectorized: "rd.Dataset",
+    profiles: "rd.Dataset",
+    n_kernels: int = 21,
+    sigma: float = 0.1,
+) -> "rd.Dataset":
+    """KNRM kernel-pooled features per (new record × candidate profile).
+
+    The reference's KNRM role (``featureGenerator/rndFeature/
+    model.py:202-241``): the record's embedding is compared against EACH
+    profile member, and the similarity distribution is pooled through
+    Gaussian kernels into a feature vector that feeds the GBDT ensemble —
+    a multi-resolution signal (exact-match vs diffuse similarity) that
+    the centroid cosine collapses. Requires profiles built with
+    ``build_profiles(..., keep_members>0)``. Returns
+    (record_id, block_key, candidate_cluster, knrm: list<double>[n_kernels]);
+    feed through ``training.fit_ensemble`` / ``apply_ensemble``."""
+    from whoiswho_ray.functions.similarity import cosine_sparse, knrm_features
+    from whoiswho_ray.stages.agg import group_apply
+
+    _E = np.empty(0, np.int64)
+
+    def tag_rec(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        df = df[["record_id", "block_key", "tfv_ids", "tfv_w"]].copy()
+        df["member_tfv_ids"] = [[]] * n
+        df["member_tfv_w"] = [[]] * n
+        df["__side"] = "rec"
+        return df
+
+    def tag_prof(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = pd.DataFrame({
+            "record_id": df["cluster_id"].to_numpy(),
+            "block_key": df["block_key"].to_numpy(),
+            "tfv_ids": [_E] * n,
+            "tfv_w": [_E] * n,
+            "member_tfv_ids": list(df["member_tfv_ids"]),
+            "member_tfv_w": list(df["member_tfv_w"]),
+            "__side": "prof",
+        })
+        return out
+
+    recs = new_vectorized.map_batches(tag_rec, batch_format="pandas")
+    profs = profiles.map_batches(tag_prof, batch_format="pandas")
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        rec = g[g["__side"] == "rec"]
+        prof = g[g["__side"] == "prof"]
+        out = {"record_id": [], "block_key": [], "candidate_cluster": [], "knrm": []}
+        if len(rec) == 0 or len(prof) == 0:
+            return pd.DataFrame(out)
+        bk = g["block_key"].iloc[0]
+        for _, r in rec.iterrows():
+            rid = np.asarray(r["tfv_ids"], np.int64)
+            rw = np.asarray(r["tfv_w"], np.float64)
+            for _, p in prof.iterrows():
+                members_i = p["member_tfv_ids"]
+                members_w = p["member_tfv_w"]
+                sims = np.array([[cosine_sparse(rid, rw,
+                                                np.asarray(mi, np.int64),
+                                                np.asarray(mw, np.float64))
+                                  for mi, mw in zip(members_i, members_w)]])
+                phi = knrm_features(sims, n_kernels=n_kernels, sigma=sigma)
+                out["record_id"].append(r["record_id"])
+                out["block_key"].append(bk)
+                out["candidate_cluster"].append(p["record_id"])
+                out["knrm"].append(phi)
+        return pd.DataFrame(out)
+
+    return group_apply(recs.union(profs), "block_key", per_block,
+                       batch_format="pandas")
