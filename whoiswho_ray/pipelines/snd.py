@@ -139,7 +139,9 @@ def run_snd(
         # stage boundary.)
         normalized = normalize_records(records, cfg).materialize()
         idf = build_idf(normalized, cfg)
-        vec = vectorize(normalized, idf, cfg)
+        from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
+
+        vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS)
         return snd_cluster(normalized, vec, cfg)
 
     # the format version guards stage schemas: resuming with checkpoints
@@ -212,7 +214,10 @@ def run_snd(
 
             sub = normalized.map_batches(bucket_filter, batch_format="pyarrow",
                                          zero_copy_batch=True)
-            part_edges = generate_scored_edges(vectorize(sub, idf, cfg), cfg)
+            from whoiswho_ray.stages.pairs import EDGE_SHUFFLE_COLUMNS
+
+            part_edges = generate_scored_edges(
+                vectorize(sub, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS), cfg)
             tmp = man.begin_stage(name.replace("/", "_"))
             part_edges.write_parquet(tmp)
             rows = rd.read_parquet(tmp).count()
@@ -223,9 +228,12 @@ def run_snd(
                      for p in range(n_edge_partitions)]
         edges = part_sets[0].union(*part_sets[1:]) if len(part_sets) > 1 else part_sets[0]
     else:
+        from whoiswho_ray.stages.pairs import EDGE_SHUFFLE_COLUMNS
+
         edges = checkpointed(
             "edges", ["normalized", "idf"],
-            lambda: generate_scored_edges(vectorize(normalized, idf, cfg), cfg),
+            lambda: generate_scored_edges(
+                vectorize(normalized, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS), cfg),
         )
     checkpointed(
         "block_metrics", ["normalized"],

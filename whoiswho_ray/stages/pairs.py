@@ -425,6 +425,19 @@ def shuffle_partitions() -> int:
     return max(32, cpus * 4)
 
 
+# Columns the SND block kernels actually read — pass as ``keep=`` to
+# ``scoring.vectorize`` so the projection happens INSIDE the vectorizer map
+# stage (a separate select_columns stage after an actor pool cannot fuse and
+# measurably doubled the headline). The blocking sort-shuffle is
+# object-fetch-bound at high core counts, so the dead repo/path/commit/lang
+# strings cost wall time 1:1 if they enter it.
+EDGE_SHUFFLE_COLUMNS = [
+    "block_key", "record_id", "name", "tok_ids", "repo_ids", "ctx_ids",
+    "tfv_ids", "tfv_w",
+]
+CLUSTER_SHUFFLE_COLUMNS = EDGE_SHUFFLE_COLUMNS + ["content_sha256"]
+
+
 def generate_scored_edges(vectorized: "ray.data.Dataset", cfg: SNDConfig | None = None) -> "ray.data.Dataset":
     """vectorized records → scored edges (fused blocking + scoring).
 

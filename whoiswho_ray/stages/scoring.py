@@ -53,10 +53,21 @@ class TfidfVectorizer:
     ``searchsorted`` against the sorted vocab, per-row renormalization via
     ``reduceat``); blocks stay Arrow through the whole pipeline."""
 
-    def __init__(self, idf_ref: "ray.ObjectRef | IdfModel"):
+    def __init__(self, idf_ref: "ray.ObjectRef | IdfModel",
+                 keep: list[str] | None = None):
         self.idf: IdfModel = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        # optional projection applied INSIDE this map stage: the SND tail
+        # only reads 8–9 of normalize's columns, and the blocking shuffle
+        # right after this stage is object-fetch-bound at high core counts,
+        # so dead columns (repo/path/commit/lang strings) cost wall time
+        # 1:1. Projecting here is free — a separate select_columns stage
+        # after an actor pool cannot fuse and measurably doubles the
+        # headline (extra full materialization).
+        self.keep = keep
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.keep is not None:
+            t = t.select([c for c in self.keep if c not in ("tfv_ids", "tfv_w")])
         values, lens = _flat(t.column("tok_ids"))
         n = t.num_rows
         vocab = self.idf.ids
@@ -94,12 +105,13 @@ def vectorize(
     normalized: "ray.data.Dataset",
     idf: IdfModel,
     cfg: SNDConfig | None = None,
+    keep: list[str] | None = None,
 ) -> "ray.data.Dataset":
     cfg = cfg or SNDConfig()
     idf_ref = ray.put(idf)
     return normalized.map_batches(
         TfidfVectorizer,
-        fn_constructor_kwargs={"idf_ref": idf_ref},
+        fn_constructor_kwargs={"idf_ref": idf_ref, "keep": keep},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
