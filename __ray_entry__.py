@@ -461,12 +461,65 @@ def snd_block_stats(sf_dir: str):
 
 
 def snd_clusters(sf_dir: str):
-    """Full flagship pipeline; clustering is similarity-driven — rows-only
-    check by design (deterministic, asserted in tests, not SQL-expressible)."""
+    """Full flagship pipeline — EXACT DuckDB oracle: the whole chain
+    (tokenize → idf/vectorize → block all-pairs → weighted score →
+    strong-edge components → post-match attach) is re-derived in SQL with
+    two recursive-CTE closures. Output is all strings, so the compare is
+    float-exact; the only cross-engine float risk is a score sitting within
+    ~1 ulp of a threshold (documents corpus: far from it)."""
     from whoiswho_ray.pipelines.snd import run_snd
     from whoiswho_ray.sources.tables import records_from_documents
 
     return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
+
+
+def _pair_count_features(t: pa.Table) -> pa.Table:
+    """Pair rows → integer set-overlap features, orientation canonicalized
+    to id_a < id_b. Counts over 64-bit token hashes equal counts over the
+    token strings themselves (collision-free at oracle scale), which is
+    what the SQL side computes."""
+    from whoiswho_ray.stages.scoring import _flat, _intersections
+
+    n = t.num_rows
+    ida = np.asarray(t.column("id_a").to_pylist(), dtype=object)
+    idb = np.asarray(t.column("id_b").to_pylist(), dtype=object)
+    swap = ida > idb
+    out: dict[str, pa.Array | pa.ChunkedArray] = {
+        "block_key": t.column("block_key"),
+        "id_a": pa.array(np.where(swap, idb, ida), pa.string()),
+        "id_b": pa.array(np.where(swap, ida, idb), pa.string()),
+    }
+    for col, label in (("tok", "tok"), ("repo", "repo"), ("ctx", "ctx"),
+                       ("tfv_ids", "tfv")):
+        va, la = _flat(t.column(f"{col}_a"))
+        vb, lb = _flat(t.column(f"{col}_b"))
+        inter, _ = _intersections(n, va, la, vb, lb)
+        out[f"i_{label}"] = pa.array(inter.astype(np.int64))
+        out[f"n_{label}_a"] = pa.array(np.where(swap, lb, la).astype(np.int64))
+        out[f"n_{label}_b"] = pa.array(np.where(swap, la, lb).astype(np.int64))
+    return pa.table(out)
+
+
+def snd_edges(sf_dir: str):
+    """Candidate-pair INTEGER features of the flagship blocking + scoring
+    stage (every count int64, ids canonical) — the exact-oracle surface
+    for the pipeline's pair generation, tokenization (incl. the
+    first-appearance cap), vocabulary min_df pruning and set-intersection
+    kernels, with zero float-compare risk."""
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.sources.tables import records_from_documents
+    from whoiswho_ray.stages.idf import build_idf
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.pairs import EDGE_SHUFFLE_COLUMNS, generate_pairs
+    from whoiswho_ray.stages.scoring import vectorize
+
+    cfg = SNDConfig()
+    norm = normalize_records(
+        records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS), cfg).materialize()
+    idf = build_idf(norm, cfg)
+    pairs = generate_pairs(vectorize(norm, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS), cfg)
+    return pairs.map_batches(_pair_count_features, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def q_temporal_split(sf_dir: str):
@@ -607,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_negative_samples": q_negative_samples,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
+        "snd_edges": snd_edges,
         "snd_clusters": snd_clusters,
         "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
@@ -654,6 +708,222 @@ def _langid_oracle_sql() -> str:
                coalesce(b.pred_lang, 'und') AS pred_lang,
                coalesce(b.lang_score, 0.0) AS lang_score
         FROM documents d LEFT JOIN best b USING (doc_id)
+    """
+
+
+def _snd_feature_ctes() -> str:
+    """Shared CTE block re-deriving the flagship feature pipeline in SQL:
+    records → identifier tokenization (camel/snake split, len>=2, keyword
+    filter, first-appearance cap) → df/idf vocabulary → per-record unit
+    TF-IDF weights → per-block candidate pairs with set-overlap counts,
+    cosine and Jaro-Winkler. Composed from the live Python constants
+    (stopword list, SNDConfig) so the two engines cannot drift.
+
+    Float parity notes: idf uses ln(1+x) vs numpy's log1p — both are cast
+    to REAL (float32) like the engine's IdfModel, which absorbs the <=1 ulp
+    double difference; norm/cosine sums differ at ~1e-16 relative (SQL sum
+    order), which only matters for threshold comparisons and is orders of
+    magnitude below the corpus score gaps. DuckDB's
+    jaro_winkler_similarity is bit-parity with ours (tested)."""
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.functions.textnorm import CODE_STOPWORDS
+
+    c = SNDConfig()
+    stop = ", ".join(repr(w) for w in sorted(CODE_STOPWORDS))
+    return f"""
+        rec AS (
+            SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
+                   substr(sha256(
+                       'corpus/' || source || chr(31) ||
+                       'docs/' || lang || '/doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) || '.txt' || chr(31) ||
+                       substr(sha256(text), 1, 40)), 1, 40) AS record_id,
+                   'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) || '.txt' AS name,
+                   sha256(text) AS content_sha256,
+                   text, lang, source
+            FROM documents
+        ),
+        tl AS (
+            SELECT record_id, string_split_regex(
+                       lower(regexp_replace(coalesce(text, ''),
+                             '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+                       '[^a-z0-9]+') AS l
+            FROM rec
+        ),
+        tr AS (SELECT record_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl),
+        tf AS (
+            SELECT record_id, tok, min(pos) AS fpos FROM tr
+            WHERE length(tok) >= 2 AND tok NOT IN ({stop})
+            GROUP BY 1, 2
+        ),
+        capped AS (
+            SELECT record_id, tok FROM (
+                SELECT record_id, tok,
+                       row_number() OVER (PARTITION BY record_id ORDER BY fpos) AS rn
+                FROM tf)
+            WHERE rn <= {c.max_tokens_per_record}
+        ),
+        ntok AS (SELECT record_id, count(*) AS n FROM capped GROUP BY 1),
+        dfs AS (SELECT tok, count(*) AS df FROM capped GROUP BY 1),
+        nrec AS (SELECT count(*) AS n FROM rec),
+        idfs AS (
+            SELECT tok, CAST(ln(1 + CAST((SELECT n FROM nrec) AS DOUBLE) / df) AS REAL) AS idf
+            FROM dfs WHERE df >= {c.min_df}
+        ),
+        rw AS (SELECT ca.record_id, ca.tok, CAST(i.idf AS DOUBLE) AS w
+               FROM capped ca JOIN idfs i USING (tok)),
+        ntfv AS (SELECT record_id, count(*) AS n FROM rw GROUP BY 1),
+        nrm AS (SELECT record_id, sqrt(sum(w * w)) AS nrm FROM rw GROUP BY 1),
+        wn AS (SELECT r.record_id, r.tok, CAST(r.w / m.nrm AS REAL) AS w
+               FROM rw r JOIN nrm m USING (record_id)),
+        rtok AS (
+            SELECT DISTINCT record_id, tok FROM (
+                SELECT record_id,
+                       unnest(string_split_regex(lower('corpus/' || source), '[^a-z0-9]+')) AS tok
+                FROM rec)
+            WHERE tok <> ''
+        ),
+        nrtok AS (SELECT record_id, count(*) AS n FROM rtok GROUP BY 1),
+        ctok AS (
+            SELECT DISTINCT record_id, tok FROM (
+                SELECT record_id,
+                       unnest(string_split_regex(lower('docs/' || lang), '[^a-z0-9]+')) AS tok
+                FROM rec
+                UNION ALL SELECT record_id, lower(lang) FROM rec)
+            WHERE tok <> ''
+        ),
+        nctok AS (SELECT record_id, count(*) AS n FROM ctok GROUP BY 1),
+        prs AS (
+            SELECT a.block_key, a.record_id AS ra, b.record_id AS rb,
+                   a.name AS na, b.name AS nb
+            FROM rec a JOIN rec b
+              ON a.block_key = b.block_key AND a.record_id < b.record_id
+        ),
+        itok AS (SELECT p.ra, p.rb, count(*) AS c FROM prs p
+                 JOIN capped x ON x.record_id = p.ra
+                 JOIN capped y ON y.record_id = p.rb AND y.tok = x.tok
+                 GROUP BY 1, 2),
+        irep AS (SELECT p.ra, p.rb, count(*) AS c FROM prs p
+                 JOIN rtok x ON x.record_id = p.ra
+                 JOIN rtok y ON y.record_id = p.rb AND y.tok = x.tok
+                 GROUP BY 1, 2),
+        ictx AS (SELECT p.ra, p.rb, count(*) AS c FROM prs p
+                 JOIN ctok x ON x.record_id = p.ra
+                 JOIN ctok y ON y.record_id = p.rb AND y.tok = x.tok
+                 GROUP BY 1, 2),
+        itfv AS (SELECT p.ra, p.rb, count(*) AS c,
+                        sum(CAST(x.w AS DOUBLE) * CAST(y.w AS DOUBLE)) AS dot
+                 FROM prs p
+                 JOIN wn x ON x.record_id = p.ra
+                 JOIN wn y ON y.record_id = p.rb AND y.tok = x.tok
+                 GROUP BY 1, 2),
+        feats AS (
+            SELECT p.block_key, p.ra, p.rb,
+                   coalesce(it.c, 0) AS i_tok,
+                   coalesce(ta.n, 0) AS n_tok_a, coalesce(tb.n, 0) AS n_tok_b,
+                   coalesce(ir.c, 0) AS i_repo,
+                   coalesce(ra2.n, 0) AS n_repo_a, coalesce(rb2.n, 0) AS n_repo_b,
+                   coalesce(ix.c, 0) AS i_ctx,
+                   coalesce(ca2.n, 0) AS n_ctx_a, coalesce(cb2.n, 0) AS n_ctx_b,
+                   coalesce(iv.c, 0) AS i_tfv,
+                   coalesce(va.n, 0) AS n_tfv_a, coalesce(vb.n, 0) AS n_tfv_b,
+                   coalesce(iv.dot, 0.0) AS cos,
+                   jaro_winkler_similarity(lower(p.na), lower(p.nb)) AS jw
+            FROM prs p
+            LEFT JOIN itok it ON it.ra = p.ra AND it.rb = p.rb
+            LEFT JOIN irep ir ON ir.ra = p.ra AND ir.rb = p.rb
+            LEFT JOIN ictx ix ON ix.ra = p.ra AND ix.rb = p.rb
+            LEFT JOIN itfv iv ON iv.ra = p.ra AND iv.rb = p.rb
+            LEFT JOIN ntok ta ON ta.record_id = p.ra
+            LEFT JOIN ntok tb ON tb.record_id = p.rb
+            LEFT JOIN nrtok ra2 ON ra2.record_id = p.ra
+            LEFT JOIN nrtok rb2 ON rb2.record_id = p.rb
+            LEFT JOIN nctok ca2 ON ca2.record_id = p.ra
+            LEFT JOIN nctok cb2 ON cb2.record_id = p.rb
+            LEFT JOIN ntfv va ON va.record_id = p.ra
+            LEFT JOIN ntfv vb ON vb.record_id = p.rb
+        )"""
+
+
+def _snd_edges_oracle_sql() -> str:
+    return f"""
+        WITH {_snd_feature_ctes()}
+        SELECT block_key, ra AS id_a, rb AS id_b,
+               i_tok, n_tok_a, n_tok_b,
+               i_repo, n_repo_a, n_repo_b,
+               i_ctx, n_ctx_a, n_ctx_b,
+               i_tfv, n_tfv_a, n_tfv_b
+        FROM feats
+    """
+
+
+def _snd_clusters_oracle_sql() -> str:
+    """Score + strong-edge components + the reference post-match
+    (singleton→best-non-singleton attach with (score DESC, partner ASC)
+    tie-break; all singleton–singleton attach pairs) via two recursive-CTE
+    closures; cluster_id = block_key # min record_id of the component —
+    mirroring ``cluster_edge_arrays`` exactly."""
+    from whoiswho_ray.config import SNDConfig
+
+    c = SNDConfig()
+    score = (f"{c.w_tokens!r} * (CASE WHEN n_tok_a + n_tok_b - i_tok > 0 "
+             f"THEN CAST(i_tok AS DOUBLE) / (n_tok_a + n_tok_b - i_tok) ELSE 0.0 END)"
+             f" + {c.w_repo!r} * (CASE WHEN n_repo_a + n_repo_b - i_repo > 0 "
+             f"THEN CAST(i_repo AS DOUBLE) / (n_repo_a + n_repo_b - i_repo) ELSE 0.0 END)"
+             f" + {c.w_ctx!r} * (CASE WHEN n_ctx_a + n_ctx_b - i_ctx > 0 "
+             f"THEN CAST(i_ctx AS DOUBLE) / (n_ctx_a + n_ctx_b - i_ctx) ELSE 0.0 END)"
+             f" + {c.w_tfidf!r} * cos + {c.w_name!r} * jw")
+    return f"""
+        WITH RECURSIVE {_snd_feature_ctes()},
+        scored AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
+        strong AS (SELECT ra, rb FROM scored WHERE score >= {c.tau_edge!r}),
+        sym1 AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
+                 UNION ALL SELECT rb, ra FROM strong),
+        reach1(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a
+        ),
+        comp1 AS (SELECT a AS record_id, min(b) AS comp FROM reach1 GROUP BY 1),
+        siz AS (SELECT comp, count(*) AS n FROM comp1 GROUP BY 1),
+        lab AS (SELECT c1.record_id, (s.n = 1) AS single
+                FROM comp1 c1 JOIN siz s USING (comp)),
+        att AS (SELECT ra, rb, score FROM scored WHERE score >= {c.tau_attach!r}),
+        bs AS (SELECT a.ra, a.rb FROM att a
+               JOIN lab la ON la.record_id = a.ra
+               JOIN lab lb ON lb.record_id = a.rb
+               WHERE la.single AND lb.single),
+        cand AS (
+            SELECT e.x, e.y, e.score FROM (
+                SELECT ra AS x, rb AS y, score FROM att
+                UNION ALL SELECT rb, ra, score FROM att) e
+            JOIN lab lx ON lx.record_id = e.x
+            JOIN lab ly ON ly.record_id = e.y
+            WHERE lx.single AND NOT ly.single
+        ),
+        best AS (
+            SELECT x, y FROM (
+                SELECT x, y, row_number() OVER (
+                    PARTITION BY x ORDER BY score DESC, y ASC) AS rn
+                FROM cand)
+            WHERE rn = 1
+        ),
+        alledges AS MATERIALIZED (
+            SELECT a, b FROM sym1
+            UNION ALL SELECT ra, rb FROM bs
+            UNION ALL SELECT rb, ra FROM bs
+            UNION ALL SELECT x, y FROM best
+            UNION ALL SELECT y, x FROM best
+        ),
+        reach2(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach2 r JOIN alledges s ON r.b = s.a
+        ),
+        comp2 AS (SELECT a AS record_id, min(b) AS comp FROM reach2 GROUP BY 1)
+        SELECT r.block_key, r.record_id,
+               r.block_key || '#' || c2.comp AS cluster_id,
+               r.content_sha256
+        FROM rec r JOIN comp2 c2 USING (record_id)
     """
 
 
@@ -877,6 +1147,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_records
             FROM documents GROUP BY 1
         """,
+        "snd_edges": _snd_edges_oracle_sql(),
+        "snd_clusters": _snd_clusters_oracle_sql(),
         "q_negative_samples": f"""
             WITH rec AS (
                 SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
