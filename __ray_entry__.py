@@ -500,6 +500,27 @@ def _pair_count_features(t: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+def snd_relational(sf_dir: str):
+    """Relational (graph-view) pair features — operator A6: per candidate
+    pair, common-neighbor count and strong degrees over the strong-edge
+    graph the direct scores induce (stages/relational.py). All counts
+    int64 → exact SQL compare."""
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.sources.tables import records_from_documents
+    from whoiswho_ray.stages.idf import build_idf
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.pairs import EDGE_SHUFFLE_COLUMNS
+    from whoiswho_ray.stages.relational import generate_relational_features
+    from whoiswho_ray.stages.scoring import vectorize
+
+    cfg = SNDConfig()
+    norm = normalize_records(
+        records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS), cfg).materialize()
+    idf = build_idf(norm, cfg)
+    vec = vectorize(norm, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS)
+    return generate_relational_features(vec, cfg)
+
+
 def snd_edges(sf_dir: str):
     """Candidate-pair INTEGER features of the flagship blocking + scoring
     stage (every count int64, ids canonical) — the exact-oracle surface
@@ -661,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
+        "snd_relational": snd_relational,
         "snd_clusters": snd_clusters,
         "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
@@ -853,6 +875,44 @@ def _snd_edges_oracle_sql() -> str:
                i_ctx, n_ctx_a, n_ctx_b,
                i_tfv, n_tfv_a, n_tfv_b
         FROM feats
+    """
+
+
+def _snd_relational_oracle_sql() -> str:
+    """Graph-view features in SQL: strong edges from the same score
+    formula, symmetrized; per candidate pair the common-neighbor count,
+    both strong degrees, and the pair's own strong flag — all integers."""
+    from whoiswho_ray.config import SNDConfig
+
+    c = SNDConfig()
+    score = (f"{c.w_tokens!r} * (CASE WHEN n_tok_a + n_tok_b - i_tok > 0 "
+             f"THEN CAST(i_tok AS DOUBLE) / (n_tok_a + n_tok_b - i_tok) ELSE 0.0 END)"
+             f" + {c.w_repo!r} * (CASE WHEN n_repo_a + n_repo_b - i_repo > 0 "
+             f"THEN CAST(i_repo AS DOUBLE) / (n_repo_a + n_repo_b - i_repo) ELSE 0.0 END)"
+             f" + {c.w_ctx!r} * (CASE WHEN n_ctx_a + n_ctx_b - i_ctx > 0 "
+             f"THEN CAST(i_ctx AS DOUBLE) / (n_ctx_a + n_ctx_b - i_ctx) ELSE 0.0 END)"
+             f" + {c.w_tfidf!r} * cos + {c.w_name!r} * jw")
+    return f"""
+        WITH {_snd_feature_ctes()},
+        scored AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
+        strong AS MATERIALIZED (SELECT ra, rb FROM scored WHERE score >= {c.tau_edge!r}),
+        sym AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
+                             UNION ALL SELECT rb, ra FROM strong),
+        deg AS (SELECT a, count(*) AS n FROM sym GROUP BY 1),
+        cnb AS (SELECT p.ra, p.rb, count(*) AS c FROM prs p
+                JOIN sym x ON x.a = p.ra
+                JOIN sym y ON y.a = p.rb AND y.b = x.b
+                GROUP BY 1, 2)
+        SELECT p.block_key, p.ra AS id_a, p.rb AS id_b,
+               coalesce(cnb.c, 0) AS cn,
+               coalesce(da.n, 0) AS deg_a,
+               coalesce(db.n, 0) AS deg_b,
+               CAST(CASE WHEN st.ra IS NULL THEN 0 ELSE 1 END AS BIGINT) AS s
+        FROM prs p
+        LEFT JOIN cnb ON cnb.ra = p.ra AND cnb.rb = p.rb
+        LEFT JOIN deg da ON da.a = p.ra
+        LEFT JOIN deg db ON db.a = p.rb
+        LEFT JOIN strong st ON st.ra = p.ra AND st.rb = p.rb
     """
 
 
@@ -1148,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "snd_edges": _snd_edges_oracle_sql(),
+        "snd_relational": _snd_relational_oracle_sql(),
         "snd_clusters": _snd_clusters_oracle_sql(),
         "q_negative_samples": f"""
             WITH rec AS (

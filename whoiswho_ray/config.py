@@ -40,6 +40,14 @@ class SNDConfig:
     w_ctx: float = 0.5
     w_tfidf: float = 2.0
     w_name: float = 0.1
+    # relational (graph-view) blend weight — operator A6: the reference's
+    # second, structure-only similarity view (relational_features.py:144-173)
+    # re-expressed as a deterministic common-neighbor correction
+    # (stages/relational.py). 0 = off (content views only); > 0 adds
+    # w_rel * (neighbor_jaccard - 0.5) to every candidate pair's score
+    # inside the block kernels, boosting structurally-supported pairs and
+    # vetoing spurious direct edges with no shared neighborhood.
+    w_rel: float = 0.0
 
     # --- clustering thresholds ---
     # primary edge threshold (two records linked when score >= tau_edge);

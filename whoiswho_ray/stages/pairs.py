@@ -332,6 +332,10 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
             names[ii].tolist(), names[jj].tolist(),
             jw_fn,
         )
+    if cfg.w_rel:
+        from whoiswho_ray.stages.relational import relational_adjust
+
+        feats = relational_adjust(n, ii, jj, feats, cfg)
     return rids, ii, jj, feats
 
 
