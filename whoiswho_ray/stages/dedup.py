@@ -141,72 +141,81 @@ def _candidates_distributed(
         "__bucket").map_groups(kernel, batch_format="pandas")
 
 
-def _attach_side(
+def _verify_candidates_fused(
     cand: "ray.data.Dataset",
     side_table: "ray.data.Dataset",
     key_col: str,
     val_col: str,
-    pair_key: str,
-    out_val: str,
+    verify,
     num_buckets: int,
 ) -> "ray.data.Dataset":
-    """Shuffle-join one side-table payload column onto the candidate pairs.
+    """Candidate (key_a, key_b) pairs + a (key → val) side table → verified
+    edge rows in ONE attach shuffle + ONE regroup shuffle.
 
-    Arrow-native partitioned hash join: both inputs are tagged, null-padded
-    to a common schema, unioned, hash-bucketed on the join key, and matched
-    inside one task per bucket (sorted side keys + searchsorted — no
-    per-row Python). The side-table stays distributed end to end — never
-    driver-collected, never broadcast whole; list payloads ride the shuffle
-    as Arrow lists."""
-    def _pa_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except Exception:  # object dtype etc. → string keys
-            return pa.string()
+    Each pair splits into two half-rows ``(pid, key, slot)``; the side
+    table is tagged (``slot = -1``) and unioned in, one bucketed groupby on
+    ``key`` attaches ``val`` to every half (sorted side keys + searchsorted
+    — no per-row Python), and a second bucketed groupby on ``pid`` realigns
+    the two halves and runs the vectorized verifier INSIDE the same task.
+    Versus two sequential attach joins (the round-2 shape) this ships the
+    side table through one shuffle instead of two and never drags one
+    side's payload through the other side's shuffle; duplicate candidates
+    from different LSH bands collapse globally in the regroup. The side
+    table stays distributed end to end — never driver-collected, never
+    broadcast.
+
+    ``verify(ka, kb, va, vb) -> pa.Table`` receives aligned Arrow arrays
+    (keys in their native type, attached values) and returns edge rows; it
+    must handle the empty case with a stable schema.
+    """
+    import pyarrow.compute as pc
 
     sside = side_table.schema()
-    val_type = _pa_type(dict(zip(sside.names, sside.types))[val_col])
-    scand = cand.schema()
-    cand_names = list(scand.names)
-    cand_types = {n: _pa_type(t) for n, t in zip(scand.names, scand.types)}
+    key_type = dict(zip(sside.names, sside.types))[key_col]
+    val_type = dict(zip(sside.names, sside.types))[val_col]
 
     def _buckets_of(keys_pd) -> np.ndarray:
         h = pd.util.hash_pandas_object(keys_pd, index=False).to_numpy()
         return (h % np.uint64(num_buckets)).astype(np.int64)
 
-    def tag_cand(t: pa.Table) -> pa.Table:
+    def halves(t: pa.Table) -> pa.Table:
+        ka = t.column("key_a").combine_chunks() if isinstance(t.column("key_a"), pa.ChunkedArray) else t.column("key_a")
+        kb = t.column("key_b").combine_chunks() if isinstance(t.column("key_b"), pa.ChunkedArray) else t.column("key_b")
         n = t.num_rows
-        cols = {nm: t.column(nm) for nm in cand_names}
-        cols[out_val] = pa.nulls(n, val_type)
-        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
-        cols["__bucket"] = pa.array(_buckets_of(t.column(pair_key).to_pandas()))
-        return pa.table(cols)
+        pid = pc.binary_join_element_wise(
+            pc.cast(ka, pa.string()), pc.cast(kb, pa.string()), "\x1f")
+        key = pa.concat_arrays([pc.cast(ka, key_type), pc.cast(kb, key_type)])
+        out = pa.table({
+            "pid": pa.concat_arrays([pid, pid]),
+            "key": key,
+            "slot": pa.array(np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)]),
+            "val": pa.nulls(2 * n, val_type),
+        })
+        return out.append_column(
+            "__bucket", pa.array(_buckets_of(out.column("key").to_pandas())))
 
     def tag_side(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        cols = {}
-        for nm in cand_names:
-            cols[nm] = t.column(key_col) if nm == pair_key else pa.nulls(n, cand_types[nm])
-        cols[out_val] = t.column(val_col)
-        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
-        cols["__bucket"] = pa.array(_buckets_of(t.column(key_col).to_pandas()))
-        return pa.table(cols)
+        return pa.table({
+            "pid": pa.nulls(n, pa.string()),
+            "key": pc.cast(t.column(key_col), key_type),
+            "slot": pa.array(np.full(n, -1, dtype=np.int8)),
+            "val": t.column(val_col),
+            "__bucket": pa.array(_buckets_of(t.column(key_col).to_pandas())),
+        })
 
-    tagged = cand.map_batches(tag_cand, batch_format="pyarrow", zero_copy_batch=True).union(
+    tagged = cand.map_batches(halves, batch_format="pyarrow", zero_copy_batch=True).union(
         side_table.map_batches(tag_side, batch_format="pyarrow", zero_copy_batch=True))
 
-    def match(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        side_mask = pc.equal(t.column("__side"), pa.scalar(0, pa.int8()))
+    def attach(t: pa.Table) -> pa.Table:
+        slot = t.column("slot").to_numpy(zero_copy_only=False)
+        side_mask = pa.array(slot == -1)
         s = t.filter(side_mask)
         c = t.filter(pc.invert(side_mask))
-        skeys = np.asarray(s.column(pair_key).to_pylist(), dtype=object)
+        skeys = np.asarray(s.column("key").to_pylist(), dtype=object)
         order = np.argsort(skeys, kind="stable")
         ssorted = skeys[order]
-        ckeys = np.asarray(c.column(pair_key).to_pylist(), dtype=object)
+        ckeys = np.asarray(c.column("key").to_pylist(), dtype=object)
         if ssorted.size:
             pos = np.searchsorted(ssorted, ckeys)
             pos[pos == ssorted.size] = 0
@@ -215,13 +224,39 @@ def _attach_side(
             pos = np.zeros(ckeys.size, dtype=np.int64)
             ok = np.zeros(ckeys.size, dtype=bool)
         c_ok = c.filter(pa.array(ok))
-        idx = order[pos[ok]]
-        attached = s.column(out_val).combine_chunks().take(pa.array(idx, pa.int64()))
-        cols = {nm: c_ok.column(nm) for nm in cand_names}
-        cols[out_val] = attached
-        return pa.table(cols)
+        attached = s.column("val").combine_chunks().take(
+            pa.array(order[pos[ok]], pa.int64()))
+        out = pa.table({
+            "pid": c_ok.column("pid"),
+            "key": c_ok.column("key"),
+            "slot": c_ok.column("slot"),
+            "val": attached,
+        })
+        return out.append_column(
+            "__bucket", pa.array(_buckets_of(out.column("pid").to_pandas())))
 
-    return tagged.groupby("__bucket").map_groups(match, batch_format="pyarrow")
+    attached = tagged.groupby("__bucket").map_groups(attach, batch_format="pyarrow")
+
+    def regroup(t: pa.Table) -> pa.Table:
+        pid = np.asarray(t.column("pid").to_pylist(), dtype=object)
+        slot = t.column("slot").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((slot, pid))
+        p, s = pid[order], slot[order]
+        # global dedup of (pid, slot) — the same pair surfaces once per band
+        head = np.r_[True, (p[1:] != p[:-1]) | (s[1:] != s[:-1])] if p.size else np.zeros(0, bool)
+        idx = order[head]
+        p2, s2 = p[head], s[head]
+        start = np.flatnonzero(np.r_[True, p2[1:] != p2[:-1]]) if p2.size else np.zeros(0, np.int64)
+        runlen = np.diff(np.r_[start, p2.size])
+        full = runlen == 2
+        a_idx = pa.array(idx[start[full]], pa.int64())
+        b_idx = pa.array(idx[start[full] + 1], pa.int64())
+        keys = t.column("key").combine_chunks()
+        vals = t.column("val").combine_chunks()
+        return verify(keys.take(a_idx), keys.take(b_idx),
+                      vals.take(a_idx), vals.take(b_idx))
+
+    return attached.groupby("__bucket").map_groups(regroup, batch_format="pyarrow")
 
 
 def _labels_with_isolates(
@@ -405,31 +440,24 @@ def minhash_lsh_dedup(
 
     nb = _cc_num_buckets()
     cand = _local_dedup(_candidates_distributed(exploded))
-    with_a = _attach_side(cand, toks, key_col, "tok_ids", "key_a", "tok_a", nb)
-    with_ab = _attach_side(with_a, toks, key_col, "tok_ids", "key_b", "tok_b", nb)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
+    def verify_jacc(ka: pa.Array, kb: pa.Array, va: pa.Array, vb: pa.Array) -> pa.Table:
+        n = len(ka)
         if n == 0:
-            return pd.DataFrame({"key_a": np.empty(0, object),
-                                 "key_b": np.empty(0, object),
-                                 "jacc": np.empty(0, np.float64)})
-        def flat(col):
-            arrays = [np.asarray(a, np.int64) for a in col]
-            lens = np.fromiter((a.size for a in arrays), np.int64, n)
-            vals = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
-            return vals, lens
-        va, la = flat(df["tok_a"])
-        vb, lb = flat(df["tok_b"])
-        inter, _ = _intersections(n, va, la, vb, lb)
+            return pa.table({"key_a": ka, "key_b": kb,
+                             "jacc": pa.array([], pa.float64())})
+        fa, la = _flat(va)
+        fb, lb = _flat(vb)
+        inter, _ = _intersections(n, fa, la, fb, lb)
         union = la + lb - inter
         jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        ok = jacc >= threshold
-        return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
-                             "key_b": df["key_b"].to_numpy()[ok],
-                             "jacc": jacc[ok]})
+        ok_np = jacc >= threshold
+        ok = pa.array(ok_np)
+        return pa.table({"key_a": ka.filter(ok), "key_b": kb.filter(ok),
+                         "jacc": pa.array(jacc[ok_np])})
 
-    edges_ds = with_ab.map_batches(verify, batch_format="pandas", batch_size=32768)
+    edges_ds = _verify_candidates_fused(cand, toks, key_col, "tok_ids",
+                                        verify_jacc, nb)
     return _labels_with_isolates(ds, edges_ds, key_col)
 
 
@@ -528,20 +556,16 @@ def simhash_dedup(
 
     nb = _cc_num_buckets()
     cand = _local_dedup(_candidates_distributed(exploded))
-    with_a = _attach_side(cand, sh, "key", "sim", "key_a", "sim_a", nb)
-    with_ab = _attach_side(with_a, sh, "key", "sim", "key_b", "sim_b", nb)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"key_a": np.empty(0, object),
-                                 "key_b": np.empty(0, object)})
-        sa = df["sim_a"].to_numpy().astype(np.uint64)
-        sb = df["sim_b"].to_numpy().astype(np.uint64)
-        ok = _hamming_matrix(sa, sb) <= max_hamming
-        return pd.DataFrame({"key_a": df["key_a"].to_numpy()[ok],
-                             "key_b": df["key_b"].to_numpy()[ok]})
+    def verify_ham(ka: pa.Array, kb: pa.Array, va: pa.Array, vb: pa.Array) -> pa.Table:
+        if len(ka) == 0:
+            return pa.table({"key_a": ka, "key_b": kb})
+        sa = va.to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = vb.to_numpy(zero_copy_only=False).astype(np.uint64)
+        ok = pa.array(_hamming_matrix(sa, sb) <= max_hamming)
+        return pa.table({"key_a": ka.filter(ok), "key_b": kb.filter(ok)})
 
-    edges_ds = with_ab.map_batches(verify, batch_format="pandas", batch_size=65536)
+    edges_ds = _verify_candidates_fused(cand, sh, "key", "sim", verify_ham, nb)
     return _labels_with_isolates(ds, edges_ds, key_col)
 
 
