@@ -567,15 +567,19 @@ def q_cap_per_group(sf_dir: str):
 
 def q_kfold_assign(sf_dir: str):
     """O7: weight-aware round-robin 5-fold split of customers by order
-    count (the reference's k-fold name split)."""
+    count (the reference's k-fold name split) — the DISTRIBUTED rank
+    (Ray sort + zip(range)) path, bit-identical to the driver variant."""
+    import ray.data as rd
+
     from whoiswho_ray.sources.tables import read_table
     from whoiswho_ray.stages.agg import grouped_agg
-    from whoiswho_ray.stages.splits import kfold_by_weight
+    from whoiswho_ray.stages.splits import kfold_by_weight_ds
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
     counts = grouped_agg(orders, "o_custkey", {"n_orders": (None, "count")})
-    out = kfold_by_weight(counts, "o_custkey", "n_orders", k=5)
-    return out
+    if isinstance(counts, pd.DataFrame):
+        counts = rd.from_pandas(counts)
+    return kfold_by_weight_ds(counts, "o_custkey", "n_orders", k=5)
 
 
 def q_events_top_per_user(sf_dir: str):

@@ -8,6 +8,7 @@ import ray.data as rd
 from whoiswho_ray.stages.splits import (
     cap_per_group,
     kfold_by_weight,
+    kfold_by_weight_ds,
     sample_negatives,
     temporal_split,
 )
@@ -39,6 +40,17 @@ def test_kfold_round_robin_balances_weight():
     # heaviest keys land in distinct folds
     heavy = out[out["k"].isin(list("abcde"))]["fold"]
     assert sorted(heavy) == [0, 1, 2, 3, 4]
+
+
+def test_kfold_distributed_equals_driver():
+    rng = np.random.default_rng(3)
+    w = pd.DataFrame({"k": [f"k{i:04d}" for i in range(500)],
+                      "w": rng.integers(1, 50, 500)})
+    driver = kfold_by_weight(w, "k", "w", k=7).sort_values("k").reset_index(drop=True)
+    dist = kfold_by_weight_ds(rd.from_pandas(w), "k", "w", k=7).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(driver.astype({"fold": "int64"}),
+                                  dist[["k", "fold"]])
 
 
 def test_sample_negatives_deterministic_and_excludes_self():

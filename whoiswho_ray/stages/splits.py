@@ -97,6 +97,38 @@ def kfold_by_weight(
     return w[[key_col, "fold"]]
 
 
+def kfold_by_weight_ds(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    weight_col: str,
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """Distributed ``kfold_by_weight``: the same (weight desc, key asc)
+    rank-mod-k assignment, but the rank comes from one Ray ``sort``
+    (distributed sample-sort) zipped against ``range(n)`` for the global
+    row index — no driver-side materialization, so key cardinality is
+    bounded by the cluster, not the driver (the pandas variant's documented
+    ~1M-key ceiling). Bit-identical to :func:`kfold_by_weight` (asserted in
+    tests; the tie-break key is part of the sort key, so the order is fully
+    determined)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    # materialize once: count() and zip() would otherwise both run the sort
+    s = ds.sort([weight_col, key_col], descending=[True, False]).materialize()
+    n = s.count()
+    z = s.zip(rd.range(n))
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = t.column("id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: t.column(key_col),
+            "fold": pa.array((idx % k).astype(np.int64)),
+        })
+
+    return z.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sample_negatives(
     ds: "ray.data.Dataset",
     group_col: str,
