@@ -292,7 +292,10 @@ def q_doc_dedup_exact(sf_dir: str):
     from whoiswho_ray.stages.dedup import exact_dedup
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source", "lang", "n_chars"])
-    return exact_dedup(ds).select_columns(["doc_id", "source", "lang", "n_chars"])
+    # project=True = the scale path: only (sha, key) projections shuffle,
+    # winners recovered by broadcast semi-join — same exact oracle
+    return exact_dedup(ds, project=True).select_columns(
+        ["doc_id", "source", "lang", "n_chars"])
 
 
 def q_doc_ngram_pairs(sf_dir: str):

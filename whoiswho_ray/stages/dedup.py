@@ -44,15 +44,49 @@ _PAIR_BUDGET = 50_000  # per-bucket candidate-pair budget (window pairs beyond)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", key_col: str = "doc_id") -> "ray.data.Dataset":
-    """Keep one row (minimum key) per distinct text. The groupby shuffle
-    partitions by content hash; rows ride along here because payloads are
-    small — at scale, ship (sha, key) projections and semi-join the keepers
-    back via ``joins.semi_join``."""
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    project: bool = False,
+) -> "ray.data.Dataset":
+    """Keep one row (minimum key) per distinct text.
+
+    ``project=False``: full rows ride the content-hash groupby — fine when
+    payloads are small. ``project=True`` is the scale path: only
+    ``(sha, key)`` projections (~100 B/row) enter the shuffle, the min-key
+    winner per sha comes from the bucketed ``min_by_key`` finisher, and the
+    winning rows are recovered by a broadcast semi-join on ``key_col`` —
+    the full text column never travels. Same output either way (asserted
+    in tests and by the unchanged exact oracle)."""
 
     def add_sha(t: pa.Table) -> pa.Table:
         sha = [sha256_hex(x if x is not None else "") for x in t.column(text_col).to_pylist()]
         return t.append_column("_sha", pa.array(sha, pa.string()))
+
+    if project:
+        from whoiswho_ray.stages.cluster import min_by_key
+        from whoiswho_ray.stages.joins import semi_join
+
+        slim = ds.map_batches(
+            lambda t: pa.table({
+                "_sha": pa.array([sha256_hex(x if x is not None else "")
+                                  for x in t.column(text_col).to_pylist()], pa.string()),
+                key_col: t.column(key_col),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True)
+        winners = min_by_key(slim, "_sha", key_col, "_sha", key_col)
+        # winner KEYS (8-100 B each) are streamed to the driver and
+        # broadcast once — O(#distinct texts) driver memory, vs shipping
+        # the text column itself through a hash shuffle (KBs/row). The
+        # broadcast side wins by orders of magnitude until winner count
+        # outgrows driver RAM; beyond that, swap in a bloom filter here.
+        keys = np.concatenate([
+            b[key_col].to_numpy()
+            for b in winners.select_columns([key_col]).iter_batches(
+                batch_format="pandas", batch_size=262144)
+        ] or [np.empty(0, dtype=object)])
+        return semi_join(ds, keys, key_col)
 
     with_sha = ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
 

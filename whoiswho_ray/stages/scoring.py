@@ -302,7 +302,13 @@ def score_flat_components(
 
 
 class PairScorer:
-    """Actor: pair rows (payload signatures as Arrow lists) → scored edges."""
+    """Actor: pair rows (payload signatures as Arrow lists) → scored edges.
+
+    Scores the CONTENT views only — the relational graph-view blend
+    (``cfg.w_rel``, stages/relational.py) needs the whole block's pair set
+    and therefore runs exclusively inside the block kernels
+    (``pairs._score_block``); externally-supplied pair batches may split
+    blocks, so this actor ignores ``w_rel`` by construction."""
 
     def __init__(self, cfg: SNDConfig):
         self.cfg = cfg
