@@ -653,6 +653,29 @@ def rnd_assign(sf_dir: str):
     return run_rnd(known, new)
 
 
+def rnd_assign_learned(sf_dir: str):
+    """RND LEARNED path: same 80/20 split, but assignment goes through the
+    full feature→model→assign lifecycle — member-retaining profiles, KNRM
+    kernel features per (record × candidate), GBDT/logistic cell-ensemble
+    fit on the known records, broadcast ensemble scoring, per-record
+    argmax with NIL (AutoTrainRND.py:35-71 analog). Model-driven —
+    rows-only check by design; accuracy gated in test_rnd."""
+    from whoiswho_ray.pipelines.rnd import run_rnd_learned
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    recs = records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS)
+
+    def split(t: pa.Table, keep_new: bool) -> pa.Table:
+        commits = t.column("commit").to_pylist()
+        is_new = np.array([int(c[:2], 16) % 5 == 0 for c in commits])
+        mask = is_new if keep_new else ~is_new
+        return t.filter(pa.array(mask))
+
+    known = recs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    new = recs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    return run_rnd_learned(known, new)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -693,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_clusters": snd_clusters,
         "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
+        "rnd_assign_learned": rnd_assign_learned,
     }
 
 

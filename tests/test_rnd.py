@@ -51,6 +51,28 @@ class TestRND:
         assert m["accuracy"] >= 0.97, m
         assert m["weighted_f1"] >= 0.97, m
 
+    def test_learned_assignment_accuracy(self, rnd_setup):
+        """The KNRM-feature ensemble path (fit on known records, assign
+        held-out ones) must reach the same accuracy gate as the
+        fixed-weight centroid path — the reference's feature→GBDT→assign
+        lifecycle end to end."""
+        from whoiswho_ray.pipelines.rnd import run_rnd_learned
+        from whoiswho_ray.pipelines.snd import run_snd
+
+        known, new, tru, _ = rnd_setup
+        cols = ["repo", "path", "commit", "lang", "content"]
+        known_ds = rd.from_pandas(known[cols])
+        new_ds = rd.from_pandas(new[cols])
+        assigned = run_rnd_learned(known_ds, new_ds).to_pandas()
+        assert len(assigned) == len(new)
+        assert assigned["record_id"].is_unique
+        clusters = run_snd(rd.from_pandas(known[cols])).to_pandas()
+        cluster_truth = clusters.merge(
+            tru[["record_id", "entity_id"]], on="record_id")
+        m = assignment_metrics(assigned, new[["record_id", "entity_id"]],
+                               cluster_truth)
+        assert m["accuracy"] >= 0.9, m
+
     def test_nil_for_foreign_block(self):
         """Records whose block has no profiles must come back NIL."""
         cfg = SNDConfig()

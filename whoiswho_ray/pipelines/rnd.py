@@ -359,3 +359,144 @@ def rnd_knrm_features(
 
     return group_apply(recs.union(profs), "block_key", per_block,
                        batch_format="pandas")
+
+
+def expand_knrm(feats: "rd.Dataset", n_kernels: int = 21) -> "rd.Dataset":
+    """KNRM list column → named feature columns ``k00..k{n-1}`` (the shape
+    ``training.EnsembleModel`` consumes)."""
+    names = [f"k{i:02d}" for i in range(n_kernels)]
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["record_id", "block_key", "candidate_cluster"]].copy()
+        mat = (np.stack([np.asarray(x, np.float64) for x in df["knrm"]])
+               if len(df) else np.zeros((0, n_kernels)))
+        for i, nm in enumerate(names):
+            out[nm] = mat[:, i]
+        return out
+
+    return feats.map_batches(f, batch_format="pandas")
+
+
+def fit_rnd_ensemble(
+    known_vectorized: "rd.Dataset",
+    profiles: "rd.Dataset",
+    clusters: "rd.Dataset",
+    n_kernels: int = 21,
+    sigma: float = 0.1,
+    cells=None,
+    seed: int = 42,
+):
+    """Fit the GBDT/logistic cell ensemble on KNRM features of KNOWN
+    records vs their block's candidate profiles — the
+    ``AutoTrainRND.fit`` role (``AutoTrainRND.py:35-71``): positives are
+    (record, its own cluster), negatives every other same-block profile.
+
+    The feature generation is distributed; the fit itself is driver-side
+    on the collected pair frame (the model is a few KB — at scale, feed a
+    SAMPLED record set, exactly like the reference trains on a bounded
+    instance list). Returns (EnsembleModel, diagnostics). Note the mild
+    optimism of scoring a record against a profile that contains it —
+    shared with the reference's profile construction; hold records out of
+    ``clusters`` before calling to avoid it."""
+    from whoiswho_ray.training import DEFAULT_CELLS, fit_ensemble
+
+    feats = expand_knrm(
+        rnd_knrm_features(known_vectorized, profiles, n_kernels, sigma), n_kernels)
+    X = feats.to_pandas()
+    truth = clusters.select_columns(["record_id", "cluster_id"]).to_pandas()
+    X = X.merge(truth, on="record_id", how="inner")
+    X["same_entity"] = X["candidate_cluster"] == X["cluster_id"]
+    names = [f"k{i:02d}" for i in range(n_kernels)]
+    cells = cells or tuple(
+        type(c)(name=c.name, model=c.model, weight=c.weight,
+                features=tuple(names), params=c.params)
+        for c in DEFAULT_CELLS)
+    return fit_ensemble(X, label_col="same_entity", cells=cells, seed=seed)
+
+
+def assign_records_learned(
+    new_vectorized: "rd.Dataset",
+    profiles: "rd.Dataset",
+    model,
+    n_kernels: int = 21,
+    sigma: float = 0.1,
+    tau_prob: float = 0.5,
+) -> "rd.Dataset":
+    """LEARNED assignment: KNRM kernel features per (record × candidate)
+    → broadcast ensemble scoring (``training.apply_ensemble``) → per-record
+    argmax with NIL threshold. The learned analog of
+    :func:`assign_records` (which blends fixed weights over centroid
+    features); requires profiles built with ``keep_members > 0``.
+
+    Every new record yields exactly one row: a NIL skeleton row per record
+    rides the same shuffle, so records whose block has no profiles (or no
+    scored candidates) come back NIL without any driver-side anti-join."""
+    from whoiswho_ray.stages.agg import group_apply
+    from whoiswho_ray.training import apply_ensemble
+
+    feats = expand_knrm(
+        rnd_knrm_features(new_vectorized, profiles, n_kernels, sigma), n_kernels)
+    # pandas projection (not select_columns) so both union arms carry the
+    # same block type — heterogeneous unions break downstream batching
+    scored = apply_ensemble(feats, model, out_col="prob").map_batches(
+        lambda df: df[["record_id", "block_key", "candidate_cluster", "prob"]],
+        batch_format="pandas")
+
+    def skeleton(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "record_id": df["record_id"],
+            "block_key": df["block_key"],
+            "candidate_cluster": np.repeat(NIL, len(df)),
+            "prob": np.full(len(df), -1.0),
+        })
+
+    both = scored.union(new_vectorized.select_columns(
+        ["record_id", "block_key"]).map_batches(skeleton, batch_format="pandas"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["record_id", "prob", "candidate_cluster"],
+                           ascending=[True, False, True], kind="stable")
+        size = df.groupby("record_id", sort=False)["prob"].transform("size").to_numpy()
+        first = df.groupby("record_id", sort=False).head(1)
+        fsize = size[df.index.get_indexer(first.index)] if len(df) else size
+        prob = first["prob"].to_numpy()
+        cand = first["candidate_cluster"].to_numpy()
+        return pd.DataFrame({
+            "record_id": first["record_id"].to_numpy(),
+            "block_key": first["block_key"].to_numpy(),
+            "assigned_cluster": np.where((prob >= tau_prob) & (cand != NIL), cand, NIL),
+            "prob": prob,
+            "n_candidates": (fsize - 1).astype(np.int64),
+        })
+
+    return group_apply(both, "record_id", pick, batch_format="pandas")
+
+
+def run_rnd_learned(
+    known_records: "rd.Dataset | str",
+    new_records: "rd.Dataset | str",
+    cfg: SNDConfig | None = None,
+    keep_members: int = 16,
+    tau_prob: float = 0.5,
+) -> "rd.Dataset":
+    """End-to-end LEARNED path: SND-cluster the known records, build
+    member-retaining profiles, fit the KNRM-feature ensemble on the known
+    records, assign the new ones — the reference's full
+    feature→GBDT→assign RND lifecycle as one call."""
+    from whoiswho_ray.pipelines.snd import snd_cluster
+
+    cfg = cfg or SNDConfig()
+    if isinstance(known_records, str):
+        known_records = rd.read_parquet(known_records)
+    if isinstance(new_records, str):
+        new_records = rd.read_parquet(new_records)
+
+    known_norm = normalize_records(known_records, cfg).materialize()
+    idf = build_idf(known_norm, cfg)
+    known_vec = vectorize(known_norm, idf, cfg).materialize()
+    clusters = snd_cluster(known_norm, known_vec, cfg).materialize()
+    profiles = build_profiles(known_vec, clusters, cfg,
+                              keep_members=keep_members).materialize()
+    model, _diag = fit_rnd_ensemble(known_vec, profiles, clusters)
+    new_vec = vectorize(normalize_records(new_records, cfg), idf, cfg)
+    return assign_records_learned(new_vec, profiles, model, tau_prob=tau_prob)
