@@ -304,7 +304,6 @@ def rnd_knrm_features(
     ``build_profiles(..., keep_members>0)``. Returns
     (record_id, block_key, candidate_cluster, knrm: list<double>[n_kernels]);
     feed through ``training.fit_ensemble`` / ``apply_ensemble``."""
-    from whoiswho_ray.functions.similarity import cosine_sparse, knrm_features
     from whoiswho_ray.stages.agg import group_apply
 
     _E = np.empty(0, np.int64)
@@ -334,28 +333,71 @@ def rnd_knrm_features(
     profs = profiles.map_batches(tag_prof, batch_format="pandas")
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized: ALL (record × profile-member) cosines in one
+        lexsort intersection pass (bit-identical to the per-pair
+        ``cosine_sparse`` — both sum shared-id products in ascending id
+        order), then kernel pooling for every (record, profile) cell via
+        one exp + per-kernel bincount. No Python loop over pairs."""
+        from whoiswho_ray.functions.similarity import knrm_mus_sigmas
+        from whoiswho_ray.stages.scoring import _intersections
+
         rec = g[g["__side"] == "rec"]
         prof = g[g["__side"] == "prof"]
-        out = {"record_id": [], "block_key": [], "candidate_cluster": [], "knrm": []}
+        out_cols = {"record_id": [], "block_key": [], "candidate_cluster": [], "knrm": []}
         if len(rec) == 0 or len(prof) == 0:
-            return pd.DataFrame(out)
+            return pd.DataFrame(out_cols)
         bk = g["block_key"].iloc[0]
-        for _, r in rec.iterrows():
-            rid = np.asarray(r["tfv_ids"], np.int64)
-            rw = np.asarray(r["tfv_w"], np.float64)
-            for _, p in prof.iterrows():
-                members_i = p["member_tfv_ids"]
-                members_w = p["member_tfv_w"]
-                sims = np.array([[cosine_sparse(rid, rw,
-                                                np.asarray(mi, np.int64),
-                                                np.asarray(mw, np.float64))
-                                  for mi, mw in zip(members_i, members_w)]])
-                phi = knrm_features(sims, n_kernels=n_kernels, sigma=sigma)
-                out["record_id"].append(r["record_id"])
-                out["block_key"].append(bk)
-                out["candidate_cluster"].append(p["record_id"])
-                out["knrm"].append(phi)
-        return pd.DataFrame(out)
+        nr, npf = len(rec), len(prof)
+
+        # flatten profile members: member j belongs to profile mem_prof[j]
+        mem_ids: list[np.ndarray] = []
+        mem_w: list[np.ndarray] = []
+        mem_prof: list[int] = []
+        for pi, (mis, mws) in enumerate(zip(prof["member_tfv_ids"], prof["member_tfv_w"])):
+            for mi, mw in zip(mis, mws):
+                mem_ids.append(np.asarray(mi, np.int64))
+                mem_w.append(np.asarray(mw, np.float64))
+                mem_prof.append(pi)
+        M = len(mem_ids)
+        mus, sigmas = knrm_mus_sigmas(n_kernels, sigma)
+        phi = np.zeros((nr * npf, mus.size))
+        if M:
+            rec_ids = [np.asarray(x, np.int64) for x in rec["tfv_ids"]]
+            rec_w = [np.asarray(x, np.float64) for x in rec["tfv_w"]]
+
+            def flat(arrays, idx):
+                lens = np.fromiter((arrays[i].size for i in idx), np.int64, idx.size)
+                vals = (np.concatenate([arrays[i] for i in idx])
+                        if idx.size else np.empty(0, np.int64))
+                return vals, lens
+
+            ri = np.repeat(np.arange(nr), M)
+            mj = np.tile(np.arange(M), nr)
+            iv, il = flat(rec_ids, ri)
+            jv, jl = flat(mem_ids, mj)
+            iw, _ = flat(rec_w, ri)
+            jw, _ = flat(mem_w, mj)
+            _, dots = _intersections(ri.size, iv, il, jv, jl, iw, jw)
+            sims = dots if dots is not None else np.zeros(ri.size)
+            # pooled[cell, k] = sum over that cell's members of K_k(sim)
+            cell = ri * npf + np.asarray(mem_prof, np.int64)[mj]
+            K = np.exp(-((sims[:, None] - mus[None, :]) ** 2)
+                       / (2.0 * sigmas[None, :] ** 2))
+            pooled = np.zeros((nr * npf, mus.size))
+            for k in range(mus.size):
+                pooled[:, k] = np.bincount(cell, weights=K[:, k], minlength=nr * npf)
+            has_members = np.bincount(cell, minlength=nr * npf) > 0
+            phi[has_members] = np.log(np.maximum(pooled[has_members], 1e-10))
+        rec_ids_col = rec["record_id"].to_numpy()
+        prof_ids_col = prof["record_id"].to_numpy()
+        rr = np.repeat(np.arange(nr), npf)
+        pp = np.tile(np.arange(npf), nr)
+        return pd.DataFrame({
+            "record_id": rec_ids_col[rr],
+            "block_key": np.repeat(bk, nr * npf),
+            "candidate_cluster": prof_ids_col[pp],
+            "knrm": list(phi),
+        })
 
     return group_apply(recs.union(profs), "block_key", per_block,
                        batch_format="pandas")
