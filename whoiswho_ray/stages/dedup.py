@@ -90,10 +90,19 @@ def exact_dedup(
 
     with_sha = ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1).drop(columns=["_sha"])
+    # one Ray group per HASH BUCKET of shas (never per distinct text —
+    # that cardinality grows with the corpus), min-key row per sha via one
+    # vectorized pandas pass inside the bucket task
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
 
-    return with_sha.groupby("_sha").map_groups(keep_min, batch_format="pandas")
+    def keep_min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"]).sort_values(
+            ["_sha", key_col], kind="stable")
+        first = df.groupby("_sha", sort=False).head(1)
+        return first.drop(columns=["_sha"])
+
+    return _bucket_by(with_sha, "_sha", _cc_num_buckets()).groupby(
+        "__bucket").map_groups(keep_min_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
