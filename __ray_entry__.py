@@ -476,6 +476,22 @@ def snd_clusters(sf_dir: str):
     return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
+def snd_clusters_rel(sf_dir: str):
+    """Flagship clustering with the relational graph-view blend ON
+    (w_rel=0.5): direct scores induce the strong-edge graph, every
+    candidate pair's score gets the centered neighbor-Jaccard correction,
+    and clustering runs on the blended scores — exact-oracled end to end
+    (the SQL extends the cluster closure with the same graph statistics)."""
+    import dataclasses
+
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.pipelines.snd import run_snd
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    cfg = dataclasses.replace(SNDConfig(), w_rel=0.5)
+    return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS), cfg)
+
+
 def _pair_count_features(t: pa.Table) -> pa.Table:
     """Pair rows → integer set-overlap features, orientation canonicalized
     to id_a < id_b. Counts over 64-bit token hashes equal counts over the
@@ -714,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_edges": snd_edges,
         "snd_relational": snd_relational,
         "snd_clusters": snd_clusters,
+        "snd_clusters_rel": snd_clusters_rel,
         "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
         "rnd_assign_learned": rnd_assign_learned,
@@ -947,12 +964,15 @@ def _snd_relational_oracle_sql() -> str:
     """
 
 
-def _snd_clusters_oracle_sql() -> str:
+def _snd_clusters_oracle_sql(w_rel: float = 0.0) -> str:
     """Score + strong-edge components + the reference post-match
     (singleton→best-non-singleton attach with (score DESC, partner ASC)
     tie-break; all singleton–singleton attach pairs) via two recursive-CTE
     closures; cluster_id = block_key # min record_id of the component —
-    mirroring ``cluster_edge_arrays`` exactly."""
+    mirroring ``cluster_edge_arrays`` exactly. With ``w_rel`` ≠ 0 the
+    direct scores first induce the strong-edge graph and every pair's
+    score gets the centered neighbor-Jaccard correction — the SQL replay
+    of ``relational.relational_adjust``."""
     from whoiswho_ray.config import SNDConfig
 
     c = SNDConfig()
@@ -963,9 +983,39 @@ def _snd_clusters_oracle_sql() -> str:
              f" + {c.w_ctx!r} * (CASE WHEN n_ctx_a + n_ctx_b - i_ctx > 0 "
              f"THEN CAST(i_ctx AS DOUBLE) / (n_ctx_a + n_ctx_b - i_ctx) ELSE 0.0 END)"
              f" + {c.w_tfidf!r} * cos + {c.w_name!r} * jw")
+    if w_rel:
+        blend = f"""
+        scored0 AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
+        strongd AS MATERIALIZED (SELECT ra, rb FROM scored0 WHERE score >= {c.tau_edge!r}),
+        symd AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strongd
+                              UNION ALL SELECT rb, ra FROM strongd),
+        degd AS (SELECT a, count(*) AS n FROM symd GROUP BY 1),
+        cnbd AS (SELECT p.ra, p.rb, count(*) AS c FROM prs p
+                 JOIN symd x ON x.a = p.ra
+                 JOIN symd y ON y.a = p.rb AND y.b = x.b
+                 GROUP BY 1, 2),
+        scored AS MATERIALIZED (
+            SELECT block_key, ra, rb,
+                   score + {w_rel!r} * ((CASE WHEN u > 0
+                       THEN CAST(cn AS DOUBLE) / u ELSE 0.5 END) - 0.5) AS score
+            FROM (
+                SELECT s0.block_key, s0.ra, s0.rb, s0.score,
+                       coalesce(cb.c, 0) AS cn,
+                       coalesce(da.n, 0) + coalesce(db.n, 0)
+                         - 2 * (CASE WHEN st.ra IS NULL THEN 0 ELSE 1 END)
+                         - coalesce(cb.c, 0) AS u
+                FROM scored0 s0
+                LEFT JOIN cnbd cb ON cb.ra = s0.ra AND cb.rb = s0.rb
+                LEFT JOIN degd da ON da.a = s0.ra
+                LEFT JOIN degd db ON db.a = s0.rb
+                LEFT JOIN strongd st ON st.ra = s0.ra AND st.rb = s0.rb
+            )
+        ),"""
+    else:
+        blend = f"""
+        scored AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),"""
     return f"""
-        WITH RECURSIVE {_snd_feature_ctes()},
-        scored AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
+        WITH RECURSIVE {_snd_feature_ctes()},{blend}
         strong AS (SELECT ra, rb FROM scored WHERE score >= {c.tau_edge!r}),
         sym1 AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
                  UNION ALL SELECT rb, ra FROM strong),
@@ -1241,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "snd_edges": _snd_edges_oracle_sql(),
         "snd_relational": _snd_relational_oracle_sql(),
         "snd_clusters": _snd_clusters_oracle_sql(),
+        "snd_clusters_rel": _snd_clusters_oracle_sql(w_rel=0.5),
         "q_negative_samples": f"""
             WITH rec AS (
                 SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
