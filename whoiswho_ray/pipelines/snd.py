@@ -133,14 +133,21 @@ def run_snd(
         records = rd.read_parquet(records)
 
     if out_dir is None:
-        # materialize once: three consumers (idf, vectorize, node rows)
-        # would otherwise re-execute the normalize chain three times.
+        # materialize once: two consumers (idf, vectorize) would otherwise
+        # re-execute the normalize chain twice. Project to the columns the
+        # SND tail reads BEFORE materializing — the raw
+        # repo/path/commit/lang strings would otherwise sit in the object
+        # store for the whole run (select after a task-based map fuses; it
+        # is only select-after-actor-pool that forces an extra pass).
         # (The checkpointed path gets the same effect from its parquet
-        # stage boundary.)
-        normalized = normalize_records(records, cfg).materialize()
-        idf = build_idf(normalized, cfg)
+        # stage boundary; at 100 TB use out_dir so the normalized table
+        # lives in parquet, not the object store.)
         from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
 
+        normalized = normalize_records(records, cfg).select_columns(
+            [c for c in CLUSTER_SHUFFLE_COLUMNS
+             if c not in ("tfv_ids", "tfv_w")]).materialize()
+        idf = build_idf(normalized, cfg)
         vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS)
         return snd_cluster(normalized, vec, cfg)
 
