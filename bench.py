@@ -126,27 +126,40 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
+                repeats: int | None = None) -> dict:
     """Same job, fresh processes, two parallelism levels (the sandbox
-    evidence for the north rule's N vs 4N cluster-size criterion)."""
+    evidence for the north rule's N vs 4N cluster-size criterion).
+
+    ``repeats`` (env ``RAY_GRAFT_SCALE_REPEATS``, default 1) runs each
+    level that many times and takes the MIN wall per level — the standard
+    noise-floor estimator, applied symmetrically to both levels. This box
+    shows ±2× external run-to-run variance; a single pairing can land a
+    slow phase on either side and report efficiency noise, not scaling."""
     # pre-generate the shared input at full parallelism so neither timed
     # child pays generation cost
     import ray
 
+    repeats = repeats or int(os.environ.get("RAY_GRAFT_SCALE_REPEATS", "1"))
     ray.init(address="local", include_dashboard=False, ignore_reinit_error=True,
              logging_level="ERROR")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     bench_records_path(sf)
     ray.shutdown()
     results = {}
-    for n in (lo, hi):
-        # scaling measures the headline pipeline only (same input, fresh
-        # process); the query battery is timed by the plain bench run
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), RAY_GRAFT_SKIP_QUERIES="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    walls = {lo: [], hi: []}
+    for r in range(repeats):
+        for n in (lo, hi):
+            # scaling measures the headline pipeline only (same input,
+            # fresh process); queries are timed by the plain bench run
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), RAY_GRAFT_SKIP_QUERIES="1")
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                                 capture_output=True, text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            walls[n].append(res["value"])
+            if n not in results or res["value"] < results[n]["value"]:
+                results[n] = res
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -160,6 +173,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "records": results[hi]["records"],
         "sf": results[hi]["sf"],
         "cpus": [lo, hi],
+        "repeats": repeats,
+        "all_walls": {str(k): [round(x, 1) for x in v] for k, v in walls.items()},
     }
 
 

@@ -13,13 +13,14 @@ Scale notes: the LSH shuffles move one **(bucket, key)** row per
 Corpora up to ``driver_max`` docs run a driver-side numpy fast path (it
 doubles as the oracle-speed path for the small-SF correctness queries);
 above it everything is distributed: candidate generation is one Ray group
-per HASH BUCKET (vectorized segment loop inside), verification is a
-partitioned shuffle join of the candidate pairs against the token/simhash
-side-table (``joins.shuffle_hash_join`` — the side-table is never
-collected on the driver, never broadcast whole), and the duplicate groups
-come from ``cluster.connected_components`` (bucketed star contraction).
-Oversized buckets degrade to sorted-window pairs under a budget —
-bounded, recall recovered by the transitive closure.
+per HASH BUCKET (vectorized segment loop inside), verification is ONE
+fused tagged half-row join (``_verify_candidates_fused`` — attach shuffle
+on key, regroup on pair id with in-task verification; the side-table is
+never collected on the driver, never broadcast whole, and ships through
+exactly one shuffle), and the duplicate groups come from
+``cluster.connected_components`` (bucketed star contraction). Oversized
+buckets degrade to sorted-window pairs under a budget — bounded, recall
+recovered by the transitive closure.
 """
 
 from __future__ import annotations
@@ -401,7 +402,7 @@ def minhash_lsh_dedup(
 
     Corpora ≤ ``driver_max`` docs take a one-machine numpy fast path;
     larger corpora run fully distributed (bucketed candidate generation,
-    shuffle-join verification, star-contraction components) — nothing
+    fused verify join, star-contraction components) — nothing
     corpus-sized ever lands on the driver."""
     toks = _tokenize_table(ds, text_col, key_col).materialize()
     mh = MinHasher(num_hashes=bands * rows, seed=seed)
@@ -526,7 +527,7 @@ def simhash_dedup(
     components. Returns (key_col, dup_group).
 
     Corpora ≤ ``driver_max`` docs: driver-side numpy fast path. Larger:
-    bucketed candidates → shuffle-join the (key, sim) side-table onto the
+    bucketed candidates → fused verify join of the (key, sim) side-table with the
     pairs (8 B per doc, but still never driver-collected) → distributed
     components."""
     n_pieces = max_hamming + 1
