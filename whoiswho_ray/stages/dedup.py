@@ -650,15 +650,26 @@ def ngram_jaccard_pairs(
         np.cumsum(lens, out=offsets[1:])
         ii, jj = np.triu_indices(n, 1)
         ii, jj = order[ii], order[jj]
-        # flatten both sides of every pair through the shared kernel
-        def gather(idx):
-            l = lens[idx]
-            flat = np.repeat(offsets[idx], l) + (
-                np.arange(int(l.sum())) - np.repeat(np.r_[0, np.cumsum(l)[:-1]], l))
-            return values[flat], l
-        va, la = gather(ii)
-        vb, lb = gather(jj)
-        inter, _ = _intersections(ii.size, va, la, vb, lb)
+        if n <= 4096:
+            # matrix regime: one hybrid BLAS/bincount intersection matrix
+            # answers all C(n,2) pairs — the flat gather materializes
+            # O(pairs × tokens) streams and is ~100× slower here
+            from whoiswho_ray.stages.scoring import allpairs_matrix
+
+            M = allpairs_matrix(n, values, offsets)
+            inter = M[ii, jj]
+            la = lens[ii].astype(np.int64)
+            lb = lens[jj].astype(np.int64)
+        else:
+            # flatten both sides of every pair through the shared kernel
+            def gather(idx):
+                l = lens[idx]
+                flat = np.repeat(offsets[idx], l) + (
+                    np.arange(int(l.sum())) - np.repeat(np.r_[0, np.cumsum(l)[:-1]], l))
+                return values[flat], l
+            va, la = gather(ii)
+            vb, lb = gather(jj)
+            inter, _ = _intersections(ii.size, va, la, vb, lb)
         union = la + lb - inter
         jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         ok = jacc >= threshold
