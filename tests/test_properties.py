@@ -62,6 +62,20 @@ class TestHashingProperties:
     def test_simhash_self_distance_zero(self, a):
         assert hamming64(simhash64(a), simhash64(a)) == 0
 
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(int_sets, min_size=0, max_size=6))
+    def test_signatures_flat_matches_per_row_signature(self, rows):
+        """The hash-major batched kernel must stay bit-identical to the
+        per-row signature (incl. empty rows) — it was rewritten for cache
+        residency and this pins the refactor."""
+        mh = MinHasher(16, seed=9)
+        values = (np.concatenate(rows) if rows else np.empty(0, np.int64)).astype(np.int64)
+        offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in rows], out=offsets[1:])
+        sigs = mh.signatures_flat(values, offsets)
+        for i, r in enumerate(rows):
+            assert np.array_equal(sigs[i], mh.signature(np.asarray(r, np.int64)))
+
 
 class TestTextNormProperties:
     @settings(max_examples=150, deadline=None)
