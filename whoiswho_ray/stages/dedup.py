@@ -123,12 +123,32 @@ def _tokenize_table(ds: "ray.data.Dataset", text_col: str, key_col: str) -> "ray
 
 
 def _local_dedup(cand: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-batch duplicate-pair pruning. Cross-batch duplicates survive —
-    deliberately: duplicate candidates only cost re-verification (cheap,
-    vectorized) and union-find is idempotent, so a global pair shuffle
-    would buy nothing but an all-to-all."""
+    """Per-batch duplicate-pair pruning (cheap volume cut before any
+    shuffle; cross-batch duplicates survive this pass)."""
     return cand.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas",
                             batch_size=262144)
+
+
+def _global_dedup_pairs(cand: "ray.data.Dataset", num_buckets: int) -> "ray.data.Dataset":
+    """GLOBAL candidate-pair dedup: one bucketed groupby over the bare
+    (key_a, key_b) rows (~20 B each). LSH emits the same true pair from
+    several bands (measured ~3× duplication at 500k docs), and every
+    duplicate that survives to the verify join ships two payload-carrying
+    half-rows through BOTH of its shuffles — deduping the cheap rows first
+    cuts the expensive shuffles by the duplication factor."""
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        ha = pd.util.hash_pandas_object(df["key_a"], index=False).to_numpy()
+        hb = pd.util.hash_pandas_object(df["key_b"], index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = ha ^ (hb * np.uint64(0x9E3779B97F4A7C15))
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    return cand.map_batches(add, batch_format="pandas", batch_size=262144).groupby(
+        "__bucket").map_groups(
+            lambda g: g.drop(columns="__bucket").drop_duplicates(),
+            batch_format="pandas")
 
 
 def _candidates_distributed(
@@ -251,15 +271,21 @@ def _verify_candidates_fused(
     tagged = cand.map_batches(halves, batch_format="pyarrow", zero_copy_batch=True).union(
         side_table.map_batches(tag_side, batch_format="pyarrow", zero_copy_batch=True))
 
+    key_is_numeric = pa.types.is_integer(key_type) or pa.types.is_floating(key_type)
+
     def attach(t: pa.Table) -> pa.Table:
         slot = t.column("slot").to_numpy(zero_copy_only=False)
         side_mask = pa.array(slot == -1)
         s = t.filter(side_mask)
         c = t.filter(pc.invert(side_mask))
-        skeys = np.asarray(s.column("key").to_pylist(), dtype=object)
+        if key_is_numeric:  # native-dtype searchsorted, no object boxing
+            skeys = s.column("key").to_numpy(zero_copy_only=False)
+            ckeys = c.column("key").to_numpy(zero_copy_only=False)
+        else:
+            skeys = np.asarray(s.column("key").to_pylist(), dtype=object)
+            ckeys = np.asarray(c.column("key").to_pylist(), dtype=object)
         order = np.argsort(skeys, kind="stable")
         ssorted = skeys[order]
-        ckeys = np.asarray(c.column("key").to_pylist(), dtype=object)
         if ssorted.size:
             pos = np.searchsorted(ssorted, ckeys)
             pos[pos == ssorted.size] = 0
@@ -483,7 +509,7 @@ def minhash_lsh_dedup(
     from whoiswho_ray.stages.cluster import _cc_num_buckets
 
     nb = _cc_num_buckets()
-    cand = _local_dedup(_candidates_distributed(exploded))
+    cand = _global_dedup_pairs(_local_dedup(_candidates_distributed(exploded)), nb)
 
     def verify_jacc(ka: pa.Array, kb: pa.Array, va: pa.Array, vb: pa.Array) -> pa.Table:
         n = len(ka)
@@ -599,7 +625,7 @@ def simhash_dedup(
     from whoiswho_ray.stages.cluster import _cc_num_buckets
 
     nb = _cc_num_buckets()
-    cand = _local_dedup(_candidates_distributed(exploded))
+    cand = _global_dedup_pairs(_local_dedup(_candidates_distributed(exploded)), nb)
 
     def verify_ham(ka: pa.Array, kb: pa.Array, va: pa.Array, vb: pa.Array) -> pa.Table:
         if len(ka) == 0:
