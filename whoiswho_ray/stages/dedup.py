@@ -359,18 +359,24 @@ def _labels_with_isolates(
         ia = np.searchsorted(arr, edf["key_a"].to_numpy())
         ib = np.searchsorted(arr, edf["key_b"].to_numpy())
         labels = cc_labels(arr.size, ia.astype(np.int64), ib.astype(np.int64))
-        mapping = dict(zip(arr, arr[labels]))
-        map_ref = ray.put(mapping)
+        # broadcast (sorted nodes, group-of-node) arrays; per-batch lookup
+        # is one vectorized searchsorted — no per-row dict .map
+        map_ref = ray.put((arr, arr[labels]))
 
         class Label:
             def __init__(self):
-                self.m = ray.get(map_ref)
+                self.nodes, self.groups = ray.get(map_ref)
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                keys = df[key_col]
-                grp = keys.map(self.m)
-                return pd.DataFrame({key_col: keys,
-                                     "dup_group": grp.where(grp.notna(), keys)})
+                keys = df[key_col].to_numpy()
+                if self.nodes.size:
+                    pos = np.searchsorted(self.nodes, keys)
+                    pos[pos == self.nodes.size] = 0
+                    ok = self.nodes[pos] == keys
+                    grp = np.where(ok, self.groups[pos], keys)
+                else:
+                    grp = keys
+                return pd.DataFrame({key_col: keys, "dup_group": grp})
 
         return ds.select_columns([key_col]).map_batches(
             Label, batch_format="pandas", batch_size=262144, concurrency=(1, 8))
