@@ -78,17 +78,33 @@ class TestMatchName:
         assert not match_name("smith", "john_smith")
 
     def test_cjk_gated_without_table(self):
+        from whoiswho_ray.functions.pinyin_data import COMMON_PINYIN
+
         set_pinyin_table(None)
-        assert pinyin_of("李明") is None
-        assert not match_name("李明", "ming_li")
+        try:
+            assert pinyin_of("李明") is None
+            assert not match_name("李明", "ming_li")
+        finally:
+            set_pinyin_table(COMMON_PINYIN)
 
     def test_cjk_with_table(self):
+        from whoiswho_ray.functions.pinyin_data import COMMON_PINYIN
+
         set_pinyin_table({"李": "li", "明": "ming"})
         try:
             assert match_name("李明", "ming_li")
             assert not match_name("李明", "ming_wang")
         finally:
-            set_pinyin_table(None)
+            set_pinyin_table(COMMON_PINYIN)
+
+    def test_cjk_default_table(self):
+        # the shipped seed table works out of the box
+        assert pinyin_of("张晓明") == "zhangxiaoming"
+        assert match_name("张晓明", "xiaoming_zhang")
+        assert match_name_pair("张晓明", "Xiaoming Zhang")
+        assert not match_name("张晓明", "xiaoming_wang")
+        # characters outside the table are never guessed
+        assert pinyin_of("龘") is None
 
 
 class TestMatchNamePair:
@@ -110,6 +126,27 @@ class TestBlockKey:
     def test_single_token(self):
         assert name_block_key("Cher") == "cher"
         assert name_block_key("") == ""
+
+    def test_middle_initial_coblocks(self):
+        # first-initial key: middle-initial variants land in one block
+        assert name_block_key("John A. Smith") == "smith.j"
+        assert name_block_key("John Smith") == "smith.j"
+
+    def test_monosyllabic_surname_rule(self):
+        # Chinese surnames are monosyllabic: the sole single-syllable
+        # pinyin token is the surname even when the given name is longer
+        keys = {name_block_key(n) for n in
+                ["Xiaoming Zhang", "Zhang Xiaoming", "X. Zhang", "张晓明"]}
+        assert keys == {"zhang.x"}
+
+    def test_cjk_coblocks_with_romanized(self):
+        assert name_block_key("王伟") == name_block_key("Wei Wang") == "wang.w"
+        assert name_block_key("刘德华") == name_block_key("Dehua Liu") == "liu.d"
+
+    def test_western_longest_token_fallback(self):
+        # both tokens full, neither pinyin-monosyllabic → longest = surname
+        assert name_block_key("Maria Garcia") == "garcia.m"
+        assert name_block_key("Robert Johnson") == "johnson.r"
 
 
 class TestChineseHeuristic:

@@ -87,6 +87,7 @@ DEFAULT_ALIASES: dict[str, tuple[str, ...]] = {
 _NON_WORD_DOT_RE = re.compile(r"[^\w.]")
 _NON_ALPHA_RE = re.compile(r"[^a-zA-Z]")
 _CJK_RE = re.compile(r"[一-鿿]")
+_CJK_RUN_RE = re.compile(r"[一-鿿]+")
 
 # ---------------------------------------------------------------------------
 # pinyin heuristics (M5 analog)
@@ -108,19 +109,26 @@ _PY_SYLLABLES = frozenset(
     i + f for i in _PY_INITIALS for f in _PY_FINALS
 ) | frozenset(["er", "a", "o", "e", "ai", "ei", "ao", "ou", "an", "en", "ang", "eng"])
 
-_pinyin_table: dict[str, str] | None = None
+from whoiswho_ray.functions.pinyin_data import COMMON_PINYIN
+
+_pinyin_table: dict[str, str] | None = COMMON_PINYIN
 
 
 def set_pinyin_table(table: dict[str, str] | None) -> None:
-    """Install a CJK-character → pinyin mapping (e.g. loaded from a public
-    Unihan-derived file). Without it, CJK name forms are not transliterated
-    and ``match_name`` returns False for them — gated, never guessed."""
+    """Install a CJK-character → pinyin mapping, replacing the shipped
+    seed table (``pinyin_data.COMMON_PINYIN``, ~100 common surnames +
+    frequent given-name characters). Extend rather than replace with
+    ``set_pinyin_table({**COMMON_PINYIN, **your_unihan_table})``; pass
+    None to disable transliteration entirely. Characters absent from the
+    installed table are never guessed: ``pinyin_of`` returns None and the
+    match cascade treats the form as non-matching."""
     global _pinyin_table
     _pinyin_table = table
 
 
 def pinyin_of(cjk: str) -> str | None:
-    """Transliterate a CJK string via the installed table; None if gated."""
+    """Transliterate a CJK string via the installed table; None when the
+    table is disabled or any character is missing from it."""
     if _pinyin_table is None:
         return None
     out = []
@@ -170,6 +178,22 @@ def tokenize_name(name: str) -> list[str]:
     multi-dot abbreviations split, dots stripped."""
     if not name:
         return []
+    if _CJK_RE.search(name):
+        # a CJK run is surname-first with no spaces: first character →
+        # surname token, remaining characters → ONE glued given-name token
+        # (so 张晓明 tokenizes like romanized "Zhang Xiaoming", not three
+        # syllables). Transliterated via the installed pinyin table;
+        # unknown characters pass through raw — deterministic, never guessed.
+        table = _pinyin_table or {}
+
+        def _run(m: re.Match) -> str:
+            chars = m.group(0)
+            py = [table.get(c, c) for c in chars]
+            if len(py) == 1:
+                return f" {py[0]} "
+            return f" {py[0]} {''.join(py[1:])} "
+
+        name = _CJK_RUN_RE.sub(_run, name)
     words = []
     for w in name.split():
         if len(w) == 2 and "." not in w and w.isupper():
@@ -210,18 +234,41 @@ def name_block_key(name: str) -> str:
     ``johnsmith`` into DIFFERENT blocks, so abbreviated forms of one author
     were never compared (the reference never has this hole because its
     block keys are the dataset's canonical ``first_last`` names). Key =
-    longest token in full (the presumed surname) + sorted initials of the
-    others: "John Smith" / "J. Smith" / "Smith, John" all → ``smith.j``.
-    Blocking is recall-oriented — the pairwise cascade and the scoring
-    features separate the j-Smiths inside the block."""
+    presumed surname in full + the FIRST initial of the remaining tokens:
+    "John Smith" / "J. Smith" / "Smith, John" / "John A. Smith" all →
+    ``smith.j``.
+
+    Surname guess, two public-knowledge rules in order:
+
+    1. Chinese surnames are (near-universally) monosyllabic while given
+       names are usually disyllabic — when every token segments into legal
+       pinyin and exactly one is a single syllable, that one is the
+       surname: "Xiaoming Zhang" / "Zhang Xiaoming" / 张晓明 / "X. Zhang"
+       all → ``zhang.x``.
+    2. Otherwise the longest token (ties → lexicographically last), which
+       handles western names where given names are commonly abbreviated
+       and surnames are not.
+
+    First-initial (not all-sorted-initials) keeps glued pinyin given names
+    ("Xiaoming" → x) and middle-initial variants ("John A." vs "John") in
+    ONE block. Blocking is recall-oriented — the pairwise cascade and the
+    scoring features separate the j-Smiths inside the block."""
     toks = tokenize_name(name)
     if not toks:
         return ""
     if len(toks) == 1:
         return toks[0]
-    si = max(range(len(toks)), key=lambda i: (len(toks[i]), toks[i]))
-    initials = "".join(sorted(t[0] for i, t in enumerate(toks) if i != si))
-    return f"{toks[si]}.{initials}"
+    si = -1
+    if all(len(t) == 1 or is_pinyin_token(t) for t in toks):
+        mono = [i for i, t in enumerate(toks) if len(t) > 1 and t in _PY_SYLLABLES]
+        multi = [i for i, t in enumerate(toks)
+                 if len(t) > 1 and t not in _PY_SYLLABLES and is_pinyin_token(t)]
+        if len(mono) == 1 and multi:
+            si = mono[0]
+    if si < 0:
+        si = max(range(len(toks)), key=lambda i: (len(toks[i]), toks[i]))
+    given = [t for i, t in enumerate(toks) if i != si]
+    return f"{toks[si]}.{given[0][0]}"
 
 
 # ---------------------------------------------------------------------------
