@@ -324,6 +324,36 @@ def q_doc_simhash_dedup(sf_dir: str):
     return simhash_dedup(ds, max_hamming=3)
 
 
+def q_doc_line_dedup(sf_dir: str):
+    """Corpus-level repeated-line removal (RefinedWeb/CCNet filter).
+
+    The sf documents are single-line, so the query first derives a
+    deterministic multi-line corpus: every 5 consecutive words of a
+    document become one line (one vectorized RE2 replacement — every 5th
+    space turns into a newline). Lines repeating across ≥2 documents are
+    then stripped by ``dedup.line_dedup``. Exact oracle: DuckDB replays
+    the chunking with generate_series + string_agg."""
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import line_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_lines(t):
+        import pyarrow as pa
+
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        chunked = pc.replace_substring_regex(
+            col, pattern=r"((?:\S+ ){4}\S+) ", replacement="\\1\n")
+        return t.set_column(t.schema.get_field_index("text"), "text", chunked)
+
+    return line_dedup(ds.map_batches(to_lines, batch_format="pyarrow",
+                                     zero_copy_batch=True), min_docs=2)
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic model scoring; rows-only check by design."""
     from whoiswho_ray.sources.tables import read_table
@@ -712,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_ngram_pairs": q_doc_ngram_pairs,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
+        "q_doc_line_dedup": q_doc_line_dedup,
         "q_doc_langid": q_doc_langid,
         "q_doc_embed": q_doc_embed,
         "q_doc_winnow": q_doc_winnow,
@@ -1191,6 +1222,36 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_dedup_exact": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "q_doc_line_dedup": """
+            WITH w AS (
+                SELECT doc_id, ws[i] AS word, i
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                     UNNEST(generate_series(1, len(ws))) AS t(i)
+            ),
+            lines AS (
+                SELECT doc_id, (i - 1) // 5 AS line_no,
+                       string_agg(word, ' ' ORDER BY i) AS line
+                FROM w GROUP BY doc_id, (i - 1) // 5
+            ),
+            common AS (
+                SELECT line
+                FROM (SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line) q
+                WHERE c >= 2
+            ),
+            kept AS (
+                SELECT doc_id, line, line_no FROM lines
+                WHERE line NOT IN (SELECT line FROM common)
+            ),
+            agg AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            base AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(a.text, '') AS text, b.n_lines,
+                   b.n_lines - coalesce(a.n_kept, 0) AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "q_doc_ngram_pairs": f"""
             WITH tok AS (

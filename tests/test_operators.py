@@ -67,6 +67,43 @@ class TestDedup:
         assert g[0] == g[1]
         assert g[0] != g[3]
 
+    def test_line_dedup_removes_repeated_lines(self):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.dedup import line_dedup
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["COMMON HEADER\nunique prose one\nCOMMON FOOTER",
+                     "COMMON HEADER\nother text here\nCOMMON FOOTER",
+                     "totally unique\nnothing shared",
+                     "COMMON HEADER"],
+        })
+        out = line_dedup(rd.from_pandas(docs), min_docs=2).to_pandas()
+        got = out.set_index("doc_id")
+        assert got.loc[1, "text"] == "unique prose one"
+        assert got.loc[2, "text"] == "other text here"
+        # untouched doc keeps line structure
+        assert got.loc[3, "text"] == "totally unique\nnothing shared"
+        # every line removed → empty string, row kept
+        assert got.loc[4, "text"] == ""
+        assert got.loc[4, "n_removed"] == 1 and got.loc[4, "n_lines"] == 1
+        assert got["n_removed"].tolist() == [2, 2, 0, 1]
+
+    def test_line_dedup_min_docs_threshold(self):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.dedup import line_dedup
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["twice\nthrice", "twice\nthrice", "thrice"],
+        })
+        out = line_dedup(rd.from_pandas(docs), min_docs=3).to_pandas()
+        got = out.set_index("doc_id")["text"]
+        # only the 3-doc line crosses the threshold
+        assert got[1] == "twice" and got[2] == "twice" and got[3] == ""
+
     def test_ngram_jaccard_pairs_exact(self, docs_ds):
         from whoiswho_ray.stages.dedup import ngram_jaccard_pairs
 

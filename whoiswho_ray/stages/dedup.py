@@ -748,3 +748,115 @@ def embedding_dup_pairs(
         })
 
     return ds.groupby(group_col).map_groups(allpairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level repeated-line removal
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    ds: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    separator: str = "\n",
+) -> "ray.data.Dataset":
+    """Remove every line that occurs in ≥ ``min_docs`` distinct documents
+    (the RefinedWeb / CCNet repeated-line filter: boilerplate navigation,
+    license headers, cookie banners repeat across pages; prose does not).
+
+    Two passes, both vectorized Arrow:
+
+    1. **Count**: split → dictionary-encode the batch's lines (each
+       distinct line is hashed ONCE per batch — the unique-value trick),
+       per-doc distinct, pre-aggregated per batch to (line_hash, n_docs)
+       partial rows; a bucketed ``grouped_agg(final="shuffle")`` sums the
+       partials. Only 8-byte hashes enter the shuffle, never line text.
+    2. **Strip**: hashes with count ≥ ``min_docs`` are collected and
+       broadcast once via ``ray.put`` (sorted uint64 array — bounded by
+       the number of DISTINCT repeated lines, a tiny fraction of corpus
+       bytes; at 100 TB keep ``min_docs`` ≥ the boilerplate floor so the
+       set stays in worker memory). Each batch re-splits, hashes its
+       dictionary, masks via searchsorted, rebuilds the kept lines with a
+       zero-copy list-filter and one ``binary_join``.
+
+    Returns (key_col, text_col cleaned, n_lines, n_removed) — a document
+    with every line removed yields the empty string, never drops out.
+    """
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.functions.hashing import stable_hash64
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    def _split(t: pa.Table):
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        lists = pc.split_pattern(col, pattern=separator)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        values = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        enc = values.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        uhash = np.fromiter((stable_hash64(u) for u in uniq), np.int64,
+                            len(uniq)) if uniq else np.empty(0, np.int64)
+        return lists, values, offsets, idx, uhash
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, _, offsets, idx, uhash = _split(t)
+        n = t.num_rows
+        lens = np.diff(offsets)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # distinct (doc, line) pairs: each doc row lives in exactly one
+        # batch, so per-batch distinct-doc counts sum to the global count
+        packed = np.unique(rows * np.int64(max(len(uhash), 1)) + idx)
+        h, c = np.unique(uhash[packed % max(len(uhash), 1)], return_counts=True)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    counts = grouped_agg(partials, "h", {"c": ("c", "sum")}, final="shuffle")
+    common = counts.filter(expr=f"c >= {int(min_docs)}").select_columns(["h"])
+    common_np = np.sort(np.concatenate(
+        [ray.get(r).column("h").to_numpy(zero_copy_only=False)
+         for r in common.to_arrow_refs()] or [np.empty(0, np.int64)]))
+    common_ref = ray.put(common_np)
+
+    class Strip:
+        def __init__(self):
+            self.common = ray.get(common_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            _, values, offsets, idx, uhash = _split(t)
+            n = t.num_rows
+            lens = np.diff(offsets)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            if uhash.size and self.common.size:
+                pos = np.searchsorted(self.common, uhash)
+                pos[pos == self.common.size] = 0
+                uniq_common = self.common[pos] == uhash
+                drop = uniq_common[idx]
+            else:
+                drop = np.zeros(idx.size, dtype=bool)
+            keep = ~drop
+            kept_per_row = np.bincount(rows[keep], minlength=n)
+            new_off = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(kept_per_row, out=new_off[1:])
+            kept_values = values.filter(pa.array(keep))
+            kept_lists = pa.ListArray.from_arrays(pa.array(new_off), kept_values)
+            joined = pc.binary_join(kept_lists, separator)
+            return pa.table({
+                key_col: t.column(key_col),
+                text_col: joined,
+                "n_lines": pa.array(lens, pa.int64()),
+                "n_removed": pa.array(lens - kept_per_row, pa.int64()),
+            })
+
+    return ds.map_batches(Strip, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
