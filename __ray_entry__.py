@@ -324,6 +324,13 @@ def q_doc_simhash_dedup(sf_dir: str):
     return simhash_dedup(ds, max_hamming=3)
 
 
+def q_doc_repetition(sf_dir: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import repetition_stats
+
+    return repetition_stats(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_doc_line_dedup(sf_dir: str):
     """Corpus-level repeated-line removal (RefinedWeb/CCNet filter).
 
@@ -743,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_line_dedup": q_doc_line_dedup,
+        "q_doc_repetition": q_doc_repetition,
         "q_doc_langid": q_doc_langid,
         "q_doc_embed": q_doc_embed,
         "q_doc_winnow": q_doc_winnow,
@@ -1222,6 +1230,41 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_dedup_exact": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "q_doc_repetition": r"""
+            WITH w AS (
+                SELECT doc_id, ws[i] AS word, i
+                FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+                      FROM documents),
+                     UNNEST(generate_series(1, len(ws))) AS t(i)
+            ),
+            counts AS (
+                SELECT doc_id, count(*) AS n_words,
+                       count(DISTINCT word) AS n_distinct
+                FROM w GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+                FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+            bgm AS (SELECT doc_id, max(c) AS top_c,
+                           CAST(sum(c) AS BIGINT) AS n_bg
+                    FROM bgc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(c.n_words, 0) AS n_words,
+                   coalesce(c.n_distinct, 0) AS n_distinct_words,
+                   CASE WHEN coalesce(c.n_words, 0) > 0
+                        THEN CAST(c.n_words - c.n_distinct AS DOUBLE) / c.n_words
+                        ELSE 0.0 END AS dup_word_frac,
+                   coalesce(m.n_bg, 0) AS n_bigrams,
+                   coalesce(m.top_c, 0) AS top_bigram_count,
+                   CASE WHEN coalesce(m.n_bg, 0) > 0
+                        THEN CAST(m.top_c AS DOUBLE) / m.n_bg
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN counts c USING (doc_id)
+            LEFT JOIN bgm m USING (doc_id)
         """,
         "q_doc_line_dedup": """
             WITH w AS (

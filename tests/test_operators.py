@@ -292,6 +292,38 @@ class TestTextAnalysis:
         assert out.loc[2, "pred_lang"] == "fr"
 
 
+class TestRepetitionStats:
+    def test_known_fractions(self):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import repetition_stats
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["spam spam spam eggs",      # 4 words, 2 distinct; bigram "spam spam" ×2 of 3
+                     "all words are different",  # no repetition
+                     ""],                        # empty
+        })
+        out = repetition_stats(rd.from_pandas(docs)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_words"] == 4 and out.loc[1, "n_distinct_words"] == 2
+        assert out.loc[1, "dup_word_frac"] == 0.5
+        assert out.loc[1, "n_bigrams"] == 3 and out.loc[1, "top_bigram_count"] == 2
+        assert out.loc[1, "top_bigram_frac"] == 2 / 3
+        assert out.loc[2, "dup_word_frac"] == 0.0
+        assert out.loc[2, "top_bigram_count"] == 1  # every bigram unique
+        assert out.loc[3, "n_words"] == 0 and out.loc[3, "top_bigram_frac"] == 0.0
+
+    def test_case_folding(self):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import repetition_stats
+
+        docs = pd.DataFrame({"doc_id": [1], "text": ["Spam SPAM spam"]})
+        out = repetition_stats(rd.from_pandas(docs)).to_pandas()
+        assert out["n_distinct_words"].iloc[0] == 1
+        assert out["top_bigram_count"].iloc[0] == 2  # "spam spam" twice
+
+
 class TestWindows:
     def test_sessionize(self):
         from whoiswho_ray.stages.windows import sessionize

@@ -178,6 +178,73 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc_i
     })
 
 
+def repetition_stats_batch(t: pa.Table, text_col: str = "text",
+                           key_col: str = "doc_id") -> pa.Table:
+    """Within-document repetition metrics (the Gopher / FineWeb quality
+    rules: heavily repetitive documents are low-quality or boilerplate):
+
+    * ``dup_word_frac``  = (n_words − n_distinct_words) / n_words
+    * ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      / total bigrams
+
+    Tokens are lowercased ``\\S+`` runs. Fully vectorized: one Arrow
+    split + dictionary-encode per batch, per-row distinct/bigram counts
+    via packed ``np.unique`` and a segment-max ``reduceat`` — no Python
+    loop over rows or words. Ratios divide identical integers on both
+    engines, so the DuckDB oracle is bit-exact."""
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
+    n = t.num_rows
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+
+    n_words = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_bigrams = np.zeros(n, dtype=np.int64)
+    top_big = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        word_ok = pc.utf8_length(enc.dictionary).to_numpy(zero_copy_only=False) > 0
+        keep = word_ok[codes]
+        rows_f, codes_f = rows[keep], codes[keep]
+        K = np.int64(max(int(codes_f.max()) + 1, 1)) if codes_f.size else np.int64(1)
+        n_words = np.bincount(rows_f, minlength=n).astype(np.int64)
+        uniq_rc = np.unique(rows_f * K + codes_f)
+        n_distinct = np.bincount(uniq_rc // K, minlength=n).astype(np.int64)
+        # adjacent same-row token pairs
+        if rows_f.size > 1:
+            adj = rows_f[1:] == rows_f[:-1]
+            brow = rows_f[:-1][adj]
+            bid = codes_f[:-1][adj] * K + codes_f[1:][adj]
+            n_bigrams = np.bincount(brow, minlength=n).astype(np.int64)
+            packed, cnt = np.unique(brow * (K * K) + bid, return_counts=True)
+            prow = (packed // (K * K)).astype(np.int64)
+            if prow.size:
+                seg = np.flatnonzero(np.r_[True, prow[1:] != prow[:-1]])
+                top_big[prow[seg]] = np.maximum.reduceat(cnt, seg)
+    dup_frac = np.where(n_words > 0, (n_words - n_distinct) / np.maximum(n_words, 1), 0.0)
+    big_frac = np.where(n_bigrams > 0, top_big / np.maximum(n_bigrams, 1), 0.0)
+    return pa.table({
+        key_col: t.column(key_col),
+        "n_words": pa.array(n_words),
+        "n_distinct_words": pa.array(n_distinct),
+        "dup_word_frac": pa.array(dup_frac),
+        "n_bigrams": pa.array(n_bigrams),
+        "top_bigram_count": pa.array(top_big),
+        "top_bigram_frac": pa.array(big_frac),
+    })
+
+
+def repetition_stats(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    return ds.map_batches(lambda t: repetition_stats_batch(t, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_stats(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return ds.map_batches(lambda t: token_stats_batch(t, **kw),
                           batch_format="pyarrow", zero_copy_batch=True)
