@@ -273,6 +273,36 @@ def q_events_user_stats(sf_dir: str):
     )
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join (J-family): each event matched to the latest order of the
+    same customer at or before the event time. Backward inner as-of with a
+    deterministic max-o_orderkey tie-break, bit-exact vs DuckDB ASOF JOIN."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.asof import asof_join
+
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    return asof_join(
+        events, orders, by=("user_id", "o_custkey"),
+        left_on="ts", right_on="o_orderdate",
+        right_cols=["o_orderkey"], tie_break="o_orderkey")
+
+
+def q_events_range_window(sf_dir: str):
+    """Range-interval aggregate self-join: per event, count + integer-cents
+    value sum of the same user's events in the preceding 24 h (inclusive of
+    the event itself). One hash shuffle; searchsorted + prefix-sum kernel."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.asof import range_agg_join
+
+    left = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    right = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return range_agg_join(
+        left, right, by="user_id", left_on="ts", right_on="ts",
+        value_col="value", window=pd.Timedelta(hours=24))
+
+
 def q_doc_token_stats(sf_dir: str):
     from whoiswho_ray.sources.tables import read_table
     from whoiswho_ray.stages.text_analysis import token_stats
@@ -743,6 +773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": q_events_sliding,
         "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
+        "q_events_asof": q_events_asof,
+        "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -1197,6 +1229,25 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_ts_us,
                    max(epoch_us(ts)) AS max_ts_us
             FROM events GROUP BY user_id
+        """,
+        "q_events_asof": """
+            WITH r AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts, r.o_orderdate, r.o_orderkey
+            FROM events e
+            ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "q_events_range_window": f"""
+            SELECT e.event_id, e.user_id, e.ts,
+                   count(p.user_id) AS n_right,
+                   CAST(coalesce(sum({cents.format(x='p.value')}), 0) AS BIGINT)
+                       AS sum_cents
+            FROM events e LEFT JOIN events p
+              ON p.user_id = e.user_id AND p.ts <= e.ts
+                 AND p.ts > e.ts - INTERVAL 24 HOUR
+            GROUP BY 1, 2, 3
         """,
         "q_doc_token_stats": r"""
             SELECT doc_id,
