@@ -273,6 +273,30 @@ def q_events_user_stats(sf_dir: str):
     )
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/PaLM hygiene step): corpus docs
+    sharing any distinct word 3-gram with the benchmark split
+    (doc_id % 97 == 0) are flagged. Broadcast gram set + stateful actor
+    membership test — zero shuffles."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.decontaminate import decontaminate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 97) == 0
+            return t.filter(pa.array(m if bench else ~m))
+        return f
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    benchmark = docs.map_batches(split(True), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return decontaminate(corpus, benchmark, n=3, min_hits=1)
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (J-family): each event matched to the latest order of the
     same customer at or before the event time. Backward inner as-of with a
@@ -774,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
         "q_events_asof": q_events_asof,
+        "q_doc_decontaminate": q_doc_decontaminate,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
@@ -1229,6 +1254,34 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_ts_us,
                    max(epoch_us(ts)) AS max_ts_us
             FROM events GROUP BY user_id
+        """,
+        "q_doc_decontaminate": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(ts) - 3 + 2),
+                           i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+                       ))) AS g
+                FROM tok WHERE len(ts) >= 3
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            stats AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       count(*) FILTER (WHERE g IN (SELECT g FROM bench))
+                           AS n_hits
+                FROM grams GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(s.n_hits, 0) AS n_hits,
+                   coalesce(s.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN stats s USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
         """,
         "q_events_asof": """
             WITH r AS (

@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_top_per_user",
+    "q_events_asof",
+    "q_events_range_window",
     "q_doc_token_stats",
     "q_doc_langid",
     "q_doc_ngram_pairs",

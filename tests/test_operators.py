@@ -453,3 +453,47 @@ class TestWinnowMd5:
         # too short for one gram / empty: zero fingerprints, NULL min
         assert out.loc[2, "n_fingerprints"] == 0 and out.loc[2, "min_fingerprint"] is None
         assert out.loc[3, "n_fingerprints"] == 0
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flagged(self):
+        from whoiswho_ray.stages.decontaminate import decontaminate
+
+        bench = pd.DataFrame({
+            "doc_id": [100, 101],
+            "text": ["the capital of france is paris obviously",
+                     "two plus two equals four in base ten"],
+        })
+        corpus = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # shares the 4-gram "capital of france is"
+                "everyone knows the capital of france is a big city",
+                # shares "two plus two equals"
+                "quiz answer two plus two equals four",
+                # no 4-gram overlap (words shuffled)
+                "france of capital the paris is obviously",
+                "",  # empty: 0 grams, clean
+            ],
+        })
+        out = decontaminate(
+            rd.from_pandas(corpus), rd.from_pandas(bench),
+            n=4, min_hits=1,
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "contaminated"] and out.loc[0, "n_hits"] >= 1
+        assert out.loc[1, "contaminated"]
+        assert not out.loc[2, "contaminated"] and out.loc[2, "n_hits"] == 0
+        assert not out.loc[3, "contaminated"] and out.loc[3, "n_grams"] == 0
+        # distinct-gram counting: doc 0 has 7 tokens more than n -> 7 grams
+        assert out.loc[0, "n_grams"] == len(corpus.loc[0, "text"].split()) - 3
+
+    def test_distinct_hits_not_occurrences(self):
+        from whoiswho_ray.stages.decontaminate import decontaminate
+
+        bench = pd.DataFrame({"doc_id": [9], "text": ["x y z"]})
+        # "x y z" appears twice in the doc but is ONE distinct gram
+        corpus = pd.DataFrame({"doc_id": [0], "text": ["x y z w x y z"]})
+        out = decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench),
+                            n=3, min_hits=1).to_pandas()
+        assert out.loc[0, "n_hits"] == 1
+        assert out.loc[0, "contaminated"]
