@@ -497,3 +497,23 @@ class TestDecontaminate:
                             n=3, min_hits=1).to_pandas()
         assert out.loc[0, "n_hits"] == 1
         assert out.loc[0, "contaminated"]
+
+    def test_batch_size_independence(self):
+        """Gram extraction is per-document; splitting the corpus into
+        tiny batches must not change any count."""
+        from whoiswho_ray.stages.decontaminate import decontaminate
+
+        rng = np.random.RandomState(3)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, rng.randint(5, 30)))
+                 for _ in range(24)]
+        corpus = pd.DataFrame({"doc_id": range(24), "text": texts})
+        bench = pd.DataFrame({"doc_id": [99], "text": [texts[7]]})
+        outs = []
+        for nparts in (1, 12):
+            ds = decontaminate(
+                rd.from_pandas(corpus).repartition(nparts),
+                rd.from_pandas(bench), n=3, min_hits=1)
+            outs.append(ds.to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert outs[0].loc[7, "contaminated"]
