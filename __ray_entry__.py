@@ -273,6 +273,18 @@ def q_events_user_stats(sf_dir: str):
     )
 
 
+def q_events_hll_users(sf_dir: str):
+    """HyperLogLog register table over events.user_id (approximate
+    distinct-count sketch as a combinable aggregate). The md5-based hash
+    is SQL-replicable, so the register table — though the ESTIMATE is
+    approximate — has an exact oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.sketch import hll_registers
+
+    return hll_registers(
+        read_table(sf_dir, "events", columns=["user_id"]), "user_id", b=12)
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3/PaLM hygiene step): corpus docs
     sharing any distinct word 3-gram with the benchmark split
@@ -799,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_user_stats": q_events_user_stats,
         "q_events_asof": q_events_asof,
         "q_doc_decontaminate": q_doc_decontaminate,
+        "q_events_hll_users": q_events_hll_users,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
@@ -1254,6 +1267,22 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_ts_us,
                    max(epoch_us(ts)) AS max_ts_us
             FROM events GROUP BY user_id
+        """,
+        "q_events_hll_users": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+                FROM events
+            ),
+            r AS (
+                SELECT CAST(hv >> 52 AS BIGINT) AS register,
+                       CAST(hv & 4294967295 AS BIGINT) AS low32
+                FROM h
+            )
+            SELECT register,
+                   max(CASE WHEN low32 = 0 THEN 33
+                            ELSE 32 - CAST(floor(log2(low32)) AS BIGINT)
+                       END) AS max_rank
+            FROM r GROUP BY register
         """,
         "q_doc_decontaminate": r"""
             WITH tok AS (

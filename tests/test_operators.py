@@ -517,3 +517,40 @@ class TestDecontaminate:
             outs.append(ds.to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
         assert outs[0].loc[7, "contaminated"]
+
+
+class TestHllSketch:
+    def test_estimate_accuracy_large(self):
+        from whoiswho_ray.stages.sketch import hll_estimate, hll_registers
+
+        n = 20_000
+        ds = rd.from_pandas(pd.DataFrame({"v": np.arange(n)})).repartition(8)
+        regs = hll_registers(ds, "v", b=12)
+        est = hll_estimate(regs, b=12)
+        # m=4096 -> standard error ~1.6%; hash is deterministic so this
+        # bound is a fixed fact, not a flaky draw
+        assert abs(est - n) / n < 0.05
+
+    def test_estimate_linear_counting_small(self):
+        from whoiswho_ray.stages.sketch import hll_estimate, hll_registers
+
+        regs = hll_registers(
+            rd.from_pandas(pd.DataFrame({"v": np.arange(100)})), "v", b=12)
+        assert abs(hll_estimate(regs, b=12) - 100) / 100 < 0.05
+
+    def test_merge_is_max_of_partials(self):
+        """Register tables are max-mergeable: sketch(A ∪ B) ==
+        max-merge(sketch(A), sketch(B)) — the property that makes the
+        aggregate distribute over any partitioning."""
+        from whoiswho_ray.stages.sketch import hll_registers
+
+        a = pd.DataFrame({"v": np.arange(0, 3000)})
+        bb = pd.DataFrame({"v": np.arange(1500, 5000)})
+        full = hll_registers(rd.from_pandas(pd.concat([a, bb])), "v")
+        ra = hll_registers(rd.from_pandas(a), "v")
+        rb = hll_registers(rd.from_pandas(bb), "v")
+        merged = (pd.concat([ra, rb]).groupby("register", as_index=False)
+                  ["max_rank"].max())
+        lhs = full.sort_values("register").reset_index(drop=True)
+        rhs = merged.sort_values("register").reset_index(drop=True)
+        pd.testing.assert_frame_equal(lhs, rhs)

@@ -1,0 +1,93 @@
+"""Distributed cardinality sketch: HyperLogLog registers as a combinable
+aggregate (Flajolet et al. 2007).
+
+Scale shape: the classic partial-combine pattern — every batch folds its
+rows into a tiny (register, max_rank) table (at most ``2^b`` rows, 4096
+by default), the partials stream through one bounded-key grouped max, and
+the driver-side estimate reads a few KB. Nothing proportional to the
+input ever concentrates anywhere; merging register tables with ``max`` is
+associative and commutative, so the sketch distributes over any
+partitioning.
+
+Determinism / oracle: the hash is the first 8 bytes of
+``md5(str(value))`` — identical in hashlib and DuckDB
+(``('0x' || substr(md5(x), 1, 16))::UBIGINT``), so the REGISTER TABLE
+itself is oracle-exact even though the estimate is approximate. The rank
+uses only the low 32 bits, where DuckDB's ``floor(log2(x))`` is exactly
+the bit length minus one (the nearest-double rounding of ``log2(2^k-1)``
+cannot reach ``k`` until ~2^50), giving bit-exact SQL parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _md5_hash64(values: np.ndarray) -> np.ndarray:
+    """First 8 md5 bytes of str(v) as uint64, hashed once per unique value
+    (dictionary-encode trick: NOTES.md round-2 item 6)."""
+    uniq, inv = np.unique(values, return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+         for v in uniq),
+        np.uint64, len(uniq))
+    return uh[inv]
+
+
+def _registers_of(h: np.ndarray, b: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rank) per hash: top ``b`` bits index the register, the
+    rank is leading-zeros-plus-one within the low 32-bit window."""
+    reg = (h >> np.uint64(64 - b)).astype(np.int64)
+    low = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    bitlen = np.zeros(low.size, dtype=np.int64)
+    nz = low > 0
+    bitlen[nz] = np.floor(np.log2(low[nz])).astype(np.int64) + 1
+    rank = 33 - bitlen  # low == 0 -> rank 33
+    return reg, rank
+
+
+def hll_registers(
+    ds: "ray.data.Dataset", col: str, b: int = 12
+) -> pd.DataFrame:
+    """HLL register table for ``col``: one row per non-empty register,
+    ``(register int64, max_rank int64)``. ``2^b`` registers — a bounded
+    key space, so the grouped max uses the exact driver-side final."""
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        if not vals.size:
+            return pa.table({"register": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        reg, rank = _registers_of(_md5_hash64(vals), b)
+        # in-batch combine: max rank per register before anything ships
+        m = 1 << b
+        best = np.zeros(m, dtype=np.int64)
+        np.maximum.at(best, reg, rank)
+        hit = np.flatnonzero(best)
+        return pa.table({"register": pa.array(hit, pa.int64()),
+                         "rank": pa.array(best[hit], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # bounded key space (<= 2^b registers): driver final is exact and tiny
+    return grouped_agg(partials, "register", {"max_rank": ("rank", "max")})
+
+
+def hll_estimate(registers: pd.DataFrame, b: int = 12) -> float:
+    """Standard HLL estimate with small-range linear counting."""
+    m = 1 << b
+    ranks = np.zeros(m, dtype=np.int64)
+    ranks[registers["register"].to_numpy()] = registers["max_rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -ranks))
+    zeros = int(np.sum(ranks == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting regime
+    return float(est)
