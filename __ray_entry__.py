@@ -273,6 +273,18 @@ def q_events_user_stats(sf_dir: str):
     )
 
 
+def q_events_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (not a sketch): one Ray sample-sort
+    zipped with range(n) for global ranks, quantile rows plucked by rank
+    in-task — only 3 rows reach the driver. quantile_disc convention."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import exact_quantiles
+
+    return exact_quantiles(
+        read_table(sf_dir, "events", columns=["value"]), "value",
+        [0.5, 0.9, 0.99])
+
+
 def q_events_hll_users(sf_dir: str):
     """HyperLogLog register table over events.user_id (approximate
     distinct-count sketch as a combinable aggregate). The md5-based hash
@@ -812,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof": q_events_asof,
         "q_doc_decontaminate": q_doc_decontaminate,
         "q_events_hll_users": q_events_hll_users,
+        "q_events_quantiles": q_events_quantiles,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
@@ -1267,6 +1280,13 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_ts_us,
                    max(epoch_us(ts)) AS max_ts_us
             FROM events GROUP BY user_id
+        """,
+        "q_events_quantiles": """
+            SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS "value" FROM events
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
         """,
         "q_events_hll_users": """
             WITH h AS (

@@ -65,3 +65,31 @@ def test_group_apply_matches_direct_groupby(frame):
     a = via_helper.sort_values("k").reset_index(drop=True)
     b = direct.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_on_known_data(self):
+        import math
+
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import exact_quantiles
+
+        rng = np.random.RandomState(5)
+        vals = rng.uniform(0, 1000, 5003).round(2)
+        out = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7),
+            "v", [0.0, 0.25, 0.5, 0.99, 1.0])
+        srt = np.sort(vals)
+        for q, got in zip(out["q"], out["value"]):
+            assert got == srt[max(0, math.ceil(q * len(vals)) - 1)]
+
+    def test_ties_well_defined(self):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import exact_quantiles
+
+        vals = [1.0] * 50 + [2.0] * 50
+        out = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"v": vals})), "v", [0.5, 0.51])
+        assert out["value"].tolist() == [1.0, 2.0]

@@ -223,3 +223,91 @@ def distinct(ds: "ray.data.Dataset", cols: list[str], final: str = "driver"):
         "__bucket").map_groups(
         lambda g: g.drop(columns=["__bucket"]).drop_duplicates(),
         batch_format="pandas")
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """EXACT discrete quantiles of one column, distributed.
+
+    Not a sketch: one Ray ``sort`` (distributed sample-sort), then
+    :func:`with_global_rank` gives every row its global rank via
+    per-block offset tasks; the quantile rows are plucked by rank inside
+    ``map_batches`` — only ``len(qs)`` rows ever reach the driver. Equal
+    values make the rank→value map well-defined regardless of tie order,
+    so no tie-break column is needed.
+
+    Quantile index convention matches DuckDB ``quantile_disc``:
+    ``max(0, ceil(q*n) - 1)`` (0-based), making the result oracle-exact —
+    the value is plucked, never interpolated, so no float arithmetic
+    differs between engines.
+    """
+    import math
+
+    import pyarrow as pa
+
+    s = ds.sort(value_col).materialize()
+    n = s.count()
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": np.nan})
+    idx_of = {q: max(0, math.ceil(q * n) - 1) for q in qs}
+    targets = np.unique(np.fromiter(idx_of.values(), np.int64, len(idx_of)))
+    targets_ref = ray.put(targets)
+
+    class Pick:
+        def __init__(self):
+            self.targets = ray.get(targets_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("rank").to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, self.targets)
+            return pa.table({
+                "rank": pa.array(ids[mask]),
+                "value": t.column(value_col).filter(pa.array(mask)),
+            })
+
+    hits = (with_global_rank(s, "rank")
+            .map_batches(Pick, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4))
+            .to_pandas().set_index("rank")["value"])
+    return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                         "value": [hits[idx_of[q]] for q in qs]})
+
+
+def with_global_rank(
+    s: "ray.data.Dataset", rank_col: str = "rank"
+) -> "ray.data.Dataset":
+    """Append each row's GLOBAL index in dataset iteration order.
+
+    ``s`` must be materialized (e.g. the output of ``sort().materialize()``,
+    where iteration order is the sorted order). Implemented with per-block
+    offset tasks over the ordered block list — NOT ``Dataset.zip(range(n))``:
+    zip does not guarantee row alignment across unevenly-sized block
+    structures (observed on Ray 2.49: zipping a 7-block sample-sorted
+    dataset against ``range(n)`` interleaves the ids), so the zip-based
+    rank silently scrambles at multi-block scale. Block row counts come
+    from metadata; each task touches one block — no shuffle, no driver
+    materialization.
+    """
+    import ray.data as rd
+    from ray.data.block import BlockAccessor
+
+    refs, counts = [], []
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            counts.append(int(meta.num_rows))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote
+    def add_rank(block, off: int):
+        import pyarrow as _pa
+        t = BlockAccessor.for_block(block).to_arrow()
+        return t.append_column(
+            rank_col, _pa.array(np.arange(off, off + len(t), dtype=np.int64)))
+
+    return rd.from_arrow_refs(
+        [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])])

@@ -105,22 +105,25 @@ def kfold_by_weight_ds(
 ) -> "ray.data.Dataset":
     """Distributed ``kfold_by_weight``: the same (weight desc, key asc)
     rank-mod-k assignment, but the rank comes from one Ray ``sort``
-    (distributed sample-sort) zipped against ``range(n)`` for the global
-    row index — no driver-side materialization, so key cardinality is
-    bounded by the cluster, not the driver (the pandas variant's documented
-    ~1M-key ceiling). Bit-identical to :func:`kfold_by_weight` (asserted in
-    tests; the tie-break key is part of the sort key, so the order is fully
-    determined)."""
+    (distributed sample-sort) followed by ``agg.with_global_rank``
+    (per-block offset tasks over the ordered block list) — no driver-side
+    materialization, so key cardinality is bounded by the cluster, not
+    the driver (the pandas variant's documented ~1M-key ceiling).
+    Bit-identical to :func:`kfold_by_weight` (asserted in tests; the
+    tie-break key is part of the sort key, so the order is fully
+    determined). NOTE: an earlier version zipped against ``range(n)``;
+    ``Dataset.zip`` does not guarantee row alignment across uneven block
+    structures (scrambles at multi-block scale), hence the offset-task
+    rank."""
     import pyarrow as pa
-    import ray.data as rd
 
-    # materialize once: count() and zip() would otherwise both run the sort
+    from whoiswho_ray.stages.agg import with_global_rank
+
     s = ds.sort([weight_col, key_col], descending=[True, False]).materialize()
-    n = s.count()
-    z = s.zip(rd.range(n))
+    z = with_global_rank(s, "__rank")
 
     def assign(t: pa.Table) -> pa.Table:
-        idx = t.column("id").to_numpy(zero_copy_only=False)
+        idx = t.column("__rank").to_numpy(zero_copy_only=False)
         return pa.table({
             key_col: t.column(key_col),
             "fold": pa.array((idx % k).astype(np.int64)),
