@@ -105,3 +105,57 @@ def test_fused_clusters_equal_staged(small_fixture):
         "record_id").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(fused, staged)
+
+
+def test_compact_clusters_equal_full(small_fixture):
+    """The compact shuffle encoding (int32 tfv positions + tok_n scalar,
+    scoring.vectorize(compact=True)) must produce exactly the full
+    encoding's clusters on all-pairs blocks: pruned df==1 tokens cannot
+    intersect, so j_tok/cos are bit-identical."""
+    import pandas as pd
+    import ray.data as rd
+
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.pipelines.snd import snd_cluster
+    from whoiswho_ray.stages.idf import build_idf
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
+    from whoiswho_ray.stages.scoring import vectorize
+
+    spec, tabs = small_fixture
+    cfg = SNDConfig()
+    norm = normalize_records(rd.from_arrow(tabs["records"]), cfg).materialize()
+    idf = build_idf(norm, cfg)
+    full = vectorize(norm, idf, cfg).materialize()
+    compact = vectorize(norm, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS,
+                        compact=True).materialize()
+    assert "tok_n" in compact.schema().names
+    assert "tok_ids" not in compact.schema().names
+    a = snd_cluster(norm, full, cfg).to_pandas().sort_values(
+        "record_id").reset_index(drop=True)
+    b = snd_cluster(norm, compact, cfg).to_pandas().sort_values(
+        "record_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # staged path over the compact encoding agrees too
+    c = snd_cluster(norm, compact, cfg, staged=True).to_pandas().sort_values(
+        "record_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_compact_f1_holds_on_salted_hot_block():
+    """Hot blocks (> max_allpairs_block) salt via minhash over the tfv
+    positions under the compact encoding — candidate sets may differ from
+    the full encoding, but recall on the labeled fixture must hold."""
+    import ray.data as rd
+
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.evaluation import pairwise_f1_frames
+    from whoiswho_ray.fixtures import FixtureSpec, generate_tables
+    from whoiswho_ray.pipelines.snd import run_snd
+
+    tabs = generate_tables(FixtureSpec(n_blocks=4, hot_factor=60, seed=7))
+    clusters = run_snd(rd.from_arrow(tabs["records"]), SNDConfig()).to_pandas()
+    truth = tabs["ground_truth"].to_pandas()
+    ev = pairwise_f1_frames(clusters, truth)
+    mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+    assert mean_f1 >= 0.99, ev.to_string()

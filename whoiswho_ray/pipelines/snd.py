@@ -148,7 +148,7 @@ def run_snd(
             [c for c in CLUSTER_SHUFFLE_COLUMNS
              if c not in ("tfv_ids", "tfv_w")]).materialize()
         idf = build_idf(normalized, cfg)
-        vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS)
+        vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS, compact=True)
         return snd_cluster(normalized, vec, cfg)
 
     # the format version guards stage schemas: resuming with checkpoints
@@ -224,7 +224,7 @@ def run_snd(
             from whoiswho_ray.stages.pairs import EDGE_SHUFFLE_COLUMNS
 
             part_edges = generate_scored_edges(
-                vectorize(sub, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS), cfg)
+                vectorize(sub, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS, compact=True), cfg)
             tmp = man.begin_stage(name.replace("/", "_"))
             part_edges.write_parquet(tmp)
             rows = rd.read_parquet(tmp).count()
@@ -240,7 +240,7 @@ def run_snd(
         edges = checkpointed(
             "edges", ["normalized", "idf"],
             lambda: generate_scored_edges(
-                vectorize(normalized, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS), cfg),
+                vectorize(normalized, idf, cfg, keep=EDGE_SHUFFLE_COLUMNS, compact=True), cfg),
         )
     checkpointed(
         "block_metrics", ["normalized"],

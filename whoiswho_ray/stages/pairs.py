@@ -198,7 +198,15 @@ def candidate_index_pairs(
 
 def _block_arrays(group: pa.Table):
     rids = np.asarray(group.column("record_id").to_pylist(), dtype=object)
-    tok_values, tok_offsets = _flat_list(group.column("tok_ids"))
+    if "tok_ids" in group.column_names:
+        tok_values, tok_offsets = _flat_list(group.column("tok_ids"))
+    else:
+        # compact shuffle encoding (scoring.vectorize(compact=True)):
+        # hot-block minhash salting runs on the in-vocab tfv positions —
+        # the df==1 tokens the full encoding adds are unshareable noise
+        # for similarity banding anyway
+        tok_values, tok_offsets = _flat_list(group.column("tfv_ids"))
+        tok_values = tok_values.astype(np.int64)
     repo_values, repo_offsets = _flat_list(group.column("repo_ids"))
     lens = np.diff(repo_offsets)
     repo_first = np.full(lens.size, -1, dtype=np.int64)
@@ -277,38 +285,47 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
     if ii.size == 0:
         return None
 
+    from whoiswho_ray.stages.scoring import jw_for_pairs
+
     names = np.asarray(group.column("name").to_pylist(), dtype=object)
     jw_fn = jw_memo({})
+    compact = "tok_ids" not in group.column_names
 
     if n <= cfg.matrix_block_cap:
         # matrix regime (covers both all-pairs blocks and salted hot blocks
         # up to the cap): one n×n matrix per feature family (the
         # reference's per-name matrix, block-bounded) — no per-pair set ops
-        def jac_matrix(col):
+        def jac_matrix(col, union_lens=None):
             values, offsets = _flat_list(group.column(col))
             M = allpairs_matrix(n, values, offsets)
-            lens = np.diff(offsets).astype(np.float64)
+            lens = (np.diff(offsets).astype(np.float64)
+                    if union_lens is None else union_lens)
             inter = M[ii, jj]
             union = lens[ii] + lens[jj] - inter
             return np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
 
-        j_tok = jac_matrix("tok_ids")
+        if compact:
+            # j_tok from the tfv positions + original counts: exact, since
+            # the min_df-pruned tokens (df==1) can never intersect
+            tok_n = group.column("tok_n").to_numpy(zero_copy_only=False).astype(np.float64)
+            j_tok = jac_matrix("tfv_ids", union_lens=tok_n)
+        else:
+            j_tok = jac_matrix("tok_ids")
         t_repo = jac_matrix("repo_ids")
         t_ctx = jac_matrix("ctx_ids")
         tfv_vals, tfv_off = _flat_list(group.column("tfv_ids"))
         tfv_w, _ = _flat_list(group.column("tfv_w"))
         cos = allpairs_matrix(n, tfv_vals, tfv_off, tfv_w.astype(np.float64))[ii, jj]
-        jw = np.fromiter(
-            (jw_fn(names[i] or "", names[j] or "") for i, j in zip(ii, jj)),
-            dtype=np.float64, count=ii.size,
-        )
+        jw = jw_for_pairs(names, ii, jj, jw_fn)
         score = (cfg.w_tokens * j_tok + cfg.w_repo * t_repo + cfg.w_ctx * t_ctx
                  + cfg.w_tfidf * cos + cfg.w_name * jw)
         feats = {"j_tok": j_tok, "t_repo": t_repo, "t_ctx": t_ctx,
                  "cos": cos, "jw": jw, "score": score}
     else:
         flats = {}
-        for col in ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids", "tfv_w"):
+        cols = (("repo_ids", "ctx_ids", "tfv_ids", "tfv_w") if compact
+                else ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids", "tfv_w"))
+        for col in cols:
             values, offsets = _flat_list(group.column(col))
             lens = np.diff(offsets)
 
@@ -326,12 +343,43 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
             (*flats["tfv_ids"][0], flats["tfv_w"][0][0]),
             (*flats["tfv_ids"][1], flats["tfv_w"][1][0]),
         )
-        feats = score_flat_components(
-            cfg, ii.size,
-            flats["tok_ids"], flats["repo_ids"], flats["ctx_ids"], tfv,
-            names[ii].tolist(), names[jj].tolist(),
-            jw_fn,
-        )
+        jw_vals = jw_for_pairs(names, ii, jj, jw_fn)
+        if compact:
+            # one weighted intersection pass over tfv yields BOTH the
+            # intersection counts (exact j_tok numerator — pruned df==1
+            # tokens never intersect) and the cosine dots
+            from whoiswho_ray.stages.scoring import _intersections
+
+            (ia_v, la_v, wa_v), (ib_v, lb_v, wb_v) = tfv
+            inter, dots = _intersections(ii.size, ia_v, la_v, ib_v, lb_v,
+                                         wa_v.astype(np.float64),
+                                         wb_v.astype(np.float64))
+            tok_n = group.column("tok_n").to_numpy(zero_copy_only=False).astype(np.float64)
+            union = tok_n[ii] + tok_n[jj] - inter
+            j_tok = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+
+            def jac(pair):
+                (va, la), (vb, lb) = pair
+                i2, _ = _intersections(ii.size, va, la, vb, lb)
+                u = la + lb - i2
+                return np.where(u > 0, i2 / np.maximum(u, 1), 0.0)
+
+            cos = dots if dots is not None else np.zeros(ii.size)
+            t_repo = jac(flats["repo_ids"])
+            t_ctx = jac(flats["ctx_ids"])
+            score = (cfg.w_tokens * j_tok + cfg.w_repo * t_repo
+                     + cfg.w_ctx * t_ctx
+                     + cfg.w_tfidf * cos + cfg.w_name * jw_vals)
+            feats = {"j_tok": j_tok, "t_repo": t_repo, "t_ctx": t_ctx,
+                     "cos": cos, "jw": jw_vals, "score": score}
+        else:
+            feats = score_flat_components(
+                cfg, ii.size,
+                flats["tok_ids"], flats["repo_ids"], flats["ctx_ids"], tfv,
+                names[ii].tolist(), names[jj].tolist(),
+                jw_fn,
+                jw_vals=jw_vals,
+            )
     if cfg.w_rel:
         from whoiswho_ray.stages.relational import relational_adjust
 

@@ -54,8 +54,16 @@ class TfidfVectorizer:
     ``reduceat``); blocks stay Arrow through the whole pipeline."""
 
     def __init__(self, idf_ref: "ray.ObjectRef | IdfModel",
-                 keep: list[str] | None = None):
+                 keep: list[str] | None = None, compact: bool = False):
         self.idf: IdfModel = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        # compact shuffle encoding (see vectorize(compact=...)): tfv_ids as
+        # int32 vocab POSITIONS (bijective with the hashed ids — every
+        # consumer only tests equality/intersection) and tok_ids replaced
+        # by the scalar count tok_n. Exact j_tok stays computable because a
+        # min_df-pruned token has df==1, i.e. it occurs in exactly ONE
+        # record corpus-wide and can never be in any pair's intersection;
+        # the caller gates compact on (min_df <= 2 and not truncated).
+        self.compact = compact
         # optional projection applied INSIDE this map stage: the SND tail
         # only reads 8–9 of normalize's columns, and the blocking shuffle
         # right after this stage is object-fetch-bound at high core counts,
@@ -95,8 +103,17 @@ class TfidfVectorizer:
         w_norm = (w / np.repeat(norms, new_lens)).astype(np.float32)
 
         off32 = pa.array(new_off.astype(np.int32))
+        if self.compact:
+            tok_n = lens.astype(np.int32)
+            i = t.schema.get_field_index("tok_ids")
+            t = t.remove_column(i).add_column(
+                i, "tok_n", pa.array(tok_n, pa.int32()))
+            hit_pos = pos[hit] if vocab.size else np.empty(0, np.int64)
+            tfv_id_arr = pa.array(hit_pos.astype(np.int32), pa.int32())
+        else:
+            tfv_id_arr = pa.array(hit_ids, pa.int64())
         return (
-            t.append_column("tfv_ids", pa.ListArray.from_arrays(off32, pa.array(hit_ids, pa.int64())))
+            t.append_column("tfv_ids", pa.ListArray.from_arrays(off32, tfv_id_arr))
              .append_column("tfv_w", pa.ListArray.from_arrays(off32, pa.array(w_norm, pa.float32())))
         )
 
@@ -106,12 +123,21 @@ def vectorize(
     idf: IdfModel,
     cfg: SNDConfig | None = None,
     keep: list[str] | None = None,
+    compact: bool = False,
 ) -> "ray.data.Dataset":
+    """``compact=True`` requests the compact shuffle encoding (int32
+    tfv positions, ``tok_ids`` → scalar ``tok_n``) for pipelines whose
+    downstream kernels only need intersections — exact j_tok/cos are
+    preserved because min_df ≤ 2 prunes only never-intersecting df==1
+    tokens. Auto-disabled (falling back to the full encoding) when the
+    vocabulary was truncated or min_df > 2, where pruned tokens CAN
+    intersect."""
     cfg = cfg or SNDConfig()
+    compact = bool(compact and cfg.min_df <= 2 and not idf.truncated)
     idf_ref = ray.put(idf)
     return normalized.map_batches(
         TfidfVectorizer,
-        fn_constructor_kwargs={"idf_ref": idf_ref, "keep": keep},
+        fn_constructor_kwargs={"idf_ref": idf_ref, "keep": keep, "compact": compact},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
@@ -261,12 +287,31 @@ def jw_memo(cache: dict) -> "callable":
     return jw
 
 
+def jw_for_pairs(names: np.ndarray, ii: np.ndarray, jj: np.ndarray,
+                 jw_fn) -> np.ndarray:
+    """Jaro-Winkler for pair index arrays with ONE scorer call per
+    DISTINCT (name_a, name_b) combination: blocks hold few distinct name
+    forms, so millions of pairs collapse to a handful of JW evaluations —
+    the per-pair Python generator loop this replaces was the last row-wise
+    code in the hot block kernel."""
+    clean = np.array([x or "" for x in names], dtype=object)
+    uniq, codes = np.unique(clean.astype("U"), return_inverse=True)
+    k = np.int64(uniq.size)
+    key = codes[ii].astype(np.int64) * k + codes[jj]
+    uk, inv = np.unique(key, return_inverse=True)
+    jw_u = np.fromiter(
+        (jw_fn(str(uniq[q // k]), str(uniq[q % k])) for q in uk),
+        dtype=np.float64, count=uk.size)
+    return jw_u[inv]
+
+
 def score_flat_components(
     cfg: SNDConfig,
     n: int,
     tok, repo, ctx, tfv,
     names_a, names_b,
     jw_fn,
+    jw_vals: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
     """Vectorized feature+score computation for n pairs.
 
@@ -286,10 +331,13 @@ def score_flat_components(
     (ia, la, wa), (ib, lb, wb) = tfv
     _, dots = _intersections(n, ia, la, ib, lb, wa, wb)
     cos = dots if dots is not None else np.zeros(n)
-    jw = np.fromiter(
-        (jw_fn(a or "", b or "") for a, b in zip(names_a, names_b)),
-        dtype=np.float64, count=n,
-    )
+    if jw_vals is not None:
+        jw = jw_vals
+    else:
+        jw = np.fromiter(
+            (jw_fn(a or "", b or "") for a, b in zip(names_a, names_b)),
+            dtype=np.float64, count=n,
+        )
     score = (
         cfg.w_tokens * j_tok
         + cfg.w_repo * t_repo
