@@ -295,27 +295,33 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
         # matrix regime (covers both all-pairs blocks and salted hot blocks
         # up to the cap): one n×n matrix per feature family (the
         # reference's per-name matrix, block-bounded) — no per-pair set ops
-        def jac_matrix(col, union_lens=None):
+        def jac_matrix(col):
             values, offsets = _flat_list(group.column(col))
             M = allpairs_matrix(n, values, offsets)
-            lens = (np.diff(offsets).astype(np.float64)
-                    if union_lens is None else union_lens)
+            lens = np.diff(offsets).astype(np.float64)
             inter = M[ii, jj]
             union = lens[ii] + lens[jj] - inter
             return np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
 
-        if compact:
-            # j_tok from the tfv positions + original counts: exact, since
-            # the min_df-pruned tokens (df==1) can never intersect
-            tok_n = group.column("tok_n").to_numpy(zero_copy_only=False).astype(np.float64)
-            j_tok = jac_matrix("tfv_ids", union_lens=tok_n)
-        else:
-            j_tok = jac_matrix("tok_ids")
-        t_repo = jac_matrix("repo_ids")
-        t_ctx = jac_matrix("ctx_ids")
         tfv_vals, tfv_off = _flat_list(group.column("tfv_ids"))
         tfv_w, _ = _flat_list(group.column("tfv_w"))
-        cos = allpairs_matrix(n, tfv_vals, tfv_off, tfv_w.astype(np.float64))[ii, jj]
+        if compact:
+            # ONE pass over the tfv stream yields both the tf-idf dots and
+            # the intersection counts; j_tok from counts + original token
+            # counts is exact, since the min_df-pruned tokens (df==1) can
+            # never intersect
+            tok_n = group.column("tok_n").to_numpy(zero_copy_only=False).astype(np.float64)
+            Mw, Mc = allpairs_matrix(n, tfv_vals, tfv_off,
+                                     tfv_w.astype(np.float64), with_counts=True)
+            cos = Mw[ii, jj]
+            inter = Mc[ii, jj]
+            union = tok_n[ii] + tok_n[jj] - inter
+            j_tok = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        else:
+            j_tok = jac_matrix("tok_ids")
+            cos = allpairs_matrix(n, tfv_vals, tfv_off, tfv_w.astype(np.float64))[ii, jj]
+        t_repo = jac_matrix("repo_ids")
+        t_ctx = jac_matrix("ctx_ids")
         jw = jw_for_pairs(names, ii, jj, jw_fn)
         score = (cfg.w_tokens * j_tok + cfg.w_repo * t_repo + cfg.w_ctx * t_ctx
                  + cfg.w_tfidf * cos + cfg.w_name * jw)

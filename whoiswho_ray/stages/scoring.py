@@ -210,10 +210,16 @@ def allpairs_matrix(
     values: np.ndarray,
     offsets: np.ndarray,
     weights: np.ndarray | None = None,
-) -> np.ndarray:
+    with_counts: bool = False,
+) -> "np.ndarray | tuple[np.ndarray, np.ndarray]":
     """Full n×n intersection-count (or weighted-dot) matrix for n sets
     given flat (values, offsets) — one sort over the token stream plus a
     vectorized segment pair enumeration + bincount.
+
+    ``with_counts=True`` (requires ``weights``) returns ``(dots, counts)``
+    from the SAME sort + segment enumeration — the compact-encoding block
+    kernel needs both the tf-idf dots and the raw intersection sizes of
+    one token stream, and sharing the pass beats two calls.
 
     This is the reference's per-name N×N similarity matrix
     (``AutoTrainSND.py:142-161``) recomputed per *block* with bounded n:
@@ -229,6 +235,7 @@ def allpairs_matrix(
     bounds = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1], True])
     k = np.diff(bounds)
     M = np.zeros((n, n), dtype=np.float64)
+    C = np.zeros((n, n), dtype=np.float64) if with_counts else None
 
     # --- high-frequency tokens: dense indicator columns + one BLAS syrk ---
     # (enumeration would cost Σk² pair rows; X@X.T costs n²·T_big flops)
@@ -246,6 +253,10 @@ def allpairs_matrix(
         else:
             X[flat, cols] = np.concatenate([sw[s: s + m] for s, m in zip(starts_b, kk_b)])
         M += X @ X.T
+        if C is not None:
+            Xi = np.zeros((n, t_big), dtype=np.float64)
+            Xi[flat, cols] = 1.0
+            C += Xi @ Xi.T
 
     # --- low-frequency tokens: segment pair enumeration + bincount ---
     multi = (k > 1) & ~big
@@ -263,11 +274,16 @@ def allpairs_matrix(
         b = local % kk[g]
         pi = sr[starts[g] + a]
         pj = sr[starts[g] + b]
+        cell = pi * n + pj
         if sw is None:
-            M += np.bincount(pi * n + pj, minlength=n * n).reshape(n, n)
+            M += np.bincount(cell, minlength=n * n).reshape(n, n)
         else:
-            M += np.bincount(pi * n + pj, weights=sw[starts[g] + a] * sw[starts[g] + b],
+            M += np.bincount(cell, weights=sw[starts[g] + a] * sw[starts[g] + b],
                              minlength=n * n).reshape(n, n)
+        if C is not None:
+            C += np.bincount(cell, minlength=n * n).reshape(n, n)
+    if with_counts:
+        return M, C
     return M
 
 
