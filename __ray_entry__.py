@@ -285,6 +285,47 @@ def q_events_quantiles(sf_dir: str):
         [0.5, 0.9, 0.99])
 
 
+def q_doc_top_tokens(sf_dir: str):
+    """Corpus token heavy hitters: per-batch Arrow partial counts, one
+    token-hash-bucketed shuffle, per-bucket top-k (complete for its
+    tokens), k×buckets candidate rows merged on the driver. Exact."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import top_tokens
+
+    return top_tokens(read_table(sf_dir, "documents", columns=["text"]), k=50)
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Per-language deterministic Bernoulli sample (mixture reweighting):
+    md5-draw keyed on doc_id, bit-identical in DuckDB — zero shuffles."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.splits import stratified_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id",
+                             {"en": 0.5, "zh": 0.2}, default=0.1, seed=42)
+
+
+def q_supplier_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join + aggregate: 1 MiB bitmap
+    broadcast drops non-members before any shuffle; survivors verify in a
+    partitioned semi-join — result equals the plain SQL semi-join."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.joins import bloom_semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]) \
+        .map_batches(lambda df: df[df["s_acctbal"] > 2000.0]
+                     .rename(columns={"s_suppkey": "l_suppkey"}),
+                     batch_format="pandas")
+    kept = bloom_semi_join(li, sup, on="l_suppkey")
+    return grouped_agg(kept, "l_suppkey", {
+        "sum_qty": ("l_quantity", "sum"),
+        "n_items": (None, "count"),
+    }, final="shuffle")
+
+
 def q_events_hll_users(sf_dir: str):
     """HyperLogLog register table over events.user_id (approximate
     distinct-count sketch as a combinable aggregate). The md5-based hash
@@ -825,6 +866,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_decontaminate": q_doc_decontaminate,
         "q_events_hll_users": q_events_hll_users,
         "q_events_quantiles": q_events_quantiles,
+        "q_doc_top_tokens": q_doc_top_tokens,
+        "q_doc_stratified_sample": q_doc_stratified_sample,
+        "q_supplier_bloom_semi": q_supplier_bloom_semi,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
@@ -1287,6 +1331,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
             UNION ALL
             SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+        """,
+        "q_doc_top_tokens": """
+            SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 50
+        """,
+        "q_doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END)
+                    * 4294967296.0
+        """,
+        "q_supplier_bloom_semi": """
+            SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 2000.0)
+            GROUP BY l_suppkey
         """,
         "q_events_hll_users": """
             WITH h AS (

@@ -554,3 +554,86 @@ class TestHllSketch:
         lhs = full.sort_values("register").reset_index(drop=True)
         rhs = merged.sort_values("register").reset_index(drop=True)
         pd.testing.assert_frame_equal(lhs, rhs)
+
+
+class TestTopTokens:
+    def test_matches_naive_count(self, ray_session):
+        import re
+
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import top_tokens
+
+        texts = ["the cat sat on the mat", "The DOG!  the dog, a dog",
+                 "cat9 cat9 dog", None, "", "  ", "a b a b a"]
+        got = top_tokens(rd.from_pandas(pd.DataFrame({"text": texts * 7}))
+                         .repartition(4), k=5)
+        from collections import Counter
+        c = Counter()
+        for t in texts * 7:
+            if t:
+                c.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(map(tuple, got.to_records(index=False))) == want
+
+    def test_exact_across_bucket_counts(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import top_tokens
+
+        df = pd.DataFrame({"text": [f"tok{i % 17} common" for i in range(300)]})
+        a = top_tokens(rd.from_pandas(df), k=3, num_buckets=2)
+        b = top_tokens(rd.from_pandas(df).repartition(8), k=3, num_buckets=64)
+        pd.testing.assert_frame_equal(a, b)
+        assert a.iloc[0]["token"] == "common" and a.iloc[0]["cnt"] == 300
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_proportional(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.splits import stratified_sample
+
+        n = 4000
+        df = pd.DataFrame({"doc_id": np.arange(n),
+                           "lang": np.where(np.arange(n) % 2 == 0, "en", "zh")})
+        ds = rd.from_pandas(df)
+        a = stratified_sample(ds, "lang", "doc_id", {"en": 0.5, "zh": 0.1}).to_pandas()
+        b = stratified_sample(ds.repartition(7), "lang", "doc_id",
+                              {"en": 0.5, "zh": 0.1}).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True),
+            b.sort_values("doc_id").reset_index(drop=True))
+        en = (a["lang"] == "en").sum() / (n / 2)
+        zh = (a["lang"] == "zh").sum() / (n / 2)
+        assert abs(en - 0.5) < 0.05 and abs(zh - 0.1) < 0.03
+
+
+class TestBloomSemiJoin:
+    def test_equals_exact_semi_join(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.joins import bloom_semi_join, shuffle_semi_join
+
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame({"k": rng.randint(0, 5000, 20000),
+                             "v": rng.rand(20000)})
+        keys = pd.DataFrame({"k": rng.choice(5000, 700, replace=False)})
+        got = bloom_semi_join(rd.from_pandas(left).repartition(5),
+                              rd.from_pandas(keys), on="k",
+                              bits_log2=12).to_pandas()
+        want = left[left["k"].isin(set(keys["k"]))]
+        a = got.sort_values(["k", "v"]).reset_index(drop=True)
+        b = want.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_anti_join(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.joins import shuffle_semi_join
+
+        left = pd.DataFrame({"k": np.arange(100), "v": np.arange(100) * 2})
+        keys = pd.DataFrame({"k": np.arange(0, 100, 3)})
+        got = shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(keys),
+                                on="k", anti=True).to_pandas()
+        assert sorted(got["k"]) == [i for i in range(100) if i % 3 != 0]

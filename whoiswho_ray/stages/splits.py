@@ -171,3 +171,38 @@ def sample_negatives(
     from whoiswho_ray.stages.agg import group_apply
 
     return group_apply(ds, group_col, per_group, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic Bernoulli sample (training-data mixture
+    reweighting: keep fraction f_s of stratum s).
+
+    A row is kept iff ``u(key) < f[stratum] * 2^32`` with ``u`` = the
+    first 8 hex digits of ``md5('{seed}|{key}')`` — a uniform 32-bit
+    draw that hashlib and DuckDB compute bit-identically, so the sample
+    is EXACTLY reproducible cross-engine (same md5 trick as
+    ``sample_negatives``; swap in a vectorized xxhash at real scale if
+    cross-engine replay is not needed). Stateless map over batches:
+    zero shuffles, trivially resumable, embarrassingly parallel.
+
+    The comparison stays in float64 (exact for 32-bit integers) on both
+    engines — never floor the threshold on one side only.
+    """
+    import hashlib
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.fromiter(
+            (int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8], 16)
+             for key in df[key_col]),
+            dtype=np.float64, count=len(df))
+        f = df[stratum_col].map(lambda s: fractions.get(s, default)).to_numpy(np.float64)
+        return df[u < f * 4294967296.0]
+
+    return ds.map_batches(filt, batch_format="pandas")

@@ -303,3 +303,61 @@ def winnow_md5_batch(t: pa.Table, text_col: str = "text", key_col: str = "doc_id
 def winnow_md5(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return ds.map_batches(lambda t: winnow_md5_batch(t, **kw),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_tokens(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 50,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Corpus-wide token heavy hitters — EXACT global top-k by count.
+
+    Scale shape: per-batch PARTIAL counts (Arrow utf8_lower +
+    split_pattern_regex + value_counts — no Python row loop) collapse each
+    batch to its distinct tokens before anything is shuffled; the partials
+    then take ONE bounded all-to-all keyed on a token-hash bucket. A
+    token's partials all land in the same bucket, so each bucket's
+    top-k over its summed counts is globally complete for its tokens and
+    the driver merges only ``k × num_buckets`` candidate rows — key
+    cardinality (the corpus vocabulary) never concentrates anywhere.
+
+    Tokenization is ``lower → split /[^a-z0-9]+/ → drop empties`` (RE2 on
+    both engines), so DuckDB replicates it token-for-token; ties break
+    (count DESC, token ASC) for a fully deterministic result.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.stages.agg import group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        values = vc.field("values")
+        h = pd.util.hash_pandas_object(
+            pd.Series(values.to_pandas()), index=False).to_numpy()
+        return pa.table({
+            "token": values,
+            "cnt": vc.field("counts"),
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["cnt"].sum().reset_index()
+        return s.sort_values(["cnt", "token"], ascending=[False, True],
+                             kind="stable").head(k)
+
+    cands = group_apply(ds.map_batches(partial, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        "__b", bucket_topk, batch_format="pandas",
+                        num_buckets=num_buckets).to_pandas()
+    out = cands.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out[["token", "cnt"]]
