@@ -306,6 +306,18 @@ def q_doc_stratified_sample(sf_dir: str):
                              {"en": 0.5, "zh": 0.2}, default=0.1, seed=42)
 
 
+def q_doc_chunks(sf_dir: str):
+    """Training-data packing: overlapping 64-token windows at stride 48
+    per document — vectorized flat_map (split + index arithmetic + one
+    take + binary_join), zero shuffles."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import chunk_documents
+
+    return chunk_documents(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=64, stride=48)
+
+
 def q_supplier_bloom_semi(sf_dir: str):
     """Bloom-prefiltered EXACT semi-join + aggregate: 1 MiB bitmap
     broadcast drops non-members before any shuffle; survivors verify in a
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_quantiles": q_events_quantiles,
         "q_doc_top_tokens": q_doc_top_tokens,
         "q_doc_stratified_sample": q_doc_stratified_sample,
+        "q_doc_chunks": q_doc_chunks,
         "q_supplier_bloom_semi": q_supplier_bloom_semi,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
@@ -1346,6 +1359,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                   < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END)
                     * 4294967296.0
+        """,
+        "q_doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr,
+                       len(regexp_split_to_array(text, '\\s+')) AS n
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            idx AS (
+                SELECT doc_id, arr,
+                       unnest(generate_series(
+                           0, CAST(ceil(CAST(n AS DOUBLE) / 48) AS BIGINT) - 1)) AS g
+                FROM toks
+            )
+            SELECT doc_id, g AS chunk_idx,
+                   array_to_string(arr[(g*48+1):(g*48+64)], ' ') AS chunk
+            FROM idx
         """,
         "q_supplier_bloom_semi": """
             SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items

@@ -35,7 +35,9 @@ BENCH_QUERIES = [
     "q_doc_langid",
     "q_doc_ngram_pairs",
     "q_doc_minhash_dedup",
+    "q_doc_top_tokens",
     "q_knn_cosine",
+    "rnd_assign",
 ]
 
 

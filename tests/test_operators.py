@@ -637,3 +637,36 @@ class TestBloomSemiJoin:
         got = shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(keys),
                                 on="k", anti=True).to_pandas()
         assert sorted(got["k"]) == [i for i in range(100) if i % 3 != 0]
+
+
+class TestChunkDocuments:
+    def test_windows_and_edges(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import chunk_documents
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a b c d e f g", "x y", None, "", "  lead space"],
+        })
+        got = chunk_documents(rd.from_pandas(df).repartition(3),
+                              window=5, stride=3).to_pandas()
+        got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        want = pd.DataFrame({
+            "doc_id": [1, 1, 1, 2, 5],
+            "chunk_idx": [0, 1, 2, 0, 0],
+            "chunk": ["a b c d e", "d e f g", "g", "x y", " lead space"],
+        })
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_exact_cover_no_overlap(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(100))
+        got = chunk_documents(
+            rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": [text]})),
+            window=10, stride=10).to_pandas().sort_values("chunk_idx")
+        assert len(got) == 10
+        assert " ".join(got["chunk"]) == text

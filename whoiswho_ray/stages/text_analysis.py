@@ -361,3 +361,70 @@ def top_tokens(
                             kind="stable").head(k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype(np.int64)
     return out[["token", "cnt"]]
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 96,
+) -> "ray.data.Dataset":
+    """Split documents into overlapping fixed-size token windows — the
+    training-data packing/chunking step (each chunk ``g`` covers
+    whitespace tokens ``[g·stride, g·stride+window)``; ``ceil(n/stride)``
+    chunks per document, trailing chunks may be short).
+
+    Fully vectorized flat_map: one Arrow regex split per batch, then pure
+    index arithmetic (numpy) + one ``take`` + one ``binary_join`` build
+    every chunk string — no Python loop over rows or chunks. Stateless
+    and shuffle-free, so it streams at corpus scale; downstream stages
+    see a plain (id, chunk_idx, chunk) table.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        keep = _pc.and_kleene(text.is_valid(),
+                              _pc.not_equal(_pc.utf8_trim_whitespace(text), ""))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        keep_np = np.asarray(keep_np, dtype=bool) & ~pd.isna(keep_np)
+        sub = t.filter(pa.array(keep_np))
+        if sub.num_rows == 0:
+            return pa.table({id_col: pa.array([], t.column(id_col).type),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        toks = _pc.split_pattern_regex(sub.column(text_col), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        values = toks.values
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        n = np.diff(offsets)
+        c = np.maximum(-(-n // stride), 1)  # ceil, min 1 chunk per doc
+        rows = np.repeat(np.arange(sub.num_rows, dtype=np.int64), c)
+        cum = np.zeros(c.size + 1, dtype=np.int64)
+        np.cumsum(c, out=cum[1:])
+        g = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(cum[:-1], c)
+        start = g * stride
+        length = np.minimum(window, n[rows] - start)
+        out_off = np.zeros(length.size + 1, dtype=np.int64)
+        np.cumsum(length, out=out_off[1:])
+        flat_idx = (np.repeat(offsets[:-1][rows] + start, length)
+                    + np.arange(int(out_off[-1]), dtype=np.int64)
+                    - np.repeat(out_off[:-1], length))
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(out_off.astype(np.int32)),
+            values.take(pa.array(flat_idx)))
+        return pa.table({
+            id_col: sub.column(id_col).take(pa.array(rows)),
+            "chunk_idx": pa.array(g),
+            "chunk": _pc.binary_join(chunk_lists, " "),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
