@@ -285,6 +285,17 @@ def q_events_quantiles(sf_dir: str):
         [0.5, 0.9, 0.99])
 
 
+def q_events_user_quantiles(sf_dir: str):
+    """EXACT per-user value quantiles (quantile_disc convention) — one
+    bounded hash-bucket shuffle, per-key pluck-by-rank inside the task."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_quantiles
+
+    return grouped_quantiles(
+        read_table(sf_dir, "events", columns=["user_id", "value"]),
+        "user_id", "value", [0.5, 0.9])
+
+
 def q_doc_top_tokens(sf_dir: str):
     """Corpus token heavy hitters: per-batch Arrow partial counts, one
     token-hash-bucketed shuffle, per-bucket top-k (complete for its
@@ -878,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_decontaminate": q_doc_decontaminate,
         "q_events_hll_users": q_events_hll_users,
         "q_events_quantiles": q_events_quantiles,
+        "q_events_user_quantiles": q_events_user_quantiles,
         "q_doc_top_tokens": q_doc_top_tokens,
         "q_doc_stratified_sample": q_doc_stratified_sample,
         "q_doc_chunks": q_doc_chunks,
@@ -1344,6 +1356,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
             UNION ALL
             SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+        """,
+        "q_events_user_quantiles": """
+            SELECT user_id, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(value, 0.5) AS "value"
+            FROM events GROUP BY user_id
+            UNION ALL
+            SELECT user_id, CAST(0.9 AS DOUBLE),
+                   quantile_disc(value, 0.9)
+            FROM events GROUP BY user_id
         """,
         "q_doc_top_tokens": """
             SELECT token, count(*) AS cnt FROM (

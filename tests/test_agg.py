@@ -93,3 +93,23 @@ class TestExactQuantiles:
         out = exact_quantiles(
             rd.from_pandas(pd.DataFrame({"v": vals})), "v", [0.5, 0.51])
         assert out["value"].tolist() == [1.0, 2.0]
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_key(self):
+        import math
+
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import grouped_quantiles
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame({"k": rng.randint(0, 23, 5000),
+                           "v": rng.uniform(0, 100, 5000).round(3)})
+        got = grouped_quantiles(rd.from_pandas(df).repartition(6),
+                                "k", "v", [0.0, 0.5, 0.95]).to_pandas()
+        for (k, q), grp in got.groupby(["k", "q"]):
+            vals = np.sort(df.loc[df["k"] == k, "v"].to_numpy())
+            want = vals[max(0, math.ceil(q * vals.size) - 1)]
+            assert grp["v"].iloc[0] == want, (k, q)
+        assert len(got) == df["k"].nunique() * 3

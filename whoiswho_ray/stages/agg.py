@@ -311,3 +311,50 @@ def with_global_rank(
 
     return rd.from_arrow_refs(
         [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])])
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    qs: list[float],
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT per-key discrete quantiles (``quantile_disc`` convention:
+    value at 0-based index ``max(0, ceil(q·n)-1)`` of the key's sorted
+    values).
+
+    One bounded all-to-all: keys hash into ``group_apply`` buckets
+    (O(buckets) Ray groups, not O(keys)), each bucket task sorts its
+    (key, value) rows once and plucks every key's quantile rows by
+    position — per-key state never leaves the task and the output is
+    ``len(qs)`` rows per key. Plucked, never interpolated, so the result
+    is oracle-exact with no float arithmetic to disagree on.
+    """
+    import math
+
+    import pyarrow as pa
+
+    qs = list(qs)
+
+    def bucket_q(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        sk, sv = keys[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        starts, n = bounds[:-1], np.diff(bounds)
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            idx = starts + np.maximum(0, np.ceil(q * n).astype(np.int64) - 1)
+            out_k.append(sk[starts])
+            out_q.append(np.full(starts.size, q))
+            out_v.append(sv[idx])
+        return pa.table({
+            key: pa.array(np.concatenate(out_k), t.column(key).type),
+            "q": pa.array(np.concatenate(out_q), pa.float64()),
+            value_col: pa.array(np.concatenate(out_v), t.column(value_col).type),
+        })
+
+    return group_apply(ds.select_columns([key, value_col]), key, bucket_q,
+                       batch_format="pyarrow", num_buckets=num_buckets)
