@@ -68,3 +68,66 @@ class TestPublications:
         ev = pairwise_f1_frames(pred, truth_df)
         mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
         assert mean_f1 >= 0.99, ev.to_string()
+
+
+class TestWhoIsWhoJsonIngest:
+    def _dump(self, tmp_path):
+        import json
+
+        from whoiswho_ray.sources.publications import make_mini_publications
+
+        pubs, truth = make_mini_publications(seed=5)
+        rows = pubs.to_pylist()
+        dump = {r["pid"]: {**r, "id": r["pid"]} for r in rows}
+        # v3-style mess: keywords sometimes a string, year a string, org absent
+        k = next(iter(dump))
+        dump[k]["keywords"] = "single keyword"
+        dump[k]["year"] = str(dump[k]["year"])
+        dump[k]["authors"] = [{"name": a["name"]} for a in dump[k]["authors"]]
+        p_json = str(tmp_path / "pubs.json")
+        with open(p_json, "w") as f:
+            json.dump(dump, f)
+        p_jsonl = str(tmp_path / "pubs.jsonl")
+        with open(p_jsonl, "w") as f:
+            for r in dump.values():
+                f.write(json.dumps(r) + "\n")
+        return pubs, truth, p_json, p_jsonl
+
+    def test_dict_dump_round_trip_and_cluster(self, ray_session, tmp_path):
+        from whoiswho_ray.evaluation import pairwise_f1_frames
+        from whoiswho_ray.sources.publications import (
+            cluster_publications,
+            publications_from_whoiswho_json,
+        )
+
+        pubs, truth, p_json, _ = self._dump(tmp_path)
+        ds = publications_from_whoiswho_json(p_json)
+        assert ds.count() == pubs.num_rows
+        clusters = cluster_publications(ds).to_pandas()
+        ev = pairwise_f1_frames(clusters, truth.to_pandas())
+        mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+        assert mean_f1 >= 0.99, ev.to_string()
+
+    def test_jsonl_equals_dict_dump(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from whoiswho_ray.sources.publications import publications_from_whoiswho_json
+
+        _, _, p_json, p_jsonl = self._dump(tmp_path)
+        a = publications_from_whoiswho_json(p_json).to_pandas()
+        b = publications_from_whoiswho_json(p_jsonl).to_pandas()
+        a = a.sort_values("pid").reset_index(drop=True)
+        b = b.sort_values("pid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_truth_loader(self, tmp_path):
+        import json
+
+        from whoiswho_ray.sources.publications import truth_from_whoiswho_json
+
+        p = str(tmp_path / "train_author.json")
+        with open(p, "w") as f:
+            json.dump({"John Smith": {"a1": ["p1", "p2"], "a2": ["p3"]}}, f)
+        df = truth_from_whoiswho_json(p)
+        assert len(df) == 3 and set(df["entity_id"]) == {"a1", "a2"}
+        assert df["block_key"].nunique() == 1

@@ -25,6 +25,7 @@ title/abstract/kw      tfidf source tokens (merged into tok_ids here;
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -200,3 +201,108 @@ def make_mini_publications(seed: int = 42) -> tuple[pa.Table, "pa.Table"]:
                 truth["record_id"].append(f"{pid}-{idx}")
     pubs = pa.Table.from_pylist(pubs_rows, schema=PUBLICATION_SCHEMA)
     return pubs, pa.table(truth)
+
+
+def _coerce_pub(pid: str, rec: dict) -> dict:
+    """One raw WhoIsWho publication dict → the engine's pubs row.
+
+    Tolerates the v2/v3 format mess the reference's loaders paper over
+    (``whoiswho/dataset/data_process.py``, ``whoiswho/utils.py:LoadData``):
+    keywords as list or single string, year as int / numeric string /
+    missing, authors without org, title/abstract/venue null."""
+    kws = rec.get("keywords")
+    if isinstance(kws, str):
+        kws = [kws]
+    kws = [k for k in (kws or []) if isinstance(k, str)]
+    year = rec.get("year")
+    try:
+        year = int(year) if year not in (None, "") else 0
+    except (TypeError, ValueError):
+        year = 0
+    authors = [{"name": (a.get("name") or ""), "org": (a.get("org") or "")}
+               for a in (rec.get("authors") or []) if isinstance(a, dict)]
+    return {
+        "pid": str(rec.get("id") or pid),
+        "title": rec.get("title") or "",
+        "abstract": rec.get("abstract") or "",
+        "keywords": kws,
+        "venue": (rec.get("venue") if isinstance(rec.get("venue"), str)
+                  else (rec.get("venue") or {}).get("raw", "") or ""),
+        "year": year,
+        "authors": authors,
+    }
+
+
+def publications_from_whoiswho_json(path: str, chunk_rows: int = 8192) -> "rd.Dataset":
+    """Ingest the reference's NATIVE publication JSON.
+
+    Two layouts:
+    - ``*.jsonl`` — one publication object per line: streamed with
+      ``ray.data.read_json`` (arbitrarily large; the scale path — convert
+      dict dumps to JSONL or Parquet once, then everything streams).
+    - ``*.json`` — the WhoIsWho dump layout, ONE dict ``{pid: record}``
+      (``whoiswho/utils.py:LoadData`` json.loads the whole file too; the
+      format itself forces a single-process parse). Parsed once on the
+      driver, emitted as chunked Arrow tables so no single block holds
+      the corpus; bounded by the dump file size, same as the reference.
+
+    Returns the pubs Dataset consumed by ``normalized_from_publications``
+    / ``cluster_publications``.
+    """
+    import json
+
+    if path.endswith(".jsonl"):
+        # read_text + per-line parse, NOT ray.data.read_json: the v2/v3
+        # dumps mix types per field (keywords str|list, year str|int),
+        # which breaks Arrow's schema inference mid-file; _coerce_pub is
+        # the schema authority either way
+        raw = rd.read_text(path)
+        return raw.map_batches(
+            lambda t: pa.Table.from_pylist(
+                [_coerce_pub("", json.loads(line))
+                 for line in t.column("text").to_pylist() if line.strip()],
+                schema=_PUBS_SCHEMA),
+            batch_format="pyarrow")
+
+    with open(path) as f:
+        dump = json.load(f)
+    if not isinstance(dump, dict):  # array-of-records layout
+        dump = {str(i): r for i, r in enumerate(dump)}
+    rows = [_coerce_pub(pid, rec) for pid, rec in dump.items()]
+    tables = [pa.Table.from_pylist(rows[i:i + chunk_rows], schema=_PUBS_SCHEMA)
+              for i in range(0, max(len(rows), 1), chunk_rows)]
+    return rd.from_arrow(tables)
+
+
+def truth_from_whoiswho_json(path: str) -> pd.DataFrame:
+    """Ingest the reference's ground-truth layout ``{name: {author_id:
+    [pids]}}`` (train_author.json and friends) → a (block_key, entity_id,
+    pid) frame; join against exploded records on the pid prefix of
+    record_id for evaluation. Small by construction (labels only)."""
+    import json
+
+    from whoiswho_ray.functions.names import name_block_key
+
+    with open(path) as f:
+        dump = json.load(f)
+    rows = {"block_key": [], "entity_id": [], "pid": []}
+    for name, ents in dump.items():
+        bk = name_block_key(name)
+        for aid, pids in (ents or {}).items():
+            for pid in pids or []:
+                rows["block_key"].append(bk)
+                rows["entity_id"].append(str(aid))
+                rows["pid"].append(str(pid))
+    return pd.DataFrame(rows)
+
+
+_PUBS_SCHEMA = pa.schema([
+    ("pid", pa.string()),
+    ("title", pa.string()),
+    ("abstract", pa.string()),
+    ("keywords", pa.list_(pa.string())),
+    ("venue", pa.string()),
+    ("year", pa.int64()),
+    ("authors", pa.list_(pa.struct([("name", pa.string()),
+                                    ("org", pa.string())]))),
+])
