@@ -159,3 +159,30 @@ def test_compact_f1_holds_on_salted_hot_block():
     ev = pairwise_f1_frames(clusters, truth)
     mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
     assert mean_f1 >= 0.99, ev.to_string()
+
+
+def test_compact_falls_back_when_vocab_truncated(small_fixture):
+    """compact=True must quietly keep the full encoding when the vocab is
+    truncated or min_df > 2 — the pruned tokens CAN intersect there."""
+    import ray.data as rd
+
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.stages.idf import build_idf
+    from whoiswho_ray.stages.normalize import normalize_records
+    from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
+    from whoiswho_ray.stages.scoring import vectorize
+
+    spec, tabs = small_fixture
+    cfg = SNDConfig(max_vocab=16)  # force truncation
+    norm = normalize_records(rd.from_arrow(tabs["records"]), cfg).materialize()
+    idf = build_idf(norm, cfg)
+    assert idf.truncated
+    vec = vectorize(norm, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS, compact=True)
+    names = vec.schema().names
+    assert "tok_ids" in names and "tok_n" not in names
+
+    cfg3 = SNDConfig(min_df=3)
+    idf3 = build_idf(norm, cfg3)
+    vec3 = vectorize(norm, idf3, cfg3, keep=CLUSTER_SHUFFLE_COLUMNS, compact=True)
+    names3 = vec3.schema().names
+    assert "tok_ids" in names3 and "tok_n" not in names3

@@ -143,8 +143,26 @@ def normalize_batch(batch: pa.Table, cfg: SNDConfig) -> pa.Table:
     tok_list = pa.ListArray.from_arrays(
         pa.array(tok_off.astype(np.int32)), pa.array(tok_values, pa.int64()))
 
-    repo_arrays = [hash_tokens64(repo_tokens(r)) for r in repo]
+    # repos repeat heavily within a batch (one repo spans many files):
+    # hash each distinct repo string once per batch
+    repo_cache: dict[str, np.ndarray] = {}
+    repo_arrays = []
+    for r in repo:
+        a = repo_cache.get(r)
+        if a is None:
+            a = hash_tokens64(repo_tokens(r))
+            repo_cache[r] = a
+        repo_arrays.append(a)
     ctx_arrays = [hash_tokens64(ctx_tokens(path[i], lang[i] or "")) for i in range(n)]
+
+    def _list_array(arrays: list[np.ndarray]) -> pa.ListArray:
+        lens = np.fromiter((a.size for a in arrays), np.int64, len(arrays))
+        off = np.zeros(len(arrays) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        vals = (np.concatenate(arrays) if len(arrays)
+                else np.empty(0, dtype=np.int64))
+        return pa.ListArray.from_arrays(pa.array(off.astype(np.int32)),
+                                        pa.array(vals, pa.int64()))
 
     return pa.table(
         {
@@ -158,8 +176,8 @@ def normalize_batch(batch: pa.Table, cfg: SNDConfig) -> pa.Table:
             "content_sha256": pa.array(sha, pa.string()),
             "n_toks": pa.array(n_toks),
             "tok_ids": tok_list,
-            "repo_ids": pa.array([a.tolist() for a in repo_arrays], pa.list_(pa.int64())),
-            "ctx_ids": pa.array([a.tolist() for a in ctx_arrays], pa.list_(pa.int64())),
+            "repo_ids": _list_array(repo_arrays),
+            "ctx_ids": _list_array(ctx_arrays),
         }
     )
 
