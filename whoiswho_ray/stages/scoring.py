@@ -238,8 +238,15 @@ def allpairs_matrix(
     C = np.zeros((n, n), dtype=np.float64) if with_counts else None
 
     # --- high-frequency tokens: dense indicator columns + one BLAS syrk ---
-    # (enumeration would cost Σk² pair rows; X@X.T costs n²·T_big flops)
-    kcap = max(64, int(np.sqrt(n)) * 2)
+    # (enumeration would cost Σk² pair rows; X@X.T costs n²·T_big flops).
+    # Threshold swept empirically on the bench blocks (single-threaded
+    # BLAS, as inside Ray workers): max(16, √n/2) beats the old
+    # max(64, 2√n) 5× on the 2560-row hot block and ~10% on typical
+    # blocks — the segment enumeration's index arithmetic dominates far
+    # below the flop-balance point, so mid-frequency tokens belong in the
+    # syrk. Pure-BLAS (kcap=1) loses on hapax-heavy streams; pure-enum
+    # (kcap=∞) loses 10×.
+    kcap = max(16, int(np.sqrt(n)) // 2)
     big = k > kcap
     if big.any():
         starts_b = bounds[:-1][big]
