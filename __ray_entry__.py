@@ -329,6 +329,29 @@ def q_doc_chunks(sf_dir: str):
         window=64, stride=48)
 
 
+def q_doc_redact_pii(sf_dir: str):
+    """Pre-training PII scrub: email/phone/card/SSN → typed placeholders,
+    one compiled RE2 replace kernel per pattern per batch, zero shuffles;
+    n_redactions counts insertions for PII-density filtering."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import redact_pii
+
+    return redact_pii(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _pii_oracle_sql() -> str:
+    from whoiswho_ray.stages.text_analysis import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t, CAST(0 AS BIGINT) AS c FROM documents)"
+    for i, (rx, repl) in enumerate(PII_PATTERNS, start=1):
+        sql += f""",
+        s{i} AS (SELECT doc_id,
+                        regexp_replace(t, $rx{i}${rx}$rx{i}$, '{repl}', 'g') AS t,
+                        c + len(regexp_extract_all(coalesce(t, ''), $rx{i}${rx}$rx{i}$)) AS c
+                 FROM s{i - 1})"""
+    return sql + f"\nSELECT doc_id, t AS text, c AS n_redactions FROM s{len(PII_PATTERNS)}"
+
+
 def q_supplier_bloom_semi(sf_dir: str):
     """Bloom-prefiltered EXACT semi-join + aggregate: 1 MiB bitmap
     broadcast drops non-members before any shuffle; survivors verify in a
@@ -893,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_top_tokens": q_doc_top_tokens,
         "q_doc_stratified_sample": q_doc_stratified_sample,
         "q_doc_chunks": q_doc_chunks,
+        "q_doc_redact_pii": q_doc_redact_pii,
         "q_supplier_bloom_semi": q_supplier_bloom_semi,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
@@ -1381,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END)
                     * 4294967296.0
         """,
+        "q_doc_redact_pii": _pii_oracle_sql(),
         "q_doc_chunks": """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr,

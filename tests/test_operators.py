@@ -670,3 +670,26 @@ class TestChunkDocuments:
             window=10, stride=10).to_pandas().sort_values("chunk_idx")
         assert len(got) == 10
         assert " ".join(got["chunk"]) == text
+
+
+class TestRedactPii:
+    def test_scrubs_and_counts(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import redact_pii
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+            "mail a@b.com or b@c.org, call (555) 123-4567",
+            "ssn 123-45-6789 card 4111 1111 1111 1111",
+            None,
+            "clean document",
+        ]})
+        out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert out.loc[0, "text"] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+        assert out.loc[0, "n_redactions"] == 3
+        assert out.loc[1, "text"] == "ssn <SSN> card <CARD>"
+        assert out.loc[1, "n_redactions"] == 2
+        assert pd.isna(out.loc[2, "text"]) and out.loc[2, "n_redactions"] == 0
+        assert out.loc[3, "text"] == "clean document"
+        assert out.loc[3, "n_redactions"] == 0

@@ -428,3 +428,50 @@ def chunk_documents(
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII scrub patterns (RE2-compatible — identical semantics in Arrow and
+# DuckDB, so the scrub is oracle-exact). Order matters: emails before the
+# bare-number patterns so the local part is not half-eaten.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(?:\+?\d{1,2}[ .-])?(?:\(\d{3}\) ?|\b\d{3}[ .-]?)\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+) -> "ray.data.Dataset":
+    """Regex PII scrub — the standard pre-training hygiene pass (emails,
+    phone numbers, card-like digit runs, SSNs → typed placeholders).
+
+    One Arrow ``replace_substring_regex`` kernel per pattern per batch —
+    compiled RE2, no Python row loop, stateless map with zero shuffles.
+    Adds ``n_redactions`` (count of placeholders inserted) so downstream
+    filters can drop PII-dense documents instead of keeping scrubbed
+    husks.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def scrub(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        before = pc.utf8_length(pc.coalesce(col, pa.scalar("")))
+        out = col
+        total = None
+        for rx, repl in pats:
+            counted = pc.count_substring_regex(
+                pc.coalesce(out, pa.scalar("")), rx)
+            total = counted if total is None else pc.add(total, counted)
+            out = pc.replace_substring_regex(out, rx, repl)
+        i = t.schema.get_field_index(text_col)
+        return (t.set_column(i, text_col, out)
+                 .append_column("n_redactions",
+                                pc.cast(total, pa.int64())))
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
