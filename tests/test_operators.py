@@ -693,3 +693,43 @@ class TestRedactPii:
         assert pd.isna(out.loc[2, "text"]) and out.loc[2, "n_redactions"] == 0
         assert out.loc[3, "text"] == "clean document"
         assert out.loc[3, "n_redactions"] == 0
+
+
+class TestNewOpsEmptyInputs:
+    def test_top_tokens_empty_and_null(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import top_tokens
+
+        out = top_tokens(rd.from_pandas(
+            pd.DataFrame({"text": pd.Series([None, "", "   "], dtype=object)})), k=5)
+        assert len(out) == 0 and list(out.columns) == ["token", "cnt"]
+
+    def test_chunk_documents_all_filtered(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import chunk_documents
+
+        out = chunk_documents(rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": pd.Series([None, "  "], dtype=object)}))).to_pandas()
+        assert len(out) == 0
+
+    def test_redact_pii_empty_batch(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import redact_pii
+
+        out = redact_pii(rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype=object)}))).to_pandas()
+        assert len(out) == 0
+
+    def test_stratified_sample_zero_fraction(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.splits import stratified_sample
+
+        df = pd.DataFrame({"doc_id": range(50), "lang": ["xx"] * 50})
+        out = stratified_sample(rd.from_pandas(df), "lang", "doc_id",
+                                {"en": 0.5}).to_pandas()
+        assert len(out) == 0

@@ -357,6 +357,9 @@ def top_tokens(
                                        zero_copy_batch=True),
                         "__b", bucket_topk, batch_format="pandas",
                         num_buckets=num_buckets).to_pandas()
+    if cands.empty:  # corpus of empty/null documents
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
     out = cands.sort_values(["cnt", "token"], ascending=[False, True],
                             kind="stable").head(k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype(np.int64)
