@@ -329,6 +329,19 @@ def q_doc_chunks(sf_dir: str):
         window=64, stride=48)
 
 
+def q_doc_search_terms(sf_dir: str):
+    """Inverted-index text retrieval: build token→postings lists (one
+    token-hash bucketed shuffle), then conjunctive AND search — the index
+    filter touches one row per query term and postings intersect on the
+    driver."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import build_inverted_index, search_all_terms
+
+    idx = build_inverted_index(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return search_all_terms(idx, ["scan", "column", "window"])
+
+
 def q_doc_redact_pii(sf_dir: str):
     """Pre-training PII scrub: email/phone/card/SSN → typed placeholders,
     one compiled RE2 replace kernel per pattern per batch, zero shuffles;
@@ -917,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_stratified_sample": q_doc_stratified_sample,
         "q_doc_chunks": q_doc_chunks,
         "q_doc_redact_pii": q_doc_redact_pii,
+        "q_doc_search_terms": q_doc_search_terms,
         "q_supplier_bloom_semi": q_supplier_bloom_semi,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
@@ -1406,6 +1420,12 @@ def oracle_sql() -> dict[str, str]:
                     * 4294967296.0
         """,
         "q_doc_redact_pii": _pii_oracle_sql(),
+        "q_doc_search_terms": """
+            SELECT doc_id FROM documents
+            WHERE list_has_all(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                ['scan', 'column', 'window'])
+        """,
         "q_doc_chunks": """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr,

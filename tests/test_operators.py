@@ -733,3 +733,36 @@ class TestNewOpsEmptyInputs:
         out = stratified_sample(rd.from_pandas(df), "lang", "doc_id",
                                 {"en": 0.5}).to_pandas()
         assert len(out) == 0
+
+
+class TestInvertedIndex:
+    def test_postings_and_search(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import (
+            build_inverted_index,
+            search_all_terms,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha beta gamma", "beta gamma", "alpha alpha beta",
+                     None],
+        })
+        idx = build_inverted_index(rd.from_pandas(df).repartition(3))
+        postings = {r["token"]: list(r["postings"]) for r in idx.to_pandas().to_dict("records")}
+        assert postings["alpha"] == [1, 3]
+        assert postings["beta"] == [1, 2, 3]
+        assert postings["gamma"] == [1, 2]
+        got = search_all_terms(idx, ["alpha", "beta"])
+        assert got["doc_id"].tolist() == [1, 3]
+        assert search_all_terms(idx, ["alpha", "missing"]).empty
+
+    def test_df_column(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import build_inverted_index
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["x y", "y"]})
+        idx = build_inverted_index(rd.from_pandas(df)).to_pandas()
+        assert dict(zip(idx["token"], idx["df"])) == {"x": 1, "y": 2}

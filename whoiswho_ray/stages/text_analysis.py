@@ -478,3 +478,77 @@ def redact_pii(
                                 pc.cast(total, pa.int64())))
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_inverted_index(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Token → sorted posting list over the corpus (the text-retrieval
+    index build).
+
+    Same tokenization as :func:`top_tokens` (lower → split /[^a-z0-9]+/ →
+    drop empties, distinct per document). Per batch the (token, id) pairs
+    come from one Arrow split + a numpy dedup — no row loop; the ONE
+    all-to-all is the token-hash bucketed `group_apply`, so a token's
+    postings concentrate in exactly one task and the output is one row
+    per token. At scale, write the result hive-partitioned by token-hash
+    bucket so a query reads only its terms' partitions (the `ivf_build`
+    pattern applied to text).
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        keep = flat != ""
+        flat, row = flat[keep], row[keep]
+        # distinct (token, doc) pairs
+        uniq = pd.DataFrame({"token": flat, "__id": ids[row]}).drop_duplicates()
+        return pa.table({"token": pa.array(uniq["token"].to_numpy(), pa.string()),
+                         "__id": pa.array(uniq["__id"].to_numpy())})
+
+    def posting(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("__id").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "token": g.column("token").slice(0, 1),
+            "postings": pa.array([ids.tolist()]),
+            "df": pa.array([ids.size], pa.int64()),
+        })
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return group_apply(exploded, "token", posting, batch_format="pyarrow",
+                       num_buckets=num_buckets)
+
+
+def search_all_terms(
+    index: "ray.data.Dataset",
+    terms: list[str],
+    id_type=None,
+) -> pd.DataFrame:
+    """Conjunctive (AND) term search against a posting-list index: filter
+    the index to the query's terms (tiny — one row per term), intersect
+    the postings on the driver. Returns a one-column frame of matching
+    ids. Missing terms ⇒ empty result."""
+    tset = list(set(terms))
+    hits = index.map_batches(
+        lambda df: df[df["token"].isin(tset)],
+        batch_format="pandas").to_pandas()
+    col = pd.Series([], dtype="int64" if id_type is None else id_type)
+    if len(hits) < len(tset):
+        return pd.DataFrame({"doc_id": col})
+    ids = None
+    for p in hits["postings"]:
+        arr = np.asarray(p)
+        ids = arr if ids is None else np.intersect1d(ids, arr, assume_unique=True)
+    return pd.DataFrame({"doc_id": pd.Series(np.sort(ids))})
