@@ -113,3 +113,46 @@ class TestGroupedQuantiles:
             want = vals[max(0, math.ceil(q * vals.size) - 1)]
             assert grp["v"].iloc[0] == want, (k, q)
         assert len(got) == df["k"].nunique() * 3
+
+
+class TestQuantileNulls:
+    """ADVICE r2: quantiles must ignore NULL/NaN values like DuckDB
+    quantile_disc, not count them in n or pluck them."""
+
+    def test_exact_quantiles_ignore_nulls(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import exact_quantiles
+
+        df = pd.DataFrame({"v": [1.0, np.nan, 2.0, None, 3.0, 4.0]})
+        out = exact_quantiles(rd.from_pandas(df).repartition(3), "v",
+                              [0.5, 1.0])
+        assert out.set_index("q")["value"].tolist() == [2.0, 4.0]
+
+    def test_grouped_quantiles_ignore_nulls(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import grouped_quantiles
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "v": [np.nan, 1.0, 3.0, 2.0, None, np.nan],
+        })
+        got = grouped_quantiles(rd.from_pandas(df).repartition(2), "k", "v",
+                                [0.5]).to_pandas().sort_values("k")
+        # c has no non-null values -> absent entirely
+        assert got["k"].tolist() == ["a", "b"]
+        assert got["v"].tolist() == [1.0, 2.0]
+
+
+class TestSearchEmptyTerms:
+    def test_empty_terms_returns_empty(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import (build_inverted_index,
+                                                       search_all_terms)
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "b c"]})
+        idx = build_inverted_index(rd.from_pandas(df))
+        out = search_all_terms(idx, [])
+        assert len(out) == 0 and list(out.columns) == ["doc_id"]

@@ -114,3 +114,64 @@ def test_range_agg_join_boundary_semantics():
     ).to_pandas()
     assert out["n_right"].tolist() == [2]
     assert out["sum_cents"].tolist() == [200]
+
+
+def test_asof_join_preserves_int64_above_2_53():
+    """ADVICE r2: NaN padding across the shuffle used to promote int64 to
+    float64 and corrupt values above 2^53; the typed-null Arrow union +
+    positional-index merge must return them bit-exact."""
+    big = np.array([9007199254740993, 9007199254740995], dtype=np.int64)
+    left = pd.DataFrame({
+        "k": [1, 1, 2],
+        "t": pd.to_datetime(["2024-01-02", "2024-01-03", "2024-01-02"]),
+    })
+    right = pd.DataFrame({
+        "k": [1, 1],
+        "rt": pd.to_datetime(["2024-01-01", "2024-01-02 12:00"],
+                             format="mixed"),
+        "event_id": big,
+    })
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), by="k",
+        left_on="t", right_on="rt", num_buckets=4,
+    ).to_pandas().sort_values("t").reset_index(drop=True)
+    # k=2 has no match (inner drops it); k=1 rows match big[0] then big[1]
+    assert out["event_id"].dtype == np.int64
+    assert out["event_id"].tolist() == [big[0], big[1]]
+
+
+def test_shuffle_semi_join_preserves_int64_above_2_53():
+    from whoiswho_ray.stages.joins import shuffle_semi_join
+
+    big = np.int64(9007199254740993)
+    left = pd.DataFrame({"k": [1, 2], "payload": [big, big + 2]})
+    keys = pd.DataFrame({"k": [1]})
+    out = shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(keys),
+                            on="k").to_pandas()
+    assert out["payload"].dtype == np.int64
+    assert out["payload"].tolist() == [big]
+
+
+def test_asof_join_rejects_overlapping_payload_columns():
+    left = pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01"]),
+                         "val": [1.0]})
+    right = pd.DataFrame({"k": [1], "rt": pd.to_datetime(["2024-01-01"]),
+                          "val": [2.0]})
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="k",
+                  left_on="t", right_on="rt")
+
+
+def test_asof_join_tie_break_outside_right_cols(frames):
+    """tie_break need not be listed in right_cols (ADVICE r2: this used to
+    KeyError); dedup consults it either way."""
+    left, right = frames
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by=("k", "rk"), left_on="t", right_on="rt",
+        right_cols=["val"], tie_break="rid", num_buckets=4,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    exp = _brute_asof(left, right).sort_values("lid").reset_index(drop=True)
+    assert "rid" not in out.columns
+    pd.testing.assert_frame_equal(out[["lid", "val"]], exp[["lid", "val"]],
+                                  check_dtype=False)

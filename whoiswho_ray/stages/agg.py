@@ -125,6 +125,7 @@ def group_apply(
     fn,
     batch_format: str = "pyarrow",
     num_buckets: int | None = None,
+    whole_bucket: bool = False,
 ) -> "ray.data.Dataset":
     """Per-key grouped apply with O(buckets) Ray groups instead of O(keys).
 
@@ -135,6 +136,12 @@ def group_apply(
     bucket by key, find boundaries, and call ``fn`` on zero-copy Arrow
     slices (or pandas views). Semantics identical to groupby(key) —
     co-location is guaranteed by the hash bucket.
+
+    ``whole_bucket=True``: ``fn`` receives each ENTIRE key-sorted bucket
+    once (possibly many keys) instead of per-key slices — for callbacks
+    that are already vectorized across keys (e.g. grouped quantiles'
+    lexsort + boundary pluck), so the multi-key machinery runs once per
+    bucket, not once per key.
     """
     nb = num_buckets or _num_buckets()
 
@@ -154,6 +161,8 @@ def group_apply(
         def outer(t: pa.Table) -> pa.Table:
             t = t.drop_columns(["__bucket"])
             t = t.sort_by([(key, "ascending")])  # arrow C++ sort
+            if whole_bucket:
+                return fn(t)
             keys_sorted = np.asarray(t.column(key).to_pylist(), dtype=object)
             bounds = np.flatnonzero(
                 np.r_[True, keys_sorted[1:] != keys_sorted[:-1], True])
@@ -178,6 +187,8 @@ def group_apply(
 
     def outer_pd(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
+        if whole_bucket:
+            return fn(df.sort_values(key, kind="stable"))
         parts = []
         for _, g in df.groupby(key, sort=True):
             out = fn(g)
@@ -225,6 +236,22 @@ def distinct(ds: "ray.data.Dataset", cols: list[str], final: str = "driver"):
         batch_format="pandas")
 
 
+def _drop_null_values(ds: "ray.data.Dataset", value_col: str) -> "ray.data.Dataset":
+    """Drop rows whose value column is NULL or (for floats) NaN — the rows
+    DuckDB's ``quantile_disc`` ignores."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t.column(value_col)
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def exact_quantiles(
     ds: "ray.data.Dataset",
     value_col: str,
@@ -242,13 +269,15 @@ def exact_quantiles(
     Quantile index convention matches DuckDB ``quantile_disc``:
     ``max(0, ceil(q*n) - 1)`` (0-based), making the result oracle-exact —
     the value is plucked, never interpolated, so no float arithmetic
-    differs between engines.
+    differs between engines. NULL (and float NaN — pandas provenance makes
+    the two indistinguishable) rows are excluded from both ``n`` and the
+    pluck, matching ``quantile_disc``'s NULL handling (ADVICE r2).
     """
     import math
 
     import pyarrow as pa
 
-    s = ds.sort(value_col).materialize()
+    s = _drop_null_values(ds, value_col).sort(value_col).materialize()
     n = s.count()
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=float),
@@ -325,19 +354,28 @@ def grouped_quantiles(
     values).
 
     One bounded all-to-all: keys hash into ``group_apply`` buckets
-    (O(buckets) Ray groups, not O(keys)), each bucket task sorts its
-    (key, value) rows once and plucks every key's quantile rows by
-    position — per-key state never leaves the task and the output is
-    ``len(qs)`` rows per key. Plucked, never interpolated, so the result
-    is oracle-exact with no float arithmetic to disagree on.
+    (O(buckets) Ray groups, not O(keys)); each bucket task receives its
+    WHOLE bucket once (``whole_bucket=True``), lexsorts the (key, value)
+    rows in one pass and plucks every key's quantile rows by position —
+    per-key state never leaves the task and the output is ``len(qs)``
+    rows per key. Plucked, never interpolated, so the result is
+    oracle-exact with no float arithmetic to disagree on. NULL/NaN values
+    are excluded first (``quantile_disc`` semantics); a key with no
+    non-null values is absent from the output (mirror with ``WHERE v IS
+    NOT NULL`` in the oracle).
     """
     import math
 
     import pyarrow as pa
 
     qs = list(qs)
+    ds = _drop_null_values(ds.select_columns([key, value_col]), value_col)
 
     def bucket_q(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.column(key).type),
+                             "q": pa.array([], pa.float64()),
+                             value_col: pa.array([], t.column(value_col).type)})
         keys = t.column(key).to_numpy(zero_copy_only=False)
         vals = t.column(value_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((vals, keys))
@@ -356,5 +394,5 @@ def grouped_quantiles(
             value_col: pa.array(np.concatenate(out_v), t.column(value_col).type),
         })
 
-    return group_apply(ds.select_columns([key, value_col]), key, bucket_q,
-                       batch_format="pyarrow", num_buckets=num_buckets)
+    return group_apply(ds, key, bucket_q, batch_format="pyarrow",
+                       num_buckets=num_buckets, whole_bucket=True)

@@ -20,6 +20,14 @@ Dataset API lacks natively:
   ``searchsorted`` calls for the interval bounds, and a prefix-sum for
   the windowed sums — no per-row or per-key Python loop.
 
+Integer exactness (ADVICE r2): the shuffle union pads missing columns
+with Arrow TYPED nulls (`joins.arrow_tagged_union`), never pandas NaN, so
+int64 columns are not promoted to float64 across the shuffle; and the
+as-of merge itself carries only a small positional index through
+``pd.merge_asof`` — right payload columns are gathered afterwards by
+position — so values above 2^53 survive bit-exact even when some left
+rows are unmatched.
+
 Partitioning assumption (SURVEY.md §2.9 discipline): all right-side rows
 of one key fit one hash bucket's task. Buckets default to 64 so skew in
 one key spreads only within its bucket; salt upstream if a single key's
@@ -33,41 +41,15 @@ import pandas as pd
 
 import ray.data
 
-
-def _pd_dtypes(schema) -> dict:
-    """Pandas dtypes for a Ray Dataset schema (Arrow- or pandas-backed)."""
-    import pyarrow as pa
-
-    out = {}
-    for n, t in zip(schema.names, schema.types):
-        if isinstance(t, pa.DataType):
-            out[n] = pa.schema([pa.field(n, t)]).empty_table().to_pandas().dtypes[n]
-        else:
-            out[n] = t if isinstance(t, np.dtype) else np.dtype(t)
-    return out
+from whoiswho_ray.stages.joins import arrow_tagged_union, split_sides
 
 
-def _tagged_union(left, right, lkey: str, rkey: str, num_buckets: int):
-    """Schema-aligned union of two datasets with a side tag and a hash
-    bucket on the join key; returns (unioned, lcols, rcols, ldtypes,
-    rdtypes). Same physical pattern as ``joins.shuffle_hash_join``."""
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = list(lschema.names), list(rschema.names)
-    all_cols = lcols + [c for c in rcols if c not in lcols]
-    ldtypes, rdtypes = _pd_dtypes(lschema), _pd_dtypes(rschema)
-
-    def bucketed(side: str, key: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
-            df = df.reindex(columns=all_cols)
-            df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-            df["__side"] = side
-            return df
-        return f
-
-    lb = left.map_batches(bucketed("l", lkey), batch_format="pandas")
-    rb = right.map_batches(bucketed("r", rkey), batch_format="pandas")
-    return lb.union(rb), lcols, rcols, ldtypes, rdtypes
+def _validate_disjoint(lcols, out_right_cols, op: str):
+    overlap = set(lcols) & set(out_right_cols)
+    if overlap:
+        raise ValueError(
+            f"{op}: output right columns {sorted(overlap)} collide with left "
+            "column names; rename or project one side first")
 
 
 def asof_join(
@@ -86,38 +68,59 @@ def asof_join(
     ``(left_key, right_key)`` pair. ``tie_break``: when several right rows
     share (key, right_on), keep the one with the max ``tie_break`` value —
     mirrors a GROUP BY dedup in the SQL oracle so both engines pick the
-    same row.
+    same row. ``tie_break`` need not be listed in ``right_cols``; it is
+    consulted during dedup either way.
+
+    Output columns: every left column, then ``right_on``, then
+    ``right_cols`` (default: all remaining right columns). Right output
+    names overlapping left names raise up front rather than silently
+    suffixing.
     """
+    import pyarrow as pa
+
     lkey, rkey = (by, by) if isinstance(by, str) else by
-    rcols_out = right_cols if right_cols is not None else None
 
-    u, lcols, rcols, ldtypes, rdtypes = _tagged_union(
-        left, right, lkey, rkey, num_buckets)
-    keep_r = [rkey, right_on] + [c for c in (rcols_out or rcols)
-                                 if c not in (rkey, right_on)]
+    lcols_pre = list(left.schema().names)
+    rcols_pre = list(right.schema().names)
+    payload = [c for c in (right_cols if right_cols is not None else rcols_pre)
+               if c not in (rkey, right_on)]
+    for c in payload + ([tie_break] if tie_break else []):
+        if c not in rcols_pre:
+            raise ValueError(f"asof_join: column {c!r} not on the right side")
+    out_right = [right_on] + payload
+    _validate_disjoint(lcols_pre, out_right, "asof_join")
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][lcols].astype(ldtypes)
-        r = g[g["__side"] == "r"][rcols].astype(rdtypes)[keep_r]
+    u, lcols, rcols = arrow_tagged_union(left, right, [lkey], [rkey],
+                                         num_buckets)
+
+    def merge_bucket(g: pa.Table) -> pd.DataFrame:
+        lt, rt = split_sides(g, lcols, rcols)
+        l, r = lt.to_pandas(), rt.to_pandas()
         if len(r) and tie_break is not None:
             r = (r.sort_values([rkey, right_on, tie_break], kind="stable")
                   .drop_duplicates([rkey, right_on], keep="last"))
-        l = l.sort_values(left_on, kind="stable")
-        r = r.sort_values(right_on, kind="stable")
+        l = l.sort_values(left_on, kind="stable").reset_index(drop=True)
+        r = r.sort_values(right_on, kind="stable").reset_index(drop=True)
+        # carry only a positional index through merge_asof: unmatched left
+        # rows make the merged right columns float64 (NaN), which would
+        # corrupt int64 payloads > 2^53 — the index is always small-exact
+        ridx = r[[rkey, right_on]].copy()
+        ridx["__ri"] = np.arange(len(r), dtype=np.int64)
         out = pd.merge_asof(
-            l, r, left_on=left_on, right_on=right_on,
-            left_by=lkey, right_by=rkey,
+            l, ridx, left_on=left_on, right_on=right_on,
+            left_by=lkey, right_by=rkey, suffixes=("", "__r"),
             direction="backward", allow_exact_matches=True)
-        # inner semantics: drop left rows with no match, restore int dtypes
-        out = out.dropna(subset=[right_on])
-        for c in keep_r:
-            if c != rkey:
-                out[c] = out[c].astype(rdtypes[c])
-        return out.drop(columns=[rkey]) if rkey != lkey else out
+        out = out.dropna(subset=["__ri"])
+        ri = out["__ri"].to_numpy().astype(np.int64)
+        res = out[lcols].reset_index(drop=True)
+        gathered = r.iloc[ri].reset_index(drop=True)
+        for c in out_right:
+            res[c] = gathered[c]
+        return res
 
     return (u.groupby("__bucket")
-             .map_groups(lambda g: merge_bucket(g.drop(columns=["__bucket"])),
-                         batch_format="pandas"))
+             .map_groups(lambda g: merge_bucket(g.drop_columns(["__bucket"])),
+                         batch_format="pyarrow"))
 
 
 def range_agg_join(
@@ -139,18 +142,24 @@ def range_agg_join(
     ``floor(v*100+0.5)`` then integer prefix-sums — never an
     order-dependent float sum.
     """
+    import pyarrow as pa
+
     lkey, rkey = (by, by) if isinstance(by, str) else by
     win_ns = np.int64(pd.Timedelta(window).value)
 
-    u, lcols, rcols, ldtypes, rdtypes = _tagged_union(
-        left, right, lkey, rkey, num_buckets)
+    _validate_disjoint(list(left.schema().names), ["n_right", "sum_cents"],
+                       "range_agg_join")
 
-    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][lcols].astype(ldtypes)
+    u, lcols, rcols = arrow_tagged_union(left, right, [lkey], [rkey],
+                                         num_buckets)
+
+    def agg_bucket(g: pa.Table) -> pd.DataFrame:
+        lt, rt_ = split_sides(g, lcols, rcols)
+        l = lt.to_pandas()
         out = l.copy()
         if not len(l):
             return out.assign(n_right=np.int64(0), sum_cents=np.int64(0)).iloc[:0]
-        r = g[g["__side"] == "r"][rcols].astype(rdtypes)
+        r = rt_.to_pandas()
         r = r.sort_values([rkey, right_on], kind="stable")
         rk = r[rkey].to_numpy()
         rt = r[right_on].to_numpy().astype("datetime64[ns]").astype(np.int64)
@@ -158,8 +167,8 @@ def range_agg_join(
         csum = np.concatenate([[np.int64(0)], np.cumsum(cents)])
 
         lk = l[lkey].to_numpy()
-        lt = l[left_on].to_numpy().astype("datetime64[ns]").astype(np.int64)
-        lo_b, hi_b = lt - win_ns, lt
+        lt_ns = l[left_on].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        lo_b, hi_b = lt_ns - win_ns, lt_ns
 
         # rank-compress all times so interval bounds share the right side's
         # ordinal space, then one composite (key_code, rank) searchsorted
@@ -179,5 +188,5 @@ def range_agg_join(
         return out
 
     return (u.groupby("__bucket")
-             .map_groups(lambda g: agg_bucket(g.drop(columns=["__bucket"])),
-                         batch_format="pandas"))
+             .map_groups(lambda g: agg_bucket(g.drop_columns(["__bucket"])),
+                         batch_format="pyarrow"))

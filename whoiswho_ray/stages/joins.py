@@ -24,6 +24,98 @@ import ray
 import ray.data
 
 
+def _arrow_type(t):
+    """Best-effort pyarrow type for a Ray Dataset schema entry (Arrow
+    DataType, numpy dtype, or the ``object`` class pandas-backed blocks
+    report for strings)."""
+    import pyarrow as pa
+
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        dt = np.dtype(t)
+    except TypeError:
+        return pa.string()
+    if dt == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def _key_hash(t, keys: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of one or more key columns of an Arrow
+    table (FNV-style combine of per-column pandas siphashes)."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                t.column(k).to_pandas(), index=False).to_numpy().astype(np.uint64)
+    return h
+
+
+def arrow_tagged_union(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    lkeys: list[str],
+    rkeys: list[str],
+    num_buckets: int,
+):
+    """Schema-aligned union of two datasets with a side tag (``__side``:
+    0=left, 1=right) and a key-hash bucket column, padding each side's
+    missing columns with Arrow TYPED NULLS (``pa.nulls(n, type)``).
+
+    This replaces the earlier pandas ``reindex`` + NaN padding: NaN
+    promotes int64 columns to float64 across the shuffle and silently
+    corrupts values above 2^53 (ADVICE r2). With typed nulls the Arrow
+    schema is preserved end-to-end; bucket tasks should filter their side
+    and select that side's own columns BEFORE any pandas conversion so no
+    padding null ever meets an integer column.
+
+    Returns ``(unioned_ds, lcols, rcols)``.
+    """
+    import pyarrow as pa
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    types: dict = {}
+    for n, t in zip(lschema.names, lschema.types):
+        types[n] = _arrow_type(t)
+    for n, t in zip(rschema.names, rschema.types):
+        types.setdefault(n, _arrow_type(t))
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    target = pa.schema(
+        [pa.field(c, types[c]) for c in all_cols]
+        + [pa.field("__bucket", pa.int64()), pa.field("__side", pa.int8())])
+
+    def pad(side: int, keys: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            b = (_key_hash(t, keys) % np.uint64(num_buckets)).astype(np.int64)
+            cols = {c: (t.column(c) if c in t.column_names
+                        else pa.nulls(n, type=types[c])) for c in all_cols}
+            cols["__bucket"] = pa.array(b, pa.int64())
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols).cast(target)
+        return f
+
+    lb = left.map_batches(pad(0, lkeys), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rb = right.map_batches(pad(1, rkeys), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return lb.union(rb), lcols, rcols
+
+
+def split_sides(t, lcols: list[str], rcols: list[str]):
+    """Split a tagged-union bucket table back into its (left, right) Arrow
+    tables, each with only its own columns — padding nulls never survive,
+    so a later ``to_pandas`` restores exact dtypes (int64 stays int64)."""
+    import pyarrow as pa
+
+    side = t.column("__side").to_numpy(zero_copy_only=False)
+    l = t.filter(pa.array(side == 0)).select(lcols)
+    r = t.filter(pa.array(side == 1)).select(rcols)
+    return l, r
+
+
 def broadcast_join(
     large: "ray.data.Dataset",
     small: pd.DataFrame,
@@ -52,52 +144,31 @@ def shuffle_hash_join(
     how: str = "inner",
 ) -> "ray.data.Dataset":
     """Partitioned hash join: bucket both sides on the key hash, union with
-    a side tag, co-group by bucket, pandas-merge inside each group."""
+    a side tag (typed-null Arrow padding — see :func:`arrow_tagged_union`),
+    co-group by bucket, pandas-merge inside each group.
+
+    Non-key column names must be disjoint between the sides: a shared
+    payload name would silently occupy ONE physical column in the union
+    (mixing both sides' values); raise instead and let the caller rename."""
+    import pyarrow as pa
+
     keys = [on] if isinstance(on, str) else list(on)
 
-    lschema = left.schema()
-    rschema = right.schema()
-    lcols = lschema.names
-    rcols = rschema.names
-    all_cols = lcols + [c for c in rcols if c not in lcols]
+    lcols_pre = list(left.schema().names)
+    rcols_pre = list(right.schema().names)
+    overlap = (set(lcols_pre) & set(rcols_pre)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"shuffle_hash_join: non-key columns {sorted(overlap)} exist on "
+            "both sides; rename one side before joining")
 
-    def _dtypes(schema) -> dict:
-        import pyarrow as pa
-        out = {}
-        for n, t in zip(schema.names, schema.types):
-            if isinstance(t, pa.DataType):
-                out[n] = pa.schema([pa.field(n, t)]).empty_table().to_pandas().dtypes[n]
-            else:  # pandas-backed block schema: numpy dtype or python class
-                out[n] = np.dtype(t) if not isinstance(t, np.dtype) else t
-        return out
+    u, lcols, rcols = arrow_tagged_union(left, right, keys, keys, num_buckets)
 
-    ldtypes, rdtypes = _dtypes(lschema), _dtypes(rschema)
+    def merge_bucket(g: pa.Table) -> pd.DataFrame:
+        l, r = split_sides(g, lcols, rcols)
+        return l.to_pandas().merge(r.to_pandas(), on=keys, how=how)
 
-    def bucketed(side: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            # vectorized multi-column hash: combine per-column siphashes
-            h = np.zeros(len(df), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for k in keys:
-                    h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
-                        df[k], index=False).to_numpy().astype(np.uint64)
-            df = df.reindex(columns=all_cols)  # align schemas for union
-            df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-            df["__side"] = side
-            return df
-        return f
-
-    lb = left.map_batches(bucketed("l"), batch_format="pandas")
-    rb = right.map_batches(bucketed("r"), batch_format="pandas")
-
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # restore each side's dtypes (the schema-aligned union introduced
-        # NaN-typed columns on the side that lacks them)
-        l = g[g["__side"] == "l"][lcols].astype(ldtypes)
-        r = g[g["__side"] == "r"][rcols].astype(rdtypes)
-        return l.merge(r, on=keys, how=how)
-
-    return lb.union(rb).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return u.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def semi_join(
@@ -132,29 +203,24 @@ def shuffle_semi_join(
     both sides bucket on the key hash, each co-grouped bucket keeps the
     left rows whose key does (not, for ``anti``) appear among the bucket's
     right keys. Left columns only; right-side duplicates cannot multiply
-    rows (set membership, not a merge)."""
-    lcols = left.schema().names
+    rows (set membership, not a merge). Left payload columns ride the
+    shuffle as typed-null-padded Arrow columns (never NaN-promoted)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def bucketed(side: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(df[on], index=False).to_numpy()
-            out = df[[on]] if side == "r" else df
-            out = out.reindex(columns=[on] + [c for c in lcols if c != on])
-            out["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-            out["__side"] = side
-            return out
-        return f
+    u, lcols, _ = arrow_tagged_union(
+        left, right.select_columns([on]), [on], [on], num_buckets)
 
-    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rkeys = g.loc[g["__side"] == "r", on].unique()
-        l = g[g["__side"] == "l"]
-        mask = l[on].isin(rkeys)
-        return l[~mask if anti else mask][lcols]
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        l, r = split_sides(g, lcols, [on])
+        # null keys never match: dropped by semi, kept by anti (pandas
+        # isin behavior, matching SQL ANTI JOIN)
+        hit = pc.fill_null(
+            pc.is_in(l.column(on), value_set=pc.unique(r.column(on))), False)
+        return l.filter(pc.invert(hit) if anti else hit)
 
-    lb = left.map_batches(bucketed("l"), batch_format="pandas")
-    rb = right.select_columns([on]).map_batches(bucketed("r"), batch_format="pandas")
-    return lb.union(rb).groupby("__bucket").map_groups(
-        filter_bucket, batch_format="pandas")
+    return u.groupby("__bucket").map_groups(filter_bucket,
+                                            batch_format="pyarrow")
 
 
 def bloom_semi_join(

@@ -541,10 +541,12 @@ def search_all_terms(
     the postings on the driver. Returns a one-column frame of matching
     ids. Missing terms ⇒ empty result."""
     tset = list(set(terms))
+    col = pd.Series([], dtype="int64" if id_type is None else id_type)
+    if not tset:  # empty conjunction: defined as no matches (ADVICE r2)
+        return pd.DataFrame({"doc_id": col})
     hits = index.map_batches(
         lambda df: df[df["token"].isin(tset)],
         batch_format="pandas").to_pandas()
-    col = pd.Series([], dtype="int64" if id_type is None else id_type)
     if len(hits) < len(tset):
         return pd.DataFrame({"doc_id": col})
     ids = None
