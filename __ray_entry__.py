@@ -342,6 +342,44 @@ def q_doc_search_terms(sf_dir: str):
     return search_all_terms(idx, ["scan", "column", "window"])
 
 
+def q_doc_search_pruned(sf_dir: str):
+    """Persistent inverted-index retrieval, the 100-TB shape: hive
+    ``bucket=N/`` posting partitions with a document-frequency cap
+    (over-cap stop words dropped at build, recorded in dropped.parquet),
+    search reads ONLY the query terms' bucket partitions and intersects
+    smallest-df-first inside one Ray task. Pruned query terms are ignored
+    (stop-word semantics); the SQL oracle replays the same df-cap rule."""
+    import tempfile
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import index_build, index_search
+
+    idx = tempfile.mkdtemp(prefix="invidx_", dir="/tmp")
+    index_build(read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+                idx, max_df=390, num_buckets=16)
+    return index_search(idx, ["scan", "column", "the"])
+
+
+_SEARCH_PRUNED_ORACLE = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.token
+        FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+        WHERE t.token <> ''
+    ),
+    q(term) AS (VALUES ('scan'), ('column'), ('the')),
+    dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    qdf AS (SELECT term, coalesce(df, 0) AS df
+            FROM q LEFT JOIN dfreq ON dfreq.token = q.term),
+    req AS (SELECT term FROM qdf WHERE df > 0 AND df <= 390)
+    SELECT doc_id FROM tok
+    WHERE token IN (SELECT term FROM req)
+      AND NOT EXISTS (SELECT 1 FROM qdf WHERE df = 0)
+      AND EXISTS (SELECT 1 FROM req)
+    GROUP BY doc_id
+    HAVING count(DISTINCT token) = (SELECT count(*) FROM req)
+"""
+
+
 def q_doc_redact_pii(sf_dir: str):
     """Pre-training PII scrub: email/phone/card/SSN → typed placeholders,
     one compiled RE2 replace kernel per pattern per batch, zero shuffles;
@@ -931,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_chunks": q_doc_chunks,
         "q_doc_redact_pii": q_doc_redact_pii,
         "q_doc_search_terms": q_doc_search_terms,
+        "q_doc_search_pruned": q_doc_search_pruned,
         "q_supplier_bloom_semi": q_supplier_bloom_semi,
         "q_events_range_window": q_events_range_window,
         "q_doc_token_stats": q_doc_token_stats,
@@ -1420,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
                     * 4294967296.0
         """,
         "q_doc_redact_pii": _pii_oracle_sql(),
+        "q_doc_search_pruned": _SEARCH_PRUNED_ORACLE,
         "q_doc_search_terms": """
             SELECT doc_id FROM documents
             WHERE list_has_all(

@@ -480,25 +480,12 @@ def redact_pii(
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def build_inverted_index(
-    ds: "ray.data.Dataset",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_buckets: int | None = None,
-) -> "ray.data.Dataset":
-    """Token → sorted posting list over the corpus (the text-retrieval
-    index build).
-
-    Same tokenization as :func:`top_tokens` (lower → split /[^a-z0-9]+/ →
-    drop empties, distinct per document). Per batch the (token, id) pairs
-    come from one Arrow split + a numpy dedup — no row loop; the ONE
-    all-to-all is the token-hash bucketed `group_apply`, so a token's
-    postings concentrate in exactly one task and the output is one row
-    per token. At scale, write the result hive-partitioned by token-hash
-    bucket so a query reads only its terms' partitions (the `ivf_build`
-    pattern applied to text).
-    """
-    from whoiswho_ray.stages.agg import group_apply
+def _index_pairs(id_col: str, text_col: str):
+    """Per-batch (token, __id) explode: lower → split /[^a-z0-9]+/ → drop
+    empties → distinct per document. One Arrow split + numpy dedup, no
+    row loop. Each document lives in exactly one input row, so per-batch
+    distinct (token, __id) pairs are globally distinct — a plain count of
+    pair rows per token IS the document frequency."""
 
     def pairs(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -517,18 +504,183 @@ def build_inverted_index(
         return pa.table({"token": pa.array(uniq["token"].to_numpy(), pa.string()),
                          "__id": pa.array(uniq["__id"].to_numpy())})
 
-    def posting(g: pa.Table) -> pa.Table:
-        ids = np.unique(g.column("__id").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "token": g.column("token").slice(0, 1),
-            "postings": pa.array([ids.tolist()]),
-            "df": pa.array([ids.size], pa.int64()),
-        })
+    return pairs
+
+
+def _posting(g: pa.Table) -> pa.Table:
+    ids = np.unique(g.column("__id").to_numpy(zero_copy_only=False))
+    return pa.table({
+        "token": g.column("token").slice(0, 1),
+        "postings": pa.array([ids.tolist()]),
+        "df": pa.array([ids.size], pa.int64()),
+    })
+
+
+def _drop_hot_tokens(exploded: "ray.data.Dataset", max_df: int):
+    """Find tokens with document frequency above ``max_df`` (bounded: at
+    most total_pairs/max_df of them can exist) and filter their pair rows
+    out BEFORE the posting shuffle — a stop-word's corpus-sized posting
+    row must never be assembled in any task. Returns (filtered_exploded,
+    dropped_df_frame)."""
+    import ray
+
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    dfc = grouped_agg(exploded, "token", {"df": (None, "count")},
+                      final="shuffle")
+    hot = dfc.map_batches(lambda d: d[d["df"] > max_df],
+                          batch_format="pandas").to_pandas()
+    if not len(hot):
+        return exploded, hot
+    hot_ref = ray.put(frozenset(hot["token"]))
+
+    class Filt:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(
+                t.column("token"), value_set=pa.array(sorted(self.hot))))
+            return t.filter(mask)
+
+    return (exploded.map_batches(Filt, batch_format="pyarrow",
+                                 zero_copy_batch=True, concurrency=(1, 4)),
+            hot)
+
+
+def build_inverted_index(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    max_df: int | None = None,
+) -> "ray.data.Dataset":
+    """Token → sorted posting list over the corpus (the text-retrieval
+    index build), as a Dataset of (token, postings, df) rows.
+
+    The ONE all-to-all is the token-hash bucketed `group_apply`, so a
+    token's postings concentrate in exactly one task and the output is
+    one row per token. ``max_df`` caps document frequency: over-cap
+    tokens (stop words) are counted first with a pre-aggregated shuffle
+    and their pair rows are filtered BEFORE the posting shuffle, so no
+    task ever assembles a corpus-sized posting row; the drop is logged.
+    For a persistent, partition-prunable index use :func:`index_build` —
+    this in-memory variant is for small/mid corpora and oracle tests.
+    """
+    from whoiswho_ray.stages.agg import group_apply
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        pairs, batch_format="pyarrow", zero_copy_batch=True)
-    return group_apply(exploded, "token", posting, batch_format="pyarrow",
+        _index_pairs(id_col, text_col), batch_format="pyarrow",
+        zero_copy_batch=True)
+    if max_df is not None:
+        exploded, dropped = _drop_hot_tokens(exploded, max_df)
+        if len(dropped):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "build_inverted_index: dropped %d tokens with df > %d "
+                "(max df seen: %d)", len(dropped), max_df,
+                int(dropped["df"].max()))
+    return group_apply(exploded, "token", _posting, batch_format="pyarrow",
                        num_buckets=num_buckets)
+
+
+def _token_bucket(tokens, num_buckets: int) -> np.ndarray:
+    """Deterministic token → hive-bucket assignment (stable across
+    processes: pandas siphash with its fixed default key)."""
+    h = pd.util.hash_pandas_object(pd.Series(list(tokens), dtype=object),
+                                   index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def index_build(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    num_buckets: int = 32,
+) -> dict:
+    """Persistent inverted index: hive-partitioned Parquet posting lists
+    (``data/bucket=N/``) + ``dropped.parquet`` (over-cap tokens with
+    their true df — nothing is silently truncated) + ``meta.json``.
+
+    The ``ivf_build`` pattern (similarity_search.py) applied to text: a
+    query later reads ONLY its terms' bucket partitions. ``max_df``
+    bounds every posting row — over-cap tokens are detected with one
+    pre-aggregated count shuffle and removed from the pair stream before
+    postings are assembled, so the index build is safe on a stop-word-
+    laden corpus of any size (the dropped-token set is bounded by
+    total_pairs/max_df, never corpus-sized).
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    dropped_n = 0
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _index_pairs(id_col, text_col), batch_format="pyarrow",
+        zero_copy_batch=True)
+    if max_df is not None:
+        exploded, dropped = _drop_hot_tokens(exploded, max_df)
+        dropped_n = len(dropped)
+        os.makedirs(index_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                dropped if dropped_n else
+                pd.DataFrame({"token": pd.Series([], dtype=object),
+                              "df": pd.Series([], dtype=np.int64)}),
+                preserve_index=False),
+            os.path.join(index_dir, "dropped.parquet"))
+
+    from whoiswho_ray.stages.agg import group_apply
+
+    index = group_apply(exploded, "token", _posting, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _token_bucket(t.column("token").to_pylist(), num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    data_dir = os.path.join(index_dir, "data")
+    index.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["bucket"])
+    meta = {"num_buckets": num_buckets, "max_df": max_df,
+            "dropped_tokens": int(dropped_n),
+            "id_col": id_col, "text_col": text_col}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _intersect_smallest_first(required_n: int, id_type=None):
+    """In-task conjunctive intersection over matched posting rows,
+    smallest df first (each later intersect shrinks against the smallest
+    running set). Runs inside ONE Ray task over the <= n_terms matched
+    rows — posting lists never land on the driver; only the final id set
+    does."""
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array(
+            [], pa.int64() if id_type is None else id_type)})
+        if t.num_rows < required_n or t.num_rows == 0:
+            return empty
+        order = np.argsort(t.column("df").to_numpy(zero_copy_only=False),
+                           kind="stable")
+        posts = t.column("postings")
+        if isinstance(posts, pa.ChunkedArray):
+            posts = posts.combine_chunks()
+        ids = None
+        for i in order:
+            arr = np.asarray(posts[int(i)].as_py())
+            ids = arr if ids is None else np.intersect1d(
+                ids, arr, assume_unique=True)
+            if ids.size == 0:
+                break
+        return pa.table({"doc_id": pa.array(np.sort(ids))})
+
+    return f
 
 
 def search_all_terms(
@@ -536,21 +688,110 @@ def search_all_terms(
     terms: list[str],
     id_type=None,
 ) -> pd.DataFrame:
-    """Conjunctive (AND) term search against a posting-list index: filter
-    the index to the query's terms (tiny — one row per term), intersect
-    the postings on the driver. Returns a one-column frame of matching
-    ids. Missing terms ⇒ empty result."""
+    """Conjunctive (AND) term search against an in-memory posting-list
+    index Dataset: filter the index to the query's terms (tiny — one row
+    per term), intersect smallest-df-first INSIDE one Ray task, collect
+    only the final id column. Missing terms ⇒ empty result."""
     tset = list(set(terms))
     col = pd.Series([], dtype="int64" if id_type is None else id_type)
     if not tset:  # empty conjunction: defined as no matches (ADVICE r2)
         return pd.DataFrame({"doc_id": col})
     hits = index.map_batches(
-        lambda df: df[df["token"].isin(tset)],
-        batch_format="pandas").to_pandas()
-    if len(hits) < len(tset):
+        lambda df: df[df["token"].isin(tset)], batch_format="pandas")
+    out = hits.repartition(1).map_batches(
+        _intersect_smallest_first(len(tset), id_type),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(out):
         return pd.DataFrame({"doc_id": col})
-    ids = None
-    for p in hits["postings"]:
-        arr = np.asarray(p)
-        ids = arr if ids is None else np.intersect1d(ids, arr, assume_unique=True)
-    return pd.DataFrame({"doc_id": pd.Series(np.sort(ids))})
+    return out
+
+
+def index_search(
+    index_dir: str,
+    terms: list[str],
+    id_type=None,
+    pruned_terms: str = "ignore",
+) -> pd.DataFrame:
+    """Search a persistent :func:`index_build` index: read ONLY the
+    bucket partitions holding the query's terms (partition pruning à la
+    ``ivf_search``), intersect smallest-df-first inside one Ray task.
+
+    ``pruned_terms``: over-cap tokens were dropped at build time
+    (recorded in ``dropped.parquet``); ``"ignore"`` treats them like a
+    search engine treats stop words (removed from the query — they would
+    match nearly everything), ``"empty"`` returns no results if the
+    query names one. A term absent from the corpus entirely always
+    yields the empty result.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    col = pd.Series([], dtype="int64" if id_type is None else id_type)
+    empty = pd.DataFrame({"doc_id": col})
+    tset = sorted(set(terms))
+    if not tset:
+        return empty
+
+    dropped_path = os.path.join(index_dir, "dropped.parquet")
+    if os.path.exists(dropped_path):
+        dropped = pq.read_table(
+            dropped_path,
+            filters=[("token", "in", tset)]).column("token").to_pylist()
+        if dropped:
+            if pruned_terms == "empty":
+                return empty
+            tset = [t for t in tset if t not in set(dropped)]
+            if not tset:
+                # every term was a pruned stop word: refuse to dump the
+                # corpus — callers wanting "all docs" should scan directly
+                return empty
+
+    data_dir = os.path.join(index_dir, "data")
+    want = set(_token_bucket(tset, meta["num_buckets"]).tolist())
+    paths = [os.path.join(data_dir, f"bucket={b}", f)
+             for b in sorted(want)
+             if os.path.isdir(os.path.join(data_dir, f"bucket={b}"))
+             for f in sorted(os.listdir(os.path.join(data_dir, f"bucket={b}")))
+             if f.endswith(".parquet")]
+    if not paths:
+        return empty
+    hits = rd.read_parquet(paths, columns=["token", "postings", "df"]).map_batches(
+        lambda df: df[df["token"].isin(tset)], batch_format="pandas")
+    out = hits.repartition(1).map_batches(
+        _intersect_smallest_first(len(tset), id_type),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    return out if len(out) else empty
+
+
+def index_scan_rows(index_dir: str, terms: list[str] | None = None) -> dict:
+    """Scan-volume accounting for a persistent index (mirrors
+    ``ivf_scan_rows``): posting rows per bucket partition from parquet
+    metadata — no data read — plus the subtotal a query for ``terms``
+    would scan."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    data_dir = os.path.join(index_dir, "data")
+    rows = {}
+    for d in sorted(os.listdir(data_dir)):
+        if "=" not in d:
+            continue
+        b = int(d.split("=")[1])
+        sub = os.path.join(data_dir, d)
+        rows[b] = sum(pq.ParquetFile(os.path.join(sub, f)).metadata.num_rows
+                      for f in os.listdir(sub) if f.endswith(".parquet"))
+    probed_buckets = sorted(
+        set(_token_bucket(sorted(set(terms)), meta["num_buckets"]).tolist())
+    ) if terms else []
+    return {"rows_per_bucket": rows, "total_rows": sum(rows.values()),
+            "probed_buckets": probed_buckets,
+            "probed_rows": sum(rows.get(b, 0) for b in probed_buckets)}
