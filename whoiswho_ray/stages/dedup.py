@@ -32,8 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from whoiswho_ray.functions.hashing import MinHasher, band_keys_matrix, hash_tokens64, sha256_hex, simhash64
-from whoiswho_ray.functions.textnorm import tokenize_text
+from whoiswho_ray.functions.hashing import MinHasher, band_keys_matrix, sha256_hex
 from whoiswho_ray.stages.cluster import UnionFind
 from whoiswho_ray.stages.scoring import _flat, _intersections
 
@@ -111,13 +110,63 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _token_id_rows(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized (row, token-id) pairs for an Arrow string column: the
+    ``decontaminate.doc_gram_rows`` pattern — Arrow clean/split kernels,
+    ``dictionary_encode``, ONE ``stable_hash64`` per batch-UNIQUE token —
+    instead of a per-row Python ``tokenize_text`` loop (VERDICT r2 #2).
+
+    Returns ``(row_of, ids, nrows)`` where within each row the ids are
+    sorted and unique: bit-identical to per-row
+    ``hash_tokens64(tokenize_text(x or "", stopwords=frozenset(),
+    min_len=1))`` (clean_text_column is the proven bit-exact kernel for
+    the cleaning chain; sorting/dedup replayed in numpy)."""
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.functions.hashing import stable_hash64
+    from whoiswho_ray.functions.textnorm import clean_text_column
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    nrows = len(col)
+    cleaned = clean_text_column(col)
+    toks = pc.split_pattern(cleaned, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    uniq_hash = np.fromiter(
+        (stable_hash64(u) if u else -1 for u in uniq), np.int64, len(uniq))
+    ids_all = uniq_hash[codes] if codes.size else np.empty(0, np.int64)
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
+    keep = ids_all != -1  # "" from the empty-document split
+    ids, row_of = ids_all[keep], row_of[keep]
+    # per-row sorted unique (hash_tokens64 semantics)
+    order = np.lexsort((ids, row_of))
+    r_s, i_s = row_of[order], ids[order]
+    if r_s.size:
+        k2 = np.r_[True, (r_s[1:] != r_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        r_s, i_s = r_s[k2], i_s[k2]
+    return r_s, i_s, nrows
+
+
+def _tok_list_array(row_of: np.ndarray, ids: np.ndarray, nrows: int) -> "pa.ListArray":
+    counts = np.bincount(row_of, minlength=nrows)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                    pa.array(ids, pa.int64()))
+
+
 def _tokenize_table(ds: "ray.data.Dataset", text_col: str, key_col: str) -> "ray.data.Dataset":
     def f(t: pa.Table) -> pa.Table:
-        toks = [hash_tokens64(tokenize_text(x or "", stopwords=frozenset(), min_len=1))
-                for x in t.column(text_col).to_pylist()]
+        row_of, ids, nrows = _token_id_rows(t.column(text_col))
         return pa.table({
             key_col: t.column(key_col),
-            "tok_ids": pa.array([a.tolist() for a in toks], pa.list_(pa.int64())),
+            "tok_ids": _tok_list_array(row_of, ids, nrows),
         })
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -566,12 +615,19 @@ def simhash_dedup(
     width = 64 // n_pieces
 
     def add_simhash(t: pa.Table) -> pa.Table:
-        out = []
-        for x in t.column(text_col).to_pylist():
-            ids = hash_tokens64(tokenize_text(x or "", stopwords=frozenset(), min_len=1))
-            out.append(simhash64(ids))
+        # vectorized Charikar sketch across the whole batch: 64 bincounts
+        # over the (row, token-id) pairs — exactly simhash64's ±1 vote
+        # (integer-valued float sums, so the >0 test is bit-identical)
+        row_of, ids, nrows = _token_id_rows(t.column(text_col))
+        u = ids.astype(np.uint64)
+        counts = np.bincount(row_of, minlength=nrows).astype(np.float64)
+        sims = np.zeros(nrows, dtype=np.uint64)
+        for b in range(64):
+            bit = ((u >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+            s = np.bincount(row_of, weights=bit, minlength=nrows)
+            sims |= ((2.0 * s - counts) > 0).astype(np.uint64) << np.uint64(b)
         return pa.table({"key": t.column(key_col),
-                         "sim": pa.array(np.array(out, dtype=np.uint64).astype(np.int64))})
+                         "sim": pa.array(sims.astype(np.int64))})
 
     sh = ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
@@ -657,12 +713,11 @@ def ngram_jaccard_pairs(
     (group_col, key_a, key_b, jacc)."""
 
     def add_toks(t: pa.Table) -> pa.Table:
-        toks = [hash_tokens64(tokenize_text(x or "", stopwords=frozenset(), min_len=1))
-                for x in t.column(text_col).to_pylist()]
+        row_of, ids, nrows = _token_id_rows(t.column(text_col))
         return pa.table({
             group_col: t.column(group_col),
             key_col: t.column(key_col),
-            "tok_ids": pa.array([a.tolist() for a in toks], pa.list_(pa.int64())),
+            "tok_ids": _tok_list_array(row_of, ids, nrows),
         })
 
     with_toks = ds.map_batches(add_toks, batch_format="pyarrow", zero_copy_batch=True)
