@@ -913,3 +913,25 @@ class TestVectorizedNearDupFrontend:
                     x or "", stopwords=frozenset(), min_len=1)))
                 for x in self.TRICKY]
         assert sims.tolist() == want
+
+
+class TestExactDedupBloomPath:
+    def test_bloom_path_equals_broadcast_path(self, ray_session):
+        """Force the Bloom winner-recovery path (threshold=0) and assert
+        the result matches both the broadcast path and the unprojected
+        groupby path (VERDICT r2 #3)."""
+        import ray.data as rd
+
+        from whoiswho_ray.stages.dedup import exact_dedup
+
+        rng = np.random.RandomState(7)
+        texts = [f"text body {i % 60}" for i in range(500)]
+        df = pd.DataFrame({"doc_id": rng.permutation(500), "text": texts})
+        ds = rd.from_pandas(df).repartition(5)
+        bloom = exact_dedup(ds, project=True, broadcast_threshold=0
+                            ).to_pandas().sort_values("doc_id")
+        bcast = exact_dedup(ds, project=True).to_pandas().sort_values("doc_id")
+        plain = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        assert bloom["doc_id"].tolist() == bcast["doc_id"].tolist()
+        assert bloom["doc_id"].tolist() == plain["doc_id"].tolist()
+        assert len(bloom) == len(set(texts))
