@@ -903,7 +903,10 @@ def snd_publications(sf_dir: str):
 def rnd_assign(sf_dir: str):
     """RND pipeline: cluster 80% of derived records as "known", assign the
     held-out 20% to the resulting entity profiles with NIL thresholding
-    (AutoTrainRND.py:52-71 analog). Deterministic; rows-only check."""
+    (AutoTrainRND.py:52-71 analog). Deterministic, and since round 3
+    EXACT-oracled: the SQL replays clustering → profile aggregation →
+    assignment end-to-end (``_rnd_assign_oracle_sql``); the query projects
+    the float-free columns so the hash compare is noise-free."""
     import pyarrow.compute as _pc
 
     from whoiswho_ray.pipelines.rnd import run_rnd
@@ -919,7 +922,8 @@ def rnd_assign(sf_dir: str):
 
     known = recs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
     new = recs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
-    return run_rnd(known, new)
+    return run_rnd(known, new).select_columns(
+        ["record_id", "block_key", "assigned_cluster", "n_candidates"])
 
 
 def rnd_assign_learned(sf_dir: str):
@@ -946,6 +950,9 @@ def rnd_assign_learned(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver checks queries in dict order (observed cap
+    # ~50 per round) — every oracled query first, rows-only entries last,
+    # most important rows-only (the near-dup pair) at the front of the tail.
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q_top_orders": q_top_orders,
@@ -976,16 +983,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_quality": q_doc_quality,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_doc_ngram_pairs": q_doc_ngram_pairs,
-        "q_doc_minhash_dedup": q_doc_minhash_dedup,
-        "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_line_dedup": q_doc_line_dedup,
         "q_doc_repetition": q_doc_repetition,
         "q_doc_langid": q_doc_langid,
-        "q_doc_embed": q_doc_embed,
         "q_doc_winnow": q_doc_winnow,
-        "q_doc_fingerprints": q_doc_fingerprints,
         "q_knn_cosine": q_knn_cosine,
-        "q_knn_ivf": q_knn_ivf,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
         "q_temporal_split": q_temporal_split,
@@ -999,8 +1001,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_relational": snd_relational,
         "snd_clusters": snd_clusters,
         "snd_clusters_rel": snd_clusters_rel,
-        "snd_publications": snd_publications,
         "rnd_assign": rnd_assign,
+        "q_doc_minhash_dedup": q_doc_minhash_dedup,
+        "q_doc_simhash_dedup": q_doc_simhash_dedup,
+        "q_doc_embed": q_doc_embed,
+        "q_doc_fingerprints": q_doc_fingerprints,
+        "q_knn_ivf": q_knn_ivf,
+        "snd_publications": snd_publications,
         "rnd_assign_learned": rnd_assign_learned,
     }
 
@@ -1049,7 +1056,24 @@ def _langid_oracle_sql() -> str:
     """
 
 
-def _snd_feature_ctes() -> str:
+def _score_expr(c, i_tok="i_tok", n_tok_a="n_tok_a", n_tok_b="n_tok_b",
+                i_repo="i_repo", n_repo_a="n_repo_a", n_repo_b="n_repo_b",
+                i_ctx="i_ctx", n_ctx_a="n_ctx_a", n_ctx_b="n_ctx_b",
+                cos="cos", jw="jw") -> str:
+    """The flagship pair-score formula as a SQL expression over the given
+    column expressions (weights baked from the live SNDConfig). Shared by
+    the SND edge/cluster oracles and the RND assignment oracle so the
+    formula cannot drift between them."""
+    jac = (lambda i, na, nb:
+           f"(CASE WHEN {na} + {nb} - {i} > 0 "
+           f"THEN CAST({i} AS DOUBLE) / ({na} + {nb} - {i}) ELSE 0.0 END)")
+    return (f"{c.w_tokens!r} * {jac(i_tok, n_tok_a, n_tok_b)}"
+            f" + {c.w_repo!r} * {jac(i_repo, n_repo_a, n_repo_b)}"
+            f" + {c.w_ctx!r} * {jac(i_ctx, n_ctx_a, n_ctx_b)}"
+            f" + {c.w_tfidf!r} * {cos} + {c.w_name!r} * {jw}")
+
+
+def _snd_feature_ctes(rnd: bool = False) -> str:
     """Shared CTE block re-deriving the flagship feature pipeline in SQL:
     records → identifier tokenization (camel/snake split, len>=2, keyword
     filter, first-appearance cap) → df/idf vocabulary → per-record unit
@@ -1068,6 +1092,14 @@ def _snd_feature_ctes() -> str:
 
     c = SNDConfig()
     stop = ", ".join(repr(w) for w in sorted(CODE_STOPWORDS))
+    # rnd: records carry the 80/20 split flag (isnew — the same
+    # commit-prefix hash rule the rnd_assign query applies); the idf
+    # vocabulary and candidate pairs are computed over KNOWN records only
+    # (run_rnd builds idf on the known side and clusters only it)
+    isnew_col = (",\n                   (('0x' || substr(sha256(coalesce(text, '')), 1, 2))::UBIGINT"
+                 " % 5 = 0) AS isnew" if rnd else "")
+    kfilter = " WHERE NOT isnew" if rnd else ""
+    kpair = " AND NOT a.isnew AND NOT b.isnew" if rnd else ""
     return f"""
         rec AS (
             SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,
@@ -1077,9 +1109,10 @@ def _snd_feature_ctes() -> str:
                        substr(sha256(text), 1, 40)), 1, 40) AS record_id,
                    'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) || '.txt' AS name,
                    sha256(text) AS content_sha256,
-                   text, lang, source
+                   text, lang, source{isnew_col}
             FROM documents
         ),
+        krec AS (SELECT record_id FROM rec{kfilter}),
         tl AS (
             SELECT record_id, string_split_regex(
                        lower(regexp_replace(coalesce(text, ''),
@@ -1101,8 +1134,9 @@ def _snd_feature_ctes() -> str:
             WHERE rn <= {c.max_tokens_per_record}
         ),
         ntok AS (SELECT record_id, count(*) AS n FROM capped GROUP BY 1),
-        dfs AS (SELECT tok, count(*) AS df FROM capped GROUP BY 1),
-        nrec AS (SELECT count(*) AS n FROM rec),
+        dfs AS (SELECT tok, count(*) AS df FROM capped
+                JOIN krec USING (record_id) GROUP BY 1),
+        nrec AS (SELECT count(*) AS n FROM krec),
         idfs AS (
             SELECT tok, CAST(ln(1 + CAST((SELECT n FROM nrec) AS DOUBLE) / df) AS REAL) AS idf
             FROM dfs WHERE df >= {c.min_df}
@@ -1134,7 +1168,7 @@ def _snd_feature_ctes() -> str:
             SELECT a.block_key, a.record_id AS ra, b.record_id AS rb,
                    a.name AS na, b.name AS nb
             FROM rec a JOIN rec b
-              ON a.block_key = b.block_key AND a.record_id < b.record_id
+              ON a.block_key = b.block_key AND a.record_id < b.record_id{kpair}
         ),
         itok AS (SELECT p.ra, p.rb, count(*) AS c FROM prs p
                  JOIN capped x ON x.record_id = p.ra
@@ -1201,13 +1235,7 @@ def _snd_relational_oracle_sql() -> str:
     from whoiswho_ray.config import SNDConfig
 
     c = SNDConfig()
-    score = (f"{c.w_tokens!r} * (CASE WHEN n_tok_a + n_tok_b - i_tok > 0 "
-             f"THEN CAST(i_tok AS DOUBLE) / (n_tok_a + n_tok_b - i_tok) ELSE 0.0 END)"
-             f" + {c.w_repo!r} * (CASE WHEN n_repo_a + n_repo_b - i_repo > 0 "
-             f"THEN CAST(i_repo AS DOUBLE) / (n_repo_a + n_repo_b - i_repo) ELSE 0.0 END)"
-             f" + {c.w_ctx!r} * (CASE WHEN n_ctx_a + n_ctx_b - i_ctx > 0 "
-             f"THEN CAST(i_ctx AS DOUBLE) / (n_ctx_a + n_ctx_b - i_ctx) ELSE 0.0 END)"
-             f" + {c.w_tfidf!r} * cos + {c.w_name!r} * jw")
+    score = _score_expr(c)
     return f"""
         WITH {_snd_feature_ctes()},
         scored AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
@@ -1244,13 +1272,7 @@ def _snd_clusters_oracle_sql(w_rel: float = 0.0) -> str:
     from whoiswho_ray.config import SNDConfig
 
     c = SNDConfig()
-    score = (f"{c.w_tokens!r} * (CASE WHEN n_tok_a + n_tok_b - i_tok > 0 "
-             f"THEN CAST(i_tok AS DOUBLE) / (n_tok_a + n_tok_b - i_tok) ELSE 0.0 END)"
-             f" + {c.w_repo!r} * (CASE WHEN n_repo_a + n_repo_b - i_repo > 0 "
-             f"THEN CAST(i_repo AS DOUBLE) / (n_repo_a + n_repo_b - i_repo) ELSE 0.0 END)"
-             f" + {c.w_ctx!r} * (CASE WHEN n_ctx_a + n_ctx_b - i_ctx > 0 "
-             f"THEN CAST(i_ctx AS DOUBLE) / (n_ctx_a + n_ctx_b - i_ctx) ELSE 0.0 END)"
-             f" + {c.w_tfidf!r} * cos + {c.w_name!r} * jw")
+    score = _score_expr(c)
     if w_rel:
         blend = f"""
         scored0 AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
@@ -1333,6 +1355,167 @@ def _snd_clusters_oracle_sql(w_rel: float = 0.0) -> str:
                r.block_key || '#' || c2.comp AS cluster_id,
                r.content_sha256
         FROM rec r JOIN comp2 c2 USING (record_id)
+    """
+
+
+def _rnd_assign_oracle_sql() -> str:
+    """Full SQL replay of ``run_rnd`` over the 80/20 commit-hash split:
+    known records → the flagship score + two recursive-CTE closures
+    (verbatim from the snd_clusters oracle, seeded on known records) →
+    per-cluster profiles (distinct token-set unions; summed-then-L2-
+    normalized member TF-IDF weights — ``build_profiles.to_profile``) →
+    record × same-block-profile scoring with the shared ``_score_expr``
+    formula → deterministic argmax (score DESC, cluster_id ASC — numpy's
+    first-max over id-sorted candidates) with the NIL threshold
+    (``assign_records``, AutoTrainRND.py:52-71 analog). Output is the
+    float-free projection (record_id, block_key, assigned_cluster,
+    n_candidates), so the hash compare never touches a float column."""
+    from whoiswho_ray.config import SNDConfig
+
+    c = SNDConfig()
+    score = _score_expr(c)
+    ascore = _score_expr(
+        c,
+        i_tok="coalesce(it.c, 0)",
+        n_tok_a="coalesce(nt.n, 0)", n_tok_b="coalesce(pt.n, 0)",
+        i_repo="coalesce(ir.c, 0)",
+        n_repo_a="coalesce(nr2.n, 0)", n_repo_b="coalesce(pr.n, 0)",
+        i_ctx="coalesce(ix.c, 0)",
+        n_ctx_a="coalesce(nc2.n, 0)", n_ctx_b="coalesce(pc.n, 0)",
+        cos="coalesce(iv.dot, 0.0)",
+        jw="jaro_winkler_similarity(lower(c.rname), lower(c.pname))",
+    )
+    return f"""
+        WITH RECURSIVE {_snd_feature_ctes(rnd=True)},
+        scored AS MATERIALIZED (SELECT block_key, ra, rb, {score} AS score FROM feats),
+        strong AS (SELECT ra, rb FROM scored WHERE score >= {c.tau_edge!r}),
+        sym1 AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
+                 UNION ALL SELECT rb, ra FROM strong),
+        reach1(a, b) AS (
+            SELECT record_id, record_id FROM krec
+            UNION
+            SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a
+        ),
+        comp1 AS (SELECT a AS record_id, min(b) AS comp FROM reach1 GROUP BY 1),
+        siz AS (SELECT comp, count(*) AS n FROM comp1 GROUP BY 1),
+        lab AS (SELECT c1.record_id, (s.n = 1) AS single
+                FROM comp1 c1 JOIN siz s USING (comp)),
+        att AS (SELECT ra, rb, score FROM scored WHERE score >= {c.tau_attach!r}),
+        bs AS (SELECT a.ra, a.rb FROM att a
+               JOIN lab la ON la.record_id = a.ra
+               JOIN lab lb ON lb.record_id = a.rb
+               WHERE la.single AND lb.single),
+        cand AS (
+            SELECT e.x, e.y, e.score FROM (
+                SELECT ra AS x, rb AS y, score FROM att
+                UNION ALL SELECT rb, ra, score FROM att) e
+            JOIN lab lx ON lx.record_id = e.x
+            JOIN lab ly ON ly.record_id = e.y
+            WHERE lx.single AND NOT ly.single
+        ),
+        best AS (
+            SELECT x, y FROM (
+                SELECT x, y, row_number() OVER (
+                    PARTITION BY x ORDER BY score DESC, y ASC) AS rn
+                FROM cand)
+            WHERE rn = 1
+        ),
+        alledges AS MATERIALIZED (
+            SELECT a, b FROM sym1
+            UNION ALL SELECT ra, rb FROM bs
+            UNION ALL SELECT rb, ra FROM bs
+            UNION ALL SELECT x, y FROM best
+            UNION ALL SELECT y, x FROM best
+        ),
+        reach2(a, b) AS (
+            SELECT record_id, record_id FROM krec
+            UNION
+            SELECT r.a, s.b FROM reach2 r JOIN alledges s ON r.b = s.a
+        ),
+        comp2 AS (SELECT a AS record_id, min(b) AS comp FROM reach2 GROUP BY 1),
+        memb AS MATERIALIZED (
+            SELECT r.record_id, r.block_key, r.name,
+                   r.block_key || '#' || c2.comp AS cluster_id
+            FROM rec r JOIN comp2 c2 USING (record_id)
+            WHERE NOT r.isnew
+        ),
+        profs AS (SELECT DISTINCT cluster_id, block_key FROM memb),
+        pname AS (
+            SELECT cluster_id, name FROM (
+                SELECT cluster_id, name, row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY count(*) DESC, name ASC) AS rn
+                FROM memb GROUP BY cluster_id, name)
+            WHERE rn = 1
+        ),
+        ptok AS MATERIALIZED (SELECT DISTINCT m.cluster_id, x.tok
+                              FROM memb m JOIN capped x USING (record_id)),
+        nptok AS (SELECT cluster_id, count(*) AS n FROM ptok GROUP BY 1),
+        prep AS MATERIALIZED (SELECT DISTINCT m.cluster_id, x.tok
+                              FROM memb m JOIN rtok x USING (record_id)),
+        nprep AS (SELECT cluster_id, count(*) AS n FROM prep GROUP BY 1),
+        pctx AS MATERIALIZED (SELECT DISTINCT m.cluster_id, x.tok
+                              FROM memb m JOIN ctok x USING (record_id)),
+        npctx AS (SELECT cluster_id, count(*) AS n FROM pctx GROUP BY 1),
+        pw0 AS MATERIALIZED (
+            SELECT m.cluster_id, w.tok, sum(CAST(w.w AS DOUBLE)) AS w
+            FROM memb m JOIN wn w USING (record_id) GROUP BY 1, 2),
+        pnrm AS (SELECT cluster_id, sqrt(sum(w * w)) AS nrm FROM pw0 GROUP BY 1),
+        pw AS MATERIALIZED (
+            SELECT p.cluster_id, p.tok, p.w / n.nrm AS w
+            FROM pw0 p JOIN pnrm n USING (cluster_id) WHERE n.nrm > 0),
+        newrec AS (SELECT record_id, block_key, name FROM rec WHERE isnew),
+        cnd AS MATERIALIZED (
+            SELECT DISTINCT nr.record_id AS rid, nr.block_key,
+                   nr.name AS rname, p.cluster_id, pn.name AS pname
+            FROM newrec nr
+            JOIN profs p USING (block_key)
+            JOIN pname pn ON pn.cluster_id = p.cluster_id
+        ),
+        aitok AS (SELECT c.rid, c.cluster_id, count(*) AS c FROM cnd c
+                  JOIN capped x ON x.record_id = c.rid
+                  JOIN ptok y ON y.cluster_id = c.cluster_id AND y.tok = x.tok
+                  GROUP BY 1, 2),
+        airep AS (SELECT c.rid, c.cluster_id, count(*) AS c FROM cnd c
+                  JOIN rtok x ON x.record_id = c.rid
+                  JOIN prep y ON y.cluster_id = c.cluster_id AND y.tok = x.tok
+                  GROUP BY 1, 2),
+        aictx AS (SELECT c.rid, c.cluster_id, count(*) AS c FROM cnd c
+                  JOIN ctok x ON x.record_id = c.rid
+                  JOIN pctx y ON y.cluster_id = c.cluster_id AND y.tok = x.tok
+                  GROUP BY 1, 2),
+        aitfv AS (SELECT c.rid, c.cluster_id,
+                         sum(CAST(x.w AS DOUBLE) * y.w) AS dot
+                  FROM cnd c
+                  JOIN wn x ON x.record_id = c.rid
+                  JOIN pw y ON y.cluster_id = c.cluster_id AND y.tok = x.tok
+                  GROUP BY 1, 2),
+        afeat AS MATERIALIZED (
+            SELECT c.rid, c.cluster_id, {ascore} AS score
+            FROM cnd c
+            LEFT JOIN aitok it ON it.rid = c.rid AND it.cluster_id = c.cluster_id
+            LEFT JOIN airep ir ON ir.rid = c.rid AND ir.cluster_id = c.cluster_id
+            LEFT JOIN aictx ix ON ix.rid = c.rid AND ix.cluster_id = c.cluster_id
+            LEFT JOIN aitfv iv ON iv.rid = c.rid AND iv.cluster_id = c.cluster_id
+            LEFT JOIN ntok nt ON nt.record_id = c.rid
+            LEFT JOIN nptok pt ON pt.cluster_id = c.cluster_id
+            LEFT JOIN nrtok nr2 ON nr2.record_id = c.rid
+            LEFT JOIN nprep pr ON pr.cluster_id = c.cluster_id
+            LEFT JOIN nctok nc2 ON nc2.record_id = c.rid
+            LEFT JOIN npctx pc ON pc.cluster_id = c.cluster_id
+        ),
+        pick AS (
+            SELECT rid, cluster_id, score,
+                   row_number() OVER (PARTITION BY rid
+                                      ORDER BY score DESC, cluster_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY rid) AS ncand
+            FROM afeat
+        )
+        SELECT nr.record_id, nr.block_key,
+               CASE WHEN p.cluster_id IS NOT NULL AND p.score >= {c.tau_edge!r}
+                    THEN p.cluster_id ELSE 'NIL' END AS assigned_cluster,
+               CAST(coalesce(p.ncand, 0) AS BIGINT) AS n_candidates
+        FROM newrec nr
+        LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON p.rid = nr.record_id
     """
 
 
@@ -1750,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "snd_relational": _snd_relational_oracle_sql(),
         "snd_clusters": _snd_clusters_oracle_sql(),
         "snd_clusters_rel": _snd_clusters_oracle_sql(w_rel=0.5),
+        "rnd_assign": _rnd_assign_oracle_sql(),
         "q_negative_samples": f"""
             WITH rec AS (
                 SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,

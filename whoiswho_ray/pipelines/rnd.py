@@ -58,6 +58,7 @@ def build_profiles(
     clusters: "rd.Dataset",
     cfg: SNDConfig | None = None,
     keep_members: int = 0,
+    token_cap: int = PROFILE_TOKEN_CAP,
 ) -> "rd.Dataset":
     """(vectorized records, cluster table) → one profile row per cluster:
     (cluster_id, block_key, name, tok_ids, repo_ids, ctx_ids, tfv_ids, tfv_w).
@@ -141,7 +142,7 @@ def build_profiles(
                 cols["member_tfv_ids"] = pd.Series([], dtype=object)
                 cols["member_tfv_w"] = pd.Series([], dtype=object)
             return pd.DataFrame(cols)
-        tfv_ids = _agg_ids(g["tfv_ids"])
+        tfv_ids = _agg_ids(g["tfv_ids"], cap=token_cap)
         # centroid weights: mean of member weights per kept id, renormalized
         w_acc = np.zeros(tfv_ids.size, dtype=np.float64)
         for ids, w in zip(g["tfv_ids"], g["tfv_w"]):
@@ -160,9 +161,9 @@ def build_profiles(
             "block_key": [g["block_key"].iloc[0]],
             "name": [name],
             "n_members": [len(g)],
-            "tok_ids": [_agg_ids(g["tok_ids"])],
-            "repo_ids": [_agg_ids(g["repo_ids"])],
-            "ctx_ids": [_agg_ids(g["ctx_ids"])],
+            "tok_ids": [_agg_ids(g["tok_ids"], cap=token_cap)],
+            "repo_ids": [_agg_ids(g["repo_ids"], cap=token_cap)],
+            "ctx_ids": [_agg_ids(g["ctx_ids"], cap=token_cap)],
             "tfv_ids": [tfv_ids],
             "tfv_w": [w_acc.astype(np.float32)],
         }
@@ -267,9 +268,12 @@ def run_rnd(
     new_records: "rd.Dataset | str",
     cfg: SNDConfig | None = None,
     tau_assign: float | None = None,
+    profile_token_cap: int = PROFILE_TOKEN_CAP,
 ) -> "rd.Dataset":
     """End-to-end: cluster the known records (SND), build profiles, assign
-    the new records. Returns the assignment table."""
+    the new records. Returns the assignment table. ``profile_token_cap``
+    bounds every profile's token/tfv union (most-frequent-first; the
+    reference's 256-member cap, ``adhoc_features.py:105``)."""
     from whoiswho_ray.pipelines.snd import snd_cluster
 
     cfg = cfg or SNDConfig()
@@ -282,7 +286,7 @@ def run_rnd(
     idf = build_idf(known_norm, cfg)
     known_vec = vectorize(known_norm, idf, cfg).materialize()
     clusters = snd_cluster(known_norm, known_vec, cfg)
-    profiles = build_profiles(known_vec, clusters, cfg)
+    profiles = build_profiles(known_vec, clusters, cfg, token_cap=profile_token_cap)
     new_vec = vectorize(normalize_records(new_records, cfg), idf, cfg)
     return assign_records(new_vec, profiles, cfg, tau_assign)
 
