@@ -296,6 +296,8 @@ def rnd_knrm_features(
     profiles: "rd.Dataset",
     n_kernels: int = 21,
     sigma: float = 0.1,
+    with_graph: bool = False,
+    graph_tau: float = 0.5,
 ) -> "rd.Dataset":
     """KNRM kernel-pooled features per (new record × candidate profile).
 
@@ -307,7 +309,20 @@ def rnd_knrm_features(
     the centroid cosine collapses. Requires profiles built with
     ``build_profiles(..., keep_members>0)``. Returns
     (record_id, block_key, candidate_cluster, knrm: list<double>[n_kernels]);
-    feed through ``training.fit_ensemble`` / ``apply_ensemble``."""
+    feed through ``training.fit_ensemble`` / ``apply_ensemble``.
+
+    ``with_graph=True`` additionally emits the EGO-GRAPH feature family —
+    the analog of the reference's GAT-over-ego-graph features
+    (``rndFeature/graph_features.py:62-120``, its third feature family):
+    nodes are the record plus every member of every candidate profile in
+    the block; edges are member/record cosine >= ``graph_tau``. Per
+    (record, candidate): ``g_deg`` (record→candidate-member strong
+    links), ``g_frac`` (that over the candidate's member count),
+    ``g_cn`` (common neighbors: outside members strong with BOTH the
+    record and some candidate member — second-hop structure the direct
+    similarity misses), ``g_cnf`` (g_cn over the record's outside strong
+    degree). All from the one dot pass plus one member×member
+    ``allpairs_matrix`` per block — no Python pair loop."""
     from whoiswho_ray.stages.agg import group_apply
 
     _E = np.empty(0, np.int64)
@@ -337,54 +352,71 @@ def rnd_knrm_features(
     profs = profiles.map_batches(tag_prof, batch_format="pandas")
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        """Fully vectorized: ALL (record × profile-member) cosines in one
-        lexsort intersection pass (bit-identical to the per-pair
-        ``cosine_sparse`` — both sum shared-id products in ascending id
-        order), then kernel pooling for every (record, profile) cell via
-        one exp + per-kernel bincount. No Python loop over pairs."""
+        """Fully vectorized: member/record streams are flattened ONCE into
+        (values, offsets) and every (record × member) pair is materialized
+        by numpy index-arithmetic gathers (the pairs.py gather pattern —
+        no per-pair np.concatenate); the cosines come from one lexsort
+        intersection pass (bit-identical to the per-pair
+        ``cosine_sparse``), then kernel pooling for every
+        (record, profile) cell via one exp + per-kernel bincount."""
         from whoiswho_ray.functions.similarity import knrm_mus_sigmas
         from whoiswho_ray.stages.scoring import _intersections
 
         rec = g[g["__side"] == "rec"]
         prof = g[g["__side"] == "prof"]
         out_cols = {"record_id": [], "block_key": [], "candidate_cluster": [], "knrm": []}
+        if with_graph:
+            for c in ("g_deg", "g_frac", "g_cn", "g_cnf"):
+                out_cols[c] = []
         if len(rec) == 0 or len(prof) == 0:
             return pd.DataFrame(out_cols)
         bk = g["block_key"].iloc[0]
         nr, npf = len(rec), len(prof)
 
-        # flatten profile members: member j belongs to profile mem_prof[j]
-        mem_ids: list[np.ndarray] = []
-        mem_w: list[np.ndarray] = []
-        mem_prof: list[int] = []
-        for pi, (mis, mws) in enumerate(zip(prof["member_tfv_ids"], prof["member_tfv_w"])):
-            for mi, mw in zip(mis, mws):
-                mem_ids.append(np.asarray(mi, np.int64))
-                mem_w.append(np.asarray(mw, np.float64))
-                mem_prof.append(pi)
+        # flatten profile members ONCE: member j belongs to mem_prof[j]
+        mem_ids = [np.asarray(mi, np.int64)
+                   for mis in prof["member_tfv_ids"] for mi in mis]
+        mem_w = [np.asarray(mw, np.float64)
+                 for mws in prof["member_tfv_w"] for mw in mws]
+        mem_prof = np.repeat(np.arange(npf),
+                             [len(mis) for mis in prof["member_tfv_ids"]])
         M = len(mem_ids)
         mus, sigmas = knrm_mus_sigmas(n_kernels, sigma)
         phi = np.zeros((nr * npf, mus.size))
+        graph = np.zeros((nr * npf, 4))
         if M:
-            rec_ids = [np.asarray(x, np.int64) for x in rec["tfv_ids"]]
-            rec_w = [np.asarray(x, np.float64) for x in rec["tfv_w"]]
+            def flatten(arrays, n):
+                lens = np.fromiter((a.size for a in arrays), np.int64, n)
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                vals = np.concatenate(arrays) if n else np.empty(0, np.int64)
+                return vals, offs, lens
 
-            def flat(arrays, idx):
-                lens = np.fromiter((arrays[i].size for i in idx), np.int64, idx.size)
-                vals = (np.concatenate([arrays[i] for i in idx])
-                        if idx.size else np.empty(0, np.int64))
-                return vals, lens
+            def gather(vals, offs, lens, idx):
+                l = lens[idx]
+                out_off = np.zeros(idx.size + 1, dtype=np.int64)
+                np.cumsum(l, out=out_off[1:])
+                flat = np.repeat(offs[idx], l) + (
+                    np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
+                return vals[flat], l
+
+            rec_vals, rec_offs, rec_lens = flatten(
+                [np.asarray(x, np.int64) for x in rec["tfv_ids"]], nr)
+            recw_vals, _, _ = flatten(
+                [np.asarray(x, np.float64) for x in rec["tfv_w"]], nr)
+            mem_vals, mem_offs, mem_lens = flatten(mem_ids, M)
+            memw_vals, _, _ = flatten(mem_w, M)
 
             ri = np.repeat(np.arange(nr), M)
             mj = np.tile(np.arange(M), nr)
-            iv, il = flat(rec_ids, ri)
-            jv, jl = flat(mem_ids, mj)
-            iw, _ = flat(rec_w, ri)
-            jw, _ = flat(mem_w, mj)
+            iv, il = gather(rec_vals, rec_offs, rec_lens, ri)
+            iw, _ = gather(recw_vals, rec_offs, rec_lens, ri)
+            jv, jl = gather(mem_vals, mem_offs, mem_lens, mj)
+            jw, _ = gather(memw_vals, mem_offs, mem_lens, mj)
             _, dots = _intersections(ri.size, iv, il, jv, jl, iw, jw)
             sims = dots if dots is not None else np.zeros(ri.size)
             # pooled[cell, k] = sum over that cell's members of K_k(sim)
-            cell = ri * npf + np.asarray(mem_prof, np.int64)[mj]
+            cell = ri * npf + mem_prof[mj]
             K = np.exp(-((sims[:, None] - mus[None, :]) ** 2)
                        / (2.0 * sigmas[None, :] ** 2))
             pooled = np.zeros((nr * npf, mus.size))
@@ -392,28 +424,60 @@ def rnd_knrm_features(
                 pooled[:, k] = np.bincount(cell, weights=K[:, k], minlength=nr * npf)
             has_members = np.bincount(cell, minlength=nr * npf) > 0
             phi[has_members] = np.log(np.maximum(pooled[has_members], 1e-10))
+
+            if with_graph:
+                from whoiswho_ray.stages.scoring import allpairs_matrix
+
+                # record↔member strong edges from the sims already computed
+                strong_rm = sims.reshape(nr, M) >= graph_tau
+                # member↔member strong edges: one block-bounded dot matrix
+                mm = allpairs_matrix(M, mem_vals, mem_offs, memw_vals)
+                np.fill_diagonal(mm, 0.0)
+                strong_mm = mm >= graph_tau
+                ind = (mem_prof[:, None] == np.arange(npf)[None, :])  # (M, npf)
+                n_mem = np.maximum(ind.sum(axis=0), 1)
+                g_deg = strong_rm.astype(np.float64) @ ind               # (nr, npf)
+                g_frac = g_deg / n_mem[None, :]
+                # outside member m' is a 2-hop neighbor of candidate c if
+                # it links any member of c; common neighbors with the record
+                cand_nb = ((strong_mm.astype(np.float64) @ ind) > 0) & ~ind
+                g_cn = strong_rm.astype(np.float64) @ cand_nb
+                out_deg = strong_rm.sum(axis=1)[:, None] - g_deg  # strong links outside c
+                g_cnf = g_cn / np.maximum(out_deg, 1.0)
+                graph = np.stack([g_deg.ravel(), g_frac.ravel(),
+                                  g_cn.ravel(), g_cnf.ravel()], axis=1)
         rec_ids_col = rec["record_id"].to_numpy()
         prof_ids_col = prof["record_id"].to_numpy()
         rr = np.repeat(np.arange(nr), npf)
         pp = np.tile(np.arange(npf), nr)
-        return pd.DataFrame({
+        out = {
             "record_id": rec_ids_col[rr],
             "block_key": np.repeat(bk, nr * npf),
             "candidate_cluster": prof_ids_col[pp],
             "knrm": list(phi),
-        })
+        }
+        if with_graph:
+            for i, c in enumerate(("g_deg", "g_frac", "g_cn", "g_cnf")):
+                out[c] = graph[:, i]
+        return pd.DataFrame(out)
 
     return group_apply(recs.union(profs), "block_key", per_block,
                        batch_format="pandas")
 
 
+GRAPH_FEATURES = ("g_deg", "g_frac", "g_cn", "g_cnf")
+
+
 def expand_knrm(feats: "rd.Dataset", n_kernels: int = 21) -> "rd.Dataset":
     """KNRM list column → named feature columns ``k00..k{n-1}`` (the shape
-    ``training.EnsembleModel`` consumes)."""
+    ``training.EnsembleModel`` consumes). Graph-feature columns
+    (``GRAPH_FEATURES``), when present, pass through unchanged."""
     names = [f"k{i:02d}" for i in range(n_kernels)]
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["record_id", "block_key", "candidate_cluster"]].copy()
+        keep = ["record_id", "block_key", "candidate_cluster"] + [
+            c for c in GRAPH_FEATURES if c in df.columns]
+        out = df[keep].copy()
         mat = (np.stack([np.asarray(x, np.float64) for x in df["knrm"]])
                if len(df) else np.zeros((0, n_kernels)))
         for i, nm in enumerate(names):
@@ -431,33 +495,58 @@ def fit_rnd_ensemble(
     sigma: float = 0.1,
     cells=None,
     seed: int = 42,
+    max_train_records: int = 50_000,
+    with_graph: bool = False,
 ):
-    """Fit the GBDT/logistic cell ensemble on KNRM features of KNOWN
-    records vs their block's candidate profiles — the
-    ``AutoTrainRND.fit`` role (``AutoTrainRND.py:35-71``): positives are
-    (record, its own cluster), negatives every other same-block profile.
+    """Fit the GBDT/logistic cell ensemble on KNRM (and optionally
+    ego-graph) features of KNOWN records vs their block's candidate
+    profiles — the ``AutoTrainRND.fit`` role (``AutoTrainRND.py:35-71``):
+    positives are (record, its own cluster), negatives every other
+    same-block profile.
 
     The feature generation is distributed; the fit itself is driver-side
-    on the collected pair frame (the model is a few KB — at scale, feed a
-    SAMPLED record set, exactly like the reference trains on a bounded
-    instance list). Returns (EnsembleModel, diagnostics). Note the mild
-    optimism of scoring a record against a profile that contains it —
-    shared with the reference's profile construction; hold records out of
-    ``clusters`` before calling to avoid it."""
+    on the collected pair frame (the model is a few KB). The collect is
+    BOUNDED: when the known set exceeds ``max_train_records``, a
+    deterministic order-invariant hash sample (smallest record-id hashes)
+    picks the training records — exactly like the reference trains on a
+    bounded instance list — so driver memory stays O(sample × candidates)
+    on a corpus of any size. Returns (EnsembleModel, diagnostics with
+    ``n_train_records``). Note the mild optimism of scoring a record
+    against a profile that contains it — shared with the reference's
+    profile construction; hold records out of ``clusters`` before calling
+    to avoid it."""
     from whoiswho_ray.training import DEFAULT_CELLS, fit_ensemble
 
+    n_known = known_vectorized.count()
+    if n_known > max_train_records:
+        def add_h(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__h"] = pd.util.hash_pandas_object(
+                df["record_id"], index=False).to_numpy().astype(np.int64)
+            return df
+
+        known_vectorized = (known_vectorized
+                            .map_batches(add_h, batch_format="pandas")
+                            .sort("__h").limit(max_train_records)
+                            .drop_columns(["__h"]))
     feats = expand_knrm(
-        rnd_knrm_features(known_vectorized, profiles, n_kernels, sigma), n_kernels)
+        rnd_knrm_features(known_vectorized, profiles, n_kernels, sigma,
+                          with_graph=with_graph), n_kernels)
     X = feats.to_pandas()
     truth = clusters.select_columns(["record_id", "cluster_id"]).to_pandas()
     X = X.merge(truth, on="record_id", how="inner")
     X["same_entity"] = X["candidate_cluster"] == X["cluster_id"]
     names = [f"k{i:02d}" for i in range(n_kernels)]
+    if with_graph:
+        names = names + list(GRAPH_FEATURES)
     cells = cells or tuple(
         type(c)(name=c.name, model=c.model, weight=c.weight,
                 features=tuple(names), params=c.params)
         for c in DEFAULT_CELLS)
-    return fit_ensemble(X, label_col="same_entity", cells=cells, seed=seed)
+    model, diag = fit_ensemble(X, label_col="same_entity", cells=cells, seed=seed)
+    diag = dict(diag)
+    diag["n_train_records"] = int(min(n_known, max_train_records))
+    return model, diag
 
 
 def assign_records_learned(
@@ -467,6 +556,7 @@ def assign_records_learned(
     n_kernels: int = 21,
     sigma: float = 0.1,
     tau_prob: float = 0.5,
+    with_graph: bool = False,
 ) -> "rd.Dataset":
     """LEARNED assignment: KNRM kernel features per (record × candidate)
     → broadcast ensemble scoring (``training.apply_ensemble``) → per-record
@@ -481,7 +571,8 @@ def assign_records_learned(
     from whoiswho_ray.training import apply_ensemble
 
     feats = expand_knrm(
-        rnd_knrm_features(new_vectorized, profiles, n_kernels, sigma), n_kernels)
+        rnd_knrm_features(new_vectorized, profiles, n_kernels, sigma,
+                          with_graph=with_graph), n_kernels)
     # pandas projection (not select_columns) so both union arms carry the
     # same block type — heterogeneous unions break downstream batching
     scored = apply_ensemble(feats, model, out_col="prob").map_batches(
@@ -524,6 +615,8 @@ def run_rnd_learned(
     cfg: SNDConfig | None = None,
     keep_members: int = 16,
     tau_prob: float = 0.5,
+    with_graph: bool = False,
+    max_train_records: int = 50_000,
 ) -> "rd.Dataset":
     """End-to-end LEARNED path: SND-cluster the known records, build
     member-retaining profiles, fit the KNRM-feature ensemble on the known
@@ -543,6 +636,9 @@ def run_rnd_learned(
     clusters = snd_cluster(known_norm, known_vec, cfg).materialize()
     profiles = build_profiles(known_vec, clusters, cfg,
                               keep_members=keep_members).materialize()
-    model, _diag = fit_rnd_ensemble(known_vec, profiles, clusters)
+    model, _diag = fit_rnd_ensemble(known_vec, profiles, clusters,
+                                    max_train_records=max_train_records,
+                                    with_graph=with_graph)
     new_vec = vectorize(normalize_records(new_records, cfg), idf, cfg)
-    return assign_records_learned(new_vec, profiles, model, tau_prob=tau_prob)
+    return assign_records_learned(new_vec, profiles, model, tau_prob=tau_prob,
+                                  with_graph=with_graph)

@@ -88,6 +88,7 @@ def snd_cluster(
     vectorized: "rd.Dataset",
     cfg: SNDConfig | None = None,
     staged: bool = False,
+    idf=None,
 ) -> "rd.Dataset":
     """Clustering tail of the pipeline for callers that already hold the
     normalized/vectorized records (e.g. the RND pipeline, which reuses
@@ -105,8 +106,33 @@ def snd_cluster(
         return cluster_blocks(union, cfg)
     from whoiswho_ray.stages.pairs import make_block_clusters, shuffle_partitions
 
+    # ``idf``: required when ``vectorized`` was built with
+    # ship_weights=False — the block kernel re-derives tfv_w from the
+    # broadcast idf array instead of reading it off the shuffle. The array
+    # ships through the object store ONCE (ray.put) and each worker
+    # process fetches it once (plasma-local after the first get).
+    idf_w_ref = ray.put(np.asarray(idf.idf)) if idf is not None else None
+
+    def fused(g):
+        w = _idf_w_cached(idf_w_ref) if idf_w_ref is not None else None
+        return make_block_clusters(g, cfg, idf_w=w)
+
     return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
-        lambda g: make_block_clusters(g, cfg), batch_format="pyarrow")
+        fused, batch_format="pyarrow")
+
+
+_IDF_W_CACHE: dict = {}
+
+
+def _idf_w_cached(ref):
+    """Per-process cache of the broadcast idf array (one object-store get
+    per worker process, not one per group)."""
+    key = ref.hex()
+    w = _IDF_W_CACHE.get(key)
+    if w is None:
+        _IDF_W_CACHE.clear()
+        w = _IDF_W_CACHE[key] = ray.get(ref)
+    return w
 
 
 def run_snd(
@@ -148,8 +174,9 @@ def run_snd(
             [c for c in CLUSTER_SHUFFLE_COLUMNS
              if c not in ("tfv_ids", "tfv_w")]).materialize()
         idf = build_idf(normalized, cfg)
-        vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS, compact=True)
-        return snd_cluster(normalized, vec, cfg)
+        vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS,
+                        compact=True, ship_weights=False, sha_binary=True)
+        return snd_cluster(normalized, vec, cfg, idf=idf)
 
     # the format version guards stage schemas: resuming with checkpoints
     # written by an older engine layout recomputes instead of mixing

@@ -271,10 +271,15 @@ def block_metrics(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     })
 
 
-def _score_block(group: pa.Table, cfg: SNDConfig):
+def _score_block(group: pa.Table, cfg: SNDConfig, idf_w=None):
     """One block → (rids, ii, jj, feats) — candidate generation + fused
     scoring; None when the block yields no candidate pairs. Shared by the
-    edge-emitting and the fused cluster-emitting kernels."""
+    edge-emitting and the fused cluster-emitting kernels.
+
+    ``idf_w``: the broadcast idf float32 array, required when the group
+    was vectorized with ``ship_weights=False`` (no ``tfv_w`` column) —
+    weights are re-derived bit-identically from the compact positions
+    (``scoring.reconstruct_tfv_w``)."""
     from whoiswho_ray.stages.scoring import allpairs_matrix, jw_memo, score_flat_components
 
     n = group.num_rows
@@ -304,7 +309,12 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
             return np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
 
         tfv_vals, tfv_off = _flat_list(group.column("tfv_ids"))
-        tfv_w, _ = _flat_list(group.column("tfv_w"))
+        if "tfv_w" in group.column_names:
+            tfv_w, _ = _flat_list(group.column("tfv_w"))
+        else:
+            from whoiswho_ray.stages.scoring import reconstruct_tfv_w
+
+            tfv_w = reconstruct_tfv_w(tfv_vals, tfv_off, idf_w)
         if compact:
             # ONE pass over the tfv stream yields both the tf-idf dots and
             # the intersection counts; j_tok from counts + original token
@@ -329,10 +339,17 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
                  "cos": cos, "jw": jw, "score": score}
     else:
         flats = {}
-        cols = (("repo_ids", "ctx_ids", "tfv_ids", "tfv_w") if compact
-                else ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids", "tfv_w"))
+        ship_w = "tfv_w" in group.column_names
+        cols = (("repo_ids", "ctx_ids", "tfv_ids") if compact
+                else ("tok_ids", "repo_ids", "ctx_ids", "tfv_ids"))
+        cols = cols + (("tfv_w",) if ship_w else ())
+        recon_w = None
         for col in cols:
             values, offsets = _flat_list(group.column(col))
+            if col == "tfv_ids" and not ship_w:
+                from whoiswho_ray.stages.scoring import reconstruct_tfv_w
+
+                recon_w = (reconstruct_tfv_w(values, offsets, idf_w), offsets)
             lens = np.diff(offsets)
 
             def gather(idx, values=values, offsets=offsets, lens=lens):
@@ -344,6 +361,19 @@ def _score_block(group: pa.Table, cfg: SNDConfig):
                 return values[flat], l
 
             flats[col] = (gather(ii), gather(jj))
+        if not ship_w:
+            rw, roff = recon_w
+            rlens = np.diff(roff)
+
+            def gather_w(idx):
+                l = rlens[idx]
+                out_off = np.zeros(idx.size + 1, dtype=np.int64)
+                np.cumsum(l, out=out_off[1:])
+                flat = np.repeat(roff[idx], l) + (
+                    np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], l))
+                return rw[flat], l
+
+            flats["tfv_w"] = (gather_w(ii), gather_w(jj))
 
         tfv = (
             (*flats["tfv_ids"][0], flats["tfv_w"][0][0]),
@@ -427,7 +457,7 @@ def make_scored_edges(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     })
 
 
-def make_block_clusters(group: pa.Table, cfg: SNDConfig) -> pa.Table:
+def make_block_clusters(group: pa.Table, cfg: SNDConfig, idf_w=None) -> pa.Table:
     """One block → cluster rows DIRECTLY: scoring and clustering fused in
     the blocking task, so the whole SND tail is ONE all-to-all (the
     blocking groupby) — no edge shuffle, no node/edge union, no second
@@ -439,12 +469,15 @@ def make_block_clusters(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     n = group.num_rows
     block_key = group.column("block_key")[0].as_py() if n else ""
     rid_col = np.asarray(group.column("record_id").to_pylist(), dtype=object)
-    sha_col = np.asarray(group.column("content_sha256").to_pylist(), dtype=object)
+    sha_list = group.column("content_sha256").to_pylist()
+    if pa.types.is_fixed_size_binary(group.schema.field("content_sha256").type):
+        sha_list = [b.hex() for b in sha_list]  # undo the compact shuffle encoding
+    sha_col = np.asarray(sha_list, dtype=object)
     order = np.argsort(rid_col, kind="stable")
     rids_sorted = rid_col[order]
     shas_sorted = sha_col[order]
 
-    scored = _score_block(group, cfg)
+    scored = _score_block(group, cfg, idf_w=idf_w)
     if scored is None:
         labels = np.arange(n, dtype=np.int64)
     else:

@@ -54,8 +54,18 @@ class TfidfVectorizer:
     ``reduceat``); blocks stay Arrow through the whole pipeline."""
 
     def __init__(self, idf_ref: "ray.ObjectRef | IdfModel",
-                 keep: list[str] | None = None, compact: bool = False):
+                 keep: list[str] | None = None, compact: bool = False,
+                 ship_weights: bool = True, sha_binary: bool = False):
         self.idf: IdfModel = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        # ship_weights=False (compact only): tfv_w is NOT attached — the
+        # block kernel re-derives it from the shipped int32 positions and
+        # the broadcast idf array (scoring.reconstruct_tfv_w, bit-identical
+        # op order), cutting 4 B/token-occurrence out of the blocking
+        # all-to-all. sha_binary: ship content_sha256 as
+        # fixed_size_binary(32) (half the hex string's bytes); the cluster
+        # output converts back to hex.
+        self.ship_weights = ship_weights
+        self.sha_binary = sha_binary
         # compact shuffle encoding (see vectorize(compact=...)): tfv_ids as
         # int32 vocab POSITIONS (bijective with the hashed ids — every
         # consumer only tests equality/intersection) and tok_ids replaced
@@ -112,10 +122,18 @@ class TfidfVectorizer:
             tfv_id_arr = pa.array(hit_pos.astype(np.int32), pa.int32())
         else:
             tfv_id_arr = pa.array(hit_ids, pa.int64())
-        return (
-            t.append_column("tfv_ids", pa.ListArray.from_arrays(off32, tfv_id_arr))
-             .append_column("tfv_w", pa.ListArray.from_arrays(off32, pa.array(w_norm, pa.float32())))
-        )
+        if self.sha_binary and "content_sha256" in t.column_names:
+            hexes = t.column("content_sha256").to_pylist()
+            i = t.schema.get_field_index("content_sha256")
+            t = t.remove_column(i).add_column(
+                i, "content_sha256",
+                pa.array([bytes.fromhex(h) for h in hexes],
+                         pa.binary(32)))
+        t = t.append_column("tfv_ids", pa.ListArray.from_arrays(off32, tfv_id_arr))
+        if self.ship_weights or not self.compact:
+            t = t.append_column(
+                "tfv_w", pa.ListArray.from_arrays(off32, pa.array(w_norm, pa.float32())))
+        return t
 
 
 def vectorize(
@@ -124,6 +142,8 @@ def vectorize(
     cfg: SNDConfig | None = None,
     keep: list[str] | None = None,
     compact: bool = False,
+    ship_weights: bool = True,
+    sha_binary: bool = False,
 ) -> "ray.data.Dataset":
     """``compact=True`` requests the compact shuffle encoding (int32
     tfv positions, ``tok_ids`` → scalar ``tok_n``) for pipelines whose
@@ -131,18 +151,49 @@ def vectorize(
     preserved because min_df ≤ 2 prunes only never-intersecting df==1
     tokens. Auto-disabled (falling back to the full encoding) when the
     vocabulary was truncated or min_df > 2, where pruned tokens CAN
-    intersect."""
+    intersect.
+
+    ``ship_weights=False`` (compact only) drops the float32 ``tfv_w``
+    column from the shuffle; consumers re-derive it bit-identically from
+    the int32 positions + the broadcast idf array
+    (:func:`reconstruct_tfv_w`). ``sha_binary=True`` ships
+    ``content_sha256`` as ``fixed_size_binary(32)`` instead of the
+    64-char hex string."""
     cfg = cfg or SNDConfig()
     compact = bool(compact and cfg.min_df <= 2 and not idf.truncated)
     idf_ref = ray.put(idf)
     return normalized.map_batches(
         TfidfVectorizer,
-        fn_constructor_kwargs={"idf_ref": idf_ref, "keep": keep, "compact": compact},
+        fn_constructor_kwargs={"idf_ref": idf_ref, "keep": keep,
+                               "compact": compact,
+                               "ship_weights": ship_weights or not compact,
+                               "sha_binary": sha_binary},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
         concurrency=(1, cfg.score_concurrency),
     )
+
+
+def reconstruct_tfv_w(tfv_vals: np.ndarray, tfv_off: np.ndarray,
+                      idf_w: np.ndarray) -> np.ndarray:
+    """Re-derive the per-row L2-normalized tf-idf weights from compact
+    int32 vocab positions — the EXACT mirror of ``TfidfVectorizer``'s
+    weight computation (same idf float32 source, same float64 ``reduceat``
+    per-row norm, same float32 cast), so the reconstructed weights are
+    bit-identical to the ones ``ship_weights=True`` would have shipped.
+    Per-row norms depend only on that row's own values, so regrouping
+    rows across tasks cannot change the result."""
+    w = idf_w[tfv_vals].astype(np.float64)
+    lens = np.diff(tfv_off)
+    n = lens.size
+    norms = np.ones(n, dtype=np.float64)
+    nonempty = lens > 0
+    if nonempty.any():
+        sq = np.add.reduceat(w * w, tfv_off[:-1][nonempty])
+        norms[nonempty] = np.sqrt(sq)
+    norms[norms == 0] = 1.0
+    return (w / np.repeat(norms, lens)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
