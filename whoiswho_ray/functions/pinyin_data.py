@@ -65,5 +65,81 @@ COMMON_PINYIN: dict[str, str] = {
     "光": "guang", "天": "tian", "家": "jia", "立": "li", "益": "yi",
     "月": "yue", "星": "xing", "泽": "ze", "思": "si", "雨": "yu",
     "子": "zi", "一": "yi", "然": "ran", "瑞": "rui", "嘉": "jia",
+    # --- extended surnames (Hundred Family Surnames continuation; the
+    # conventional personal-name reading is used for polyphonic chars,
+    # ambiguous ones are deliberately absent — pinyin_of returns None) ---
+    "毕": "bi", "丛": "cong", "窦": "dou", "房": "fang", "费": "fei",
+    "甘": "gan", "耿": "geng", "管": "guan", "桂": "gui", "杭": "hang",
+    "霍": "huo", "吉": "ji", "纪": "ji", "季": "ji", "简": "jian",
+    "焦": "jiao", "靳": "jin", "井": "jing", "匡": "kuang", "蓝": "lan",
+    "冷": "leng", "厉": "li", "连": "lian", "练": "lian", "凌": "ling",
+    "柳": "liu", "娄": "lou", "栾": "luan", "麻": "ma", "满": "man",
+    "米": "mi", "苗": "miao", "闵": "min", "聂": "nie", "宁": "ning",
+    "裴": "pei", "皮": "pi", "蒲": "pu", "戚": "qi", "裘": "qiu",
+    "曲": "qu", "屈": "qu", "全": "quan", "冉": "ran", "饶": "rao",
+    "阮": "ruan", "芮": "rui", "申": "shen", "盛": "sheng", "师": "shi",
+    "寿": "shou", "舒": "shu", "帅": "shuai", "司": "si", "谈": "tan",
+    "滕": "teng", "童": "tong", "涂": "tu", "危": "wei", "卫": "wei",
+    "闻": "wen", "翁": "weng", "邬": "wu", "巫": "wu", "奚": "xi",
+    "席": "xi", "项": "xiang", "萧": "xiao", "忻": "xin", "幸": "xing",
+    "胥": "xu", "宣": "xuan", "荀": "xun", "晏": "yan", "尤": "you",
+    "游": "you", "于": "yu", "虞": "yu", "禹": "yu", "郁": "yu",
+    "喻": "yu", "元": "yuan", "岳": "yue", "臧": "zang", "詹": "zhan",
+    "湛": "zhan", "章": "zhang", "甄": "zhen", "支": "zhi", "仲": "zhong",
+    "祝": "zhu", "卓": "zhuo", "宗": "zong", "祖": "zu", "左": "zuo",
+    # --- extended given-name characters ---
+    "爱": "ai", "宝": "bao", "北": "bei", "本": "ben", "碧": "bi",
+    "彬": "bin", "冰": "bing", "博": "bo", "才": "cai", "灿": "can",
+    "昌": "chang", "晨": "chen", "诚": "cheng", "池": "chi", "传": "chuan",
+    "聪": "cong", "翠": "cui", "达": "da", "大": "da", "道": "dao",
+    "迪": "di", "典": "dian", "定": "ding", "冬": "dong", "端": "duan",
+    "朵": "duo", "恩": "en", "尔": "er", "发": "fa", "繁": "fan",
+    "芬": "fen", "丰": "feng", "峰": "feng", "奉": "feng", "夫": "fu",
+    "富": "fu", "甫": "fu", "钢": "gang", "格": "ge", "根": "gen",
+    "耕": "geng", "功": "gong", "恭": "gong", "贵": "gui", "果": "guo",
+    "含": "han", "涵": "han", "和": "he", "恒": "heng", "宏": "hong",
+    "虹": "hong", "厚": "hou", "虎": "hu", "花": "hua", "怀": "huai",
+    "欢": "huan", "焕": "huan", "惠": "hui", "继": "ji", "济": "ji",
+    "加": "jia", "坚": "jian", "剑": "jian", "娇": "jiao", "洁": "jie",
+    "捷": "jie", "锦": "jin", "进": "jin", "晋": "jin", "京": "jing",
+    "景": "jing", "敬": "jing", "九": "jiu", "菊": "ju", "君": "jun",
+    "骏": "jun", "开": "kai", "凯": "kai", "科": "ke", "可": "ke",
+    "坤": "kun", "昆": "kun", "来": "lai", "岚": "lan", "朗": "lang",
+    "蕾": "lei", "力": "li", "理": "li", "礼": "li", "莉": "li",
+    "俐": "li", "莲": "lian", "霖": "lin", "灵": "ling", "玲": "ling",
+    "露": "lu", "璐": "lu", "路": "lu", "伦": "lun", "洛": "luo",
+    "曼": "man", "茂": "mao", "美": "mei", "萌": "meng", "梦": "meng",
+    "妙": "miao", "民": "min", "铭": "ming", "默": "mo", "牧": "mu",
+    "南": "nan", "楠": "nan", "妮": "ni", "年": "nian", "诺": "nuo",
+    "鸥": "ou", "培": "pei", "佩": "pei", "品": "pin", "璞": "pu",
+    "奇": "qi", "琪": "qi", "祺": "qi", "启": "qi", "千": "qian",
+    "谦": "qian", "倩": "qian", "琴": "qin", "勤": "qin", "青": "qing",
+    "清": "qing", "晴": "qing", "秋": "qiu", "泉": "quan", "群": "qun",
+    "仁": "ren", "日": "ri", "蓉": "rong", "榕": "rong", "如": "ru",
+    "茹": "ru", "睿": "rui", "润": "run", "若": "ruo", "三": "san",
+    "森": "sen", "莎": "sha", "山": "shan", "珊": "shan", "善": "shan",
+    "尚": "shang", "少": "shao", "深": "shen", "升": "sheng", "胜": "sheng",
+    "圣": "sheng", "诗": "shi", "时": "shi", "实": "shi", "首": "shou",
+    "书": "shu", "淑": "shu", "树": "shu", "双": "shuang", "水": "shui",
+    "顺": "shun", "硕": "shuo", "松": "song", "素": "su", "穗": "sui",
+    "泰": "tai", "棠": "tang", "桃": "tao", "添": "tian", "甜": "tian",
+    "铁": "tie", "庭": "ting", "彤": "tong", "通": "tong", "旺": "wang",
+    "望": "wang", "威": "wei", "薇": "wei", "维": "wei", "炜": "wei",
+    "蔚": "wei", "雯": "wen", "五": "wu", "西": "xi", "希": "xi",
+    "熙": "xi", "喜": "xi", "霞": "xia", "先": "xian", "贤": "xian",
+    "香": "xiang", "祥": "xiang", "翔": "xiang", "孝": "xiao", "心": "xin",
+    "馨": "xin", "雄": "xiong", "修": "xiu", "旭": "xu", "绪": "xu",
+    "轩": "xuan", "璇": "xuan", "雅": "ya", "亚": "ya", "岩": "yan",
+    "妍": "yan", "研": "yan", "阳": "yang", "尧": "yao", "耀": "yao",
+    "业": "ye", "烨": "ye", "依": "yi", "仪": "yi", "宜": "yi",
+    "义": "yi", "亿": "yi", "毅": "yi", "翼": "yi", "银": "yin",
+    "音": "yin", "殷": "yin", "盈": "ying", "颖": "ying", "映": "ying",
+    "优": "you", "友": "you", "佑": "you", "渝": "yu", "愉": "yu",
+    "瑜": "yu", "育": "yu", "裕": "yu", "园": "yuan", "圆": "yuan",
+    "源": "yuan", "远": "yuan", "媛": "yuan", "越": "yue", "跃": "yue",
+    "悦": "yue", "芸": "yun", "蕴": "yun", "韵": "yun", "哲": "zhe",
+    "珍": "zhen", "真": "zhen", "震": "zhen", "政": "zheng", "芝": "zhi",
+    "之": "zhi", "智": "zhi", "致": "zhi", "洲": "zhou", "竹": "zhu",
+    "珠": "zhu", "壮": "zhuang", "紫": "zi", "佐": "zuo",
 }
 # fmt: on
