@@ -729,6 +729,47 @@ def snd_clusters(sf_dir: str):
     return run_snd(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
+def snd_clusters_vote(sf_dir: str):
+    """Ensemble pair-vote clustering (operator A9, bond's threshold-grid
+    analog): five weight-perturbed configs each vote on every candidate
+    pair, edges need a majority, clusters are the components — exact
+    DuckDB oracle replays the five score expressions and one recursive
+    closure."""
+    from whoiswho_ray.pipelines.snd import run_snd_vote
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    return run_snd_vote(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
+
+
+def _snd_clusters_vote_oracle_sql() -> str:
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.stages.pairs import default_vote_configs
+
+    cfgs = default_vote_configs(SNDConfig())
+    min_votes = len(cfgs) // 2 + 1
+    votes = " + ".join(
+        f"(CASE WHEN {_score_expr(c)} >= {c.tau_edge!r} THEN 1 ELSE 0 END)"
+        for c in cfgs)
+    return f"""
+        WITH RECURSIVE {_snd_feature_ctes()},
+        voted AS MATERIALIZED (
+            SELECT block_key, ra, rb, {votes} AS v FROM feats),
+        strong AS (SELECT ra, rb FROM voted WHERE v >= {min_votes}),
+        sym AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
+                UNION ALL SELECT rb, ra FROM strong),
+        reach(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (SELECT a AS record_id, min(b) AS c FROM reach GROUP BY 1)
+        SELECT r.block_key, r.record_id,
+               r.block_key || '#' || comp.c AS cluster_id,
+               r.content_sha256
+        FROM rec r JOIN comp USING (record_id)
+    """
+
+
 def snd_clusters_rel(sf_dir: str):
     """Flagship clustering with the relational graph-view blend ON
     (w_rel=0.5): direct scores induce the strong-edge graph, every
@@ -1001,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_relational": snd_relational,
         "snd_clusters": snd_clusters,
         "snd_clusters_rel": snd_clusters_rel,
+        "snd_clusters_vote": snd_clusters_vote,
         "rnd_assign": rnd_assign,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
@@ -1934,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "snd_clusters": _snd_clusters_oracle_sql(),
         "snd_clusters_rel": _snd_clusters_oracle_sql(w_rel=0.5),
         "rnd_assign": _rnd_assign_oracle_sql(),
+        "snd_clusters_vote": _snd_clusters_vote_oracle_sql(),
         "q_negative_samples": f"""
             WITH rec AS (
                 SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,

@@ -156,3 +156,50 @@ class TestConnectedComponents:
         for i in touched:
             root = names[ref[i]]
             assert got.get(names[i], names[i]) == root
+
+
+class TestVoteClusters:
+    """Ensemble pair-vote clustering (A9 full analog: bond's
+    autotrain_bond_ensemble threshold grid)."""
+
+    def test_majority_vote_veto_and_accept(self, ray_session):
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.pairs import (default_vote_configs,
+                                               make_block_vote_clusters)
+
+        def row(rid, toks):
+            return {"block_key": "bk", "record_id": rid,
+                    "content_sha256": "00" * 32, "name": rid,
+                    "tok_ids": np.asarray(sorted(toks), np.int64),
+                    "repo_ids": np.empty(0, np.int64),
+                    "ctx_ids": np.empty(0, np.int64),
+                    "tfv_ids": np.empty(0, np.int64),
+                    "tfv_w": np.empty(0, np.float32)}
+
+        # weak pair: token-Jaccard 3/10 = 0.3 -> only the tokens-heavy
+        # config scores >= tau (1 of 5 votes) -> must stay separate
+        a = row("r_a", range(0, 6))
+        b = row("r_b", list(range(0, 3)) + list(range(100, 104)))
+        # strong pair: Jaccard 13/25 = 0.52 -> all 5 configs vote yes
+        c = row("r_c", range(200, 219))
+        d = row("r_d", list(range(200, 213)) + list(range(300, 306)))
+        g = pa.Table.from_pylist([a, b, c, d])
+        out = make_block_vote_clusters(
+            g, default_vote_configs(), min_votes=3).to_pandas()
+        cl = out.set_index("record_id")["cluster_id"]
+        assert cl["r_a"] != cl["r_b"]          # 1 vote: vetoed
+        assert cl["r_c"] == cl["r_d"]          # 5 votes: merged
+
+    def test_fixture_f1(self, ray_session, small_fixture):
+        from whoiswho_ray.evaluation import pairwise_f1_frames
+        from whoiswho_ray.pipelines.snd import run_snd_vote
+
+        spec, tabs = small_fixture
+        import ray.data as rd
+
+        clusters = run_snd_vote(
+            rd.from_arrow(tabs["records"])).to_pandas()
+        ev = pairwise_f1_frames(clusters, tabs["ground_truth"].to_pandas())
+        mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+        assert mean_f1 >= 0.99, ev.to_string()

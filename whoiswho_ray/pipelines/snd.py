@@ -135,7 +135,58 @@ def _idf_w_cached(ref):
     return w
 
 
+def snd_vote_cluster(
+    vectorized: "rd.Dataset",
+    cfgs=None,
+    min_votes: int | None = None,
+    idf=None,
+) -> "rd.Dataset":
+    """Ensemble pair-vote clustering tail (operator A9 full analog): the
+    fused blocking shuffle of :func:`snd_cluster`, but inside each block
+    every candidate pair is voted on by a grid of weight configs
+    (``pairs.default_vote_configs``) and clusters are components over
+    majority-voted edges — bond's threshold-grid ensemble
+    (``autotrain_bond_ensemble.py:241-260``) re-expressed for the
+    weighted-score kernel."""
+    from whoiswho_ray.stages.pairs import (default_vote_configs,
+                                           make_block_vote_clusters,
+                                           shuffle_partitions)
+
+    cfgs = cfgs or default_vote_configs()
+    mv = (len(cfgs) // 2 + 1) if min_votes is None else min_votes
+    idf_w_ref = ray.put(np.asarray(idf.idf)) if idf is not None else None
+
+    def fused(g):
+        w = _idf_w_cached(idf_w_ref) if idf_w_ref is not None else None
+        return make_block_vote_clusters(g, cfgs, mv, idf_w=w)
+
+    return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
+        fused, batch_format="pyarrow")
+
+
+def run_snd_vote(
+    records: "rd.Dataset | str",
+    cfgs=None,
+    min_votes: int | None = None,
+) -> "rd.Dataset":
+    """records → majority-voted ensemble clusters, the run_snd sibling
+    (same compact/ship_weights/sha_binary shuffle encoding)."""
+    from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
+
+    base = (cfgs[0] if cfgs else SNDConfig())
+    if isinstance(records, str):
+        records = rd.read_parquet(records)
+    normalized = normalize_records(records, base).select_columns(
+        [c for c in CLUSTER_SHUFFLE_COLUMNS
+         if c not in ("tfv_ids", "tfv_w")]).materialize()
+    idf = build_idf(normalized, base)
+    vec = vectorize(normalized, idf, base, keep=CLUSTER_SHUFFLE_COLUMNS,
+                    compact=True, ship_weights=False, sha_binary=True)
+    return snd_vote_cluster(vec, cfgs=cfgs, min_votes=min_votes, idf=idf)
+
+
 def run_snd(
+
     records: "rd.Dataset | str",
     cfg: SNDConfig | None = None,
     out_dir: str | None = None,

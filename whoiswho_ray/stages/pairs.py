@@ -497,6 +497,79 @@ def make_block_clusters(group: pa.Table, cfg: SNDConfig, idf_w=None) -> pa.Table
     })
 
 
+def default_vote_configs(base: SNDConfig | None = None) -> list[SNDConfig]:
+    """The default ensemble grid: five weight perturbations of the base
+    config (tokens-heavy, tfidf-heavy, name-blind, structure-heavy) —
+    the role of bond's per-config threshold grid
+    (``/root/reference/bond/training/autotrain_bond_ensemble.py:241-260``),
+    which re-clusters under several eps/min configs and majority-votes
+    pairs. Every config shares the base tau_edge; diversity comes from
+    the weight vector, so a pair must look like a match under most
+    feature emphases to survive."""
+    import dataclasses
+
+    c = base or SNDConfig()
+    return [
+        c,
+        dataclasses.replace(c, w_tokens=c.w_tokens * 2.0),
+        dataclasses.replace(c, w_tfidf=c.w_tfidf * 2.0),
+        dataclasses.replace(c, w_name=0.0),
+        dataclasses.replace(c, w_repo=c.w_repo * 2.0, w_ctx=c.w_ctx * 2.0),
+    ]
+
+
+def make_block_vote_clusters(
+    group: pa.Table,
+    cfgs: list[SNDConfig],
+    min_votes: int,
+    idf_w=None,
+) -> pa.Table:
+    """Ensemble pair-vote clustering (operator A9, the bond threshold-grid
+    analog, ``autotrain_bond_ensemble.py:241-260``): candidate features
+    are computed ONCE per pair (``_score_block`` under the base config),
+    each config casts a vote (its weighted score >= its tau_edge), an
+    edge survives with >= ``min_votes``, and the clusters are connected
+    components over surviving edges (cluster_id = block # min record_id).
+    Post-match attach is intentionally absent — the vote grid is the
+    robustness mechanism; SQL-replicable with one recursive closure."""
+    base = cfgs[0]
+    n = group.num_rows
+    block_key = group.column("block_key")[0].as_py() if n else ""
+    rid_col = np.asarray(group.column("record_id").to_pylist(), dtype=object)
+    sha_list = group.column("content_sha256").to_pylist()
+    if pa.types.is_fixed_size_binary(group.schema.field("content_sha256").type):
+        sha_list = [b.hex() for b in sha_list]
+    sha_col = np.asarray(sha_list, dtype=object)
+    order = np.argsort(rid_col, kind="stable")
+    rids_sorted = rid_col[order]
+    shas_sorted = sha_col[order]
+
+    from whoiswho_ray.stages.cluster import cc_labels
+
+    scored = _score_block(group, base, idf_w=idf_w)
+    if scored is None:
+        labels = np.arange(n, dtype=np.int64)
+    else:
+        rids, ii, jj, feats = scored
+        votes = np.zeros(ii.size, dtype=np.int64)
+        for c in cfgs:
+            s = (c.w_tokens * feats["j_tok"] + c.w_repo * feats["t_repo"]
+                 + c.w_ctx * feats["t_ctx"] + c.w_tfidf * feats["cos"]
+                 + c.w_name * feats["jw"])
+            votes += (s >= c.tau_edge)
+        keep = votes >= min_votes
+        sorted_pos = np.empty(n, dtype=np.int64)
+        sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
+        labels = cc_labels(n, sorted_pos[ii[keep]], sorted_pos[jj[keep]])
+    roots = rids_sorted[labels]
+    return pa.table({
+        "block_key": pa.array(np.repeat(block_key, n), pa.string()),
+        "record_id": pa.array(rids_sorted, pa.string()),
+        "cluster_id": pa.array([f"{block_key}#{r}" for r in roots], pa.string()),
+        "content_sha256": pa.array(shas_sorted, pa.string()),
+    })
+
+
 def _empty_edges_table() -> pa.Table:
     cols = {c: pa.array([], pa.string()) for c in ("block_key", "id_a", "id_b")}
     cols["ix_a"] = pa.array([], pa.int32())
