@@ -770,6 +770,81 @@ def _snd_clusters_vote_oracle_sql() -> str:
     """
 
 
+def snd_clusters_sgc(sf_dir: str):
+    """Graph-smoothed clustering (operator T8 analog — bond's per-name
+    GNN, ``autotrain_bond.py:134-233``, with the trained GAT swapped for
+    one hop of parameter-free graph convolution over the strong-edge
+    graph, computed in Gram space): each pair's score swaps the raw
+    TF-IDF cosine for the neighborhood-smoothed one and clusters are the
+    components — exact DuckDB oracle replays the smoothing as two
+    neighborhood joins over the within-block Gram plus one recursive
+    closure."""
+    from whoiswho_ray.pipelines.snd import run_snd_sgc
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    return run_snd_sgc(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
+
+
+def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None) -> str:
+    """SQL replay of ``make_block_sgc_clusters``: strong edges from the
+    base scores → closed neighborhoods N̄ (self loops + symmetrized
+    strong pairs) → smoothed Gram Ĝ_ij = Σ_{k∈N̄(i), l∈N̄(j)} G_kl via two
+    joins over the within-block tf-idf dot table (+ exact self dots) →
+    smoothed cosine Ĝ_ij / √(Ĝ_ii·Ĝ_jj) replaces the raw cosine in the
+    score → one component closure. Float parity: Ĝ sums differ from the
+    BLAS matmul order at ~1e-15 relative, far below the corpus score
+    gaps (same regime as the other cluster oracles)."""
+    from whoiswho_ray.config import SNDConfig
+
+    c = SNDConfig()
+    ts = c.tau_edge if tau_strong is None else tau_strong
+    score = _score_expr(c)
+    return f"""
+        WITH RECURSIVE {_snd_feature_ctes()},
+        scored AS MATERIALIZED (
+            SELECT block_key, ra, rb, {score} AS score, cos FROM feats),
+        astrong AS MATERIALIZED (SELECT ra, rb FROM scored WHERE score >= {ts!r}),
+        nbr AS MATERIALIZED (
+            SELECT record_id AS a, record_id AS b FROM rec
+            UNION ALL SELECT ra, rb FROM astrong
+            UNION ALL SELECT rb, ra FROM astrong),
+        selfdot AS (
+            SELECT record_id, sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) AS dot
+            FROM wn GROUP BY 1),
+        gpair AS MATERIALIZED (
+            SELECT ra AS a, rb AS b, dot FROM itfv
+            UNION ALL SELECT rb, ra, dot FROM itfv
+            UNION ALL SELECT record_id, record_id, dot FROM selfdot),
+        ghat AS MATERIALIZED (
+            SELECT x.a AS i, y.a AS j, sum(g.dot) AS v
+            FROM nbr x JOIN gpair g ON g.a = x.b JOIN nbr y ON y.b = g.b
+            GROUP BY 1, 2),
+        sgc AS MATERIALIZED (
+            SELECT s.block_key, s.ra, s.rb,
+                   s.score + {c.w_tfidf!r} * ((CASE
+                       WHEN coalesce(gi.v, 0) > 0 AND coalesce(gj.v, 0) > 0
+                       THEN coalesce(gh.v, 0) / sqrt(gi.v * gj.v)
+                       ELSE 0.0 END) - s.cos) AS score2
+            FROM scored s
+            LEFT JOIN ghat gh ON gh.i = s.ra AND gh.j = s.rb
+            LEFT JOIN ghat gi ON gi.i = s.ra AND gi.j = s.ra
+            LEFT JOIN ghat gj ON gj.i = s.rb AND gj.j = s.rb),
+        strong AS (SELECT ra, rb FROM sgc WHERE score2 >= {c.tau_edge!r}),
+        sym AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
+                UNION ALL SELECT rb, ra FROM strong),
+        reach(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (SELECT a AS record_id, min(b) AS c FROM reach GROUP BY 1)
+        SELECT r.block_key, r.record_id,
+               r.block_key || '#' || comp.c AS cluster_id,
+               r.content_sha256
+        FROM rec r JOIN comp USING (record_id)
+    """
+
+
 def snd_clusters_rel(sf_dir: str):
     """Flagship clustering with the relational graph-view blend ON
     (w_rel=0.5): direct scores induce the strong-edge graph, every
@@ -1043,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_clusters": snd_clusters,
         "snd_clusters_rel": snd_clusters_rel,
         "snd_clusters_vote": snd_clusters_vote,
+        "snd_clusters_sgc": snd_clusters_sgc,
         "rnd_assign": rnd_assign,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
@@ -1977,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "snd_clusters_rel": _snd_clusters_oracle_sql(w_rel=0.5),
         "rnd_assign": _rnd_assign_oracle_sql(),
         "snd_clusters_vote": _snd_clusters_vote_oracle_sql(),
+        "snd_clusters_sgc": _snd_clusters_sgc_oracle_sql(),
         "q_negative_samples": f"""
             WITH rec AS (
                 SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS block_key,

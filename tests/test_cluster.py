@@ -203,3 +203,99 @@ class TestVoteClusters:
         ev = pairwise_f1_frames(clusters, tabs["ground_truth"].to_pandas())
         mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
         assert mean_f1 >= 0.99, ev.to_string()
+
+
+class TestSgcClusters:
+    """Graph-smoothed clustering (T8 analog: bond's per-name GNN swapped
+    for one hop of parameter-free graph convolution in Gram space)."""
+
+    @staticmethod
+    def _row(rid, toks, tfv_ids, tfv_w):
+        return {"block_key": "bk", "record_id": rid,
+                "content_sha256": "00" * 32, "name": "x.txt",
+                "tok_ids": np.asarray(sorted(toks), np.int64),
+                "repo_ids": np.empty(0, np.int64),
+                "ctx_ids": np.empty(0, np.int64),
+                "tfv_ids": np.asarray(tfv_ids, np.int64),
+                "tfv_w": np.asarray(tfv_w, np.float32)}
+
+    def test_rescue_merges_token_backed_clusters(self):
+        """Two clusters held together by token overlap whose cross-pair
+        raw cosines sit below tau_edge: smoothing over the strong graph
+        lifts the cross cosine (the low within-cluster tfidf mass shrinks
+        the denominator), so SGC merges what the raw path cannot."""
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.pairs import (make_block_clusters,
+                                               make_block_sgc_clusters)
+
+        s3 = 1.0 / np.sqrt(3.0)
+        g = pa.Table.from_pylist([
+            self._row("r_i", range(0, 8), [1], [1.0]),
+            self._row("r_a", range(0, 8), [2], [1.0]),
+            self._row("r_j", range(100, 108), [1, 2, 5], [s3, s3, s3]),
+            self._row("r_b", range(100, 108), [1, 2, 6], [s3, s3, s3]),
+        ])
+        base = make_block_clusters(g, SNDConfig()).to_pandas()
+        assert base["cluster_id"].nunique() == 2  # cross score ~1.26 < 1.5
+        sgc = make_block_sgc_clusters(g, SNDConfig()).to_pandas()
+        # smoothed cross cosine ~0.89 -> score2 ~1.89 >= tau_edge: merged
+        assert sgc["cluster_id"].nunique() == 1
+
+    def test_veto_breaks_cos_only_bridge(self):
+        """A spurious bridge that clears tau_edge on raw cosine alone:
+        with tau_strong above the bridge score, the bridge is not part of
+        the smoothing graph, its smoothed cosine collapses (neighborhoods
+        are disjoint in feature space) and the merge is vetoed."""
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.pairs import (make_block_clusters,
+                                               make_block_sgc_clusters)
+
+        r2 = np.float32(1.0 / np.sqrt(2.0))
+        g = pa.Table.from_pylist([
+            self._row("r_i", range(0, 8), [2], [1.0]),
+            self._row("r_a", range(0, 8), [1, 2], [r2, r2]),
+            self._row("r_j", range(100, 108), [1], [1.0]),
+            self._row("r_b", range(100, 108), [3], [1.0]),
+        ])
+        base = make_block_clusters(g, SNDConfig()).to_pandas()
+        assert base["cluster_id"].nunique() == 1  # bridge ~1.51 >= 1.5
+        sgc = make_block_sgc_clusters(g, SNDConfig(), tau_strong=2.0).to_pandas()
+        cl = sgc.set_index("record_id")["cluster_id"]
+        assert sgc["cluster_id"].nunique() == 2
+        assert cl["r_i"] == cl["r_a"] and cl["r_j"] == cl["r_b"]
+
+    def test_identity_without_strong_edges(self):
+        """tau_strong above every score -> P = I -> the smoothed cosine
+        is the raw one (unit self dots) and clusters equal the plain
+        single-config components (no attach on either side)."""
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.pairs import (make_block_sgc_clusters,
+                                               make_block_vote_clusters)
+
+        s3 = 1.0 / np.sqrt(3.0)
+        g = pa.Table.from_pylist([
+            self._row("r_i", range(0, 8), [1], [1.0]),
+            self._row("r_a", range(0, 8), [2], [1.0]),
+            self._row("r_j", range(100, 108), [1, 2, 5], [s3, s3, s3]),
+            self._row("r_b", range(100, 108), [1, 2, 6], [s3, s3, s3]),
+        ])
+        sgc = make_block_sgc_clusters(g, SNDConfig(), tau_strong=1e9).to_pandas()
+        ref = make_block_vote_clusters(g, [SNDConfig()], 1).to_pandas()
+        pd.testing.assert_frame_equal(
+            sgc.sort_values("record_id").reset_index(drop=True),
+            ref.sort_values("record_id").reset_index(drop=True))
+
+    def test_fixture_f1(self, ray_session, small_fixture):
+        from whoiswho_ray.evaluation import pairwise_f1_frames
+        from whoiswho_ray.pipelines.snd import run_snd_sgc
+
+        spec, tabs = small_fixture
+        import ray.data as rd
+
+        clusters = run_snd_sgc(rd.from_arrow(tabs["records"])).to_pandas()
+        ev = pairwise_f1_frames(clusters, tabs["ground_truth"].to_pandas())
+        mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
+        assert mean_f1 >= 0.99, ev.to_string()

@@ -185,6 +185,54 @@ def run_snd_vote(
     return snd_vote_cluster(vec, cfgs=cfgs, min_votes=min_votes, idf=idf)
 
 
+def snd_sgc_cluster(
+    vectorized: "rd.Dataset",
+    cfg: SNDConfig | None = None,
+    tau_strong: float | None = None,
+    idf=None,
+) -> "rd.Dataset":
+    """Graph-smoothed clustering tail (operator T8 analog — bond's
+    per-name GNN, ``autotrain_bond.py:134-233``): the fused blocking
+    shuffle of :func:`snd_cluster`, but inside each block one hop of
+    parameter-free graph convolution (SGC) smooths the TF-IDF view over
+    the strong-edge graph before the pair score — computed in Gram space
+    (``pairs.make_block_sgc_clusters``), so nothing extra crosses the
+    shuffle."""
+    from whoiswho_ray.stages.pairs import (make_block_sgc_clusters,
+                                           shuffle_partitions)
+
+    cfg = cfg or SNDConfig()
+    idf_w_ref = ray.put(np.asarray(idf.idf)) if idf is not None else None
+
+    def fused(g):
+        w = _idf_w_cached(idf_w_ref) if idf_w_ref is not None else None
+        return make_block_sgc_clusters(g, cfg, tau_strong=tau_strong, idf_w=w)
+
+    return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
+        fused, batch_format="pyarrow")
+
+
+def run_snd_sgc(
+    records: "rd.Dataset | str",
+    cfg: SNDConfig | None = None,
+    tau_strong: float | None = None,
+) -> "rd.Dataset":
+    """records → graph-smoothed (SGC) clusters, the run_snd sibling
+    (same compact/ship_weights/sha_binary shuffle encoding)."""
+    from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
+
+    cfg = cfg or SNDConfig()
+    if isinstance(records, str):
+        records = rd.read_parquet(records)
+    normalized = normalize_records(records, cfg).select_columns(
+        [c for c in CLUSTER_SHUFFLE_COLUMNS
+         if c not in ("tfv_ids", "tfv_w")]).materialize()
+    idf = build_idf(normalized, cfg)
+    vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS,
+                    compact=True, ship_weights=False, sha_binary=True)
+    return snd_sgc_cluster(vec, cfg, tau_strong=tau_strong, idf=idf)
+
+
 def run_snd(
 
     records: "rd.Dataset | str",

@@ -271,7 +271,8 @@ def block_metrics(group: pa.Table, cfg: SNDConfig) -> pa.Table:
     })
 
 
-def _score_block(group: pa.Table, cfg: SNDConfig, idf_w=None):
+def _score_block(group: pa.Table, cfg: SNDConfig, idf_w=None,
+                 want_gram: bool = False):
     """One block → (rids, ii, jj, feats) — candidate generation + fused
     scoring; None when the block yields no candidate pairs. Shared by the
     edge-emitting and the fused cluster-emitting kernels.
@@ -279,7 +280,13 @@ def _score_block(group: pa.Table, cfg: SNDConfig, idf_w=None):
     ``idf_w``: the broadcast idf float32 array, required when the group
     was vectorized with ``ship_weights=False`` (no ``tfv_w`` column) —
     weights are re-derived bit-identically from the compact positions
-    (``scoring.reconstruct_tfv_w``)."""
+    (``scoring.reconstruct_tfv_w``).
+
+    ``want_gram``: matrix-regime blocks additionally return the full n×n
+    tf-idf Gram under ``feats["_gram"]`` with an exactly-computed
+    diagonal (``allpairs_matrix`` skips within-block-unique tokens, which
+    contribute only to self dots) — the graph-smoothed cluster kernel
+    consumes it; absent for blocks above ``matrix_block_cap``."""
     from whoiswho_ray.stages.scoring import allpairs_matrix, jw_memo, score_flat_components
 
     n = group.num_rows
@@ -329,7 +336,8 @@ def _score_block(group: pa.Table, cfg: SNDConfig, idf_w=None):
             j_tok = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
         else:
             j_tok = jac_matrix("tok_ids")
-            cos = allpairs_matrix(n, tfv_vals, tfv_off, tfv_w.astype(np.float64))[ii, jj]
+            Mw = allpairs_matrix(n, tfv_vals, tfv_off, tfv_w.astype(np.float64))
+            cos = Mw[ii, jj]
         t_repo = jac_matrix("repo_ids")
         t_ctx = jac_matrix("ctx_ids")
         jw = jw_for_pairs(names, ii, jj, jw_fn)
@@ -337,6 +345,16 @@ def _score_block(group: pa.Table, cfg: SNDConfig, idf_w=None):
                  + cfg.w_tfidf * cos + cfg.w_name * jw)
         feats = {"j_tok": j_tok, "t_repo": t_repo, "t_ctx": t_ctx,
                  "cos": cos, "jw": jw, "score": score}
+        if want_gram:
+            # exact self dots: Σ w² per record (allpairs_matrix omits the
+            # contribution of tokens unique within the block, which only
+            # ever touch the diagonal). cos was extracted above (fancy
+            # indexing copies), so filling the diagonal in place is safe.
+            w2 = tfv_w.astype(np.float64) ** 2
+            cs = np.concatenate(([0.0], np.cumsum(w2)))
+            selfdot = cs[tfv_off[1:]] - cs[tfv_off[:-1]]
+            np.fill_diagonal(Mw, selfdot)
+            feats["_gram"] = Mw
     else:
         flats = {}
         ship_w = "tfv_w" in group.column_names
@@ -558,6 +576,84 @@ def make_block_vote_clusters(
                  + c.w_name * feats["jw"])
             votes += (s >= c.tau_edge)
         keep = votes >= min_votes
+        sorted_pos = np.empty(n, dtype=np.int64)
+        sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
+        labels = cc_labels(n, sorted_pos[ii[keep]], sorted_pos[jj[keep]])
+    roots = rids_sorted[labels]
+    return pa.table({
+        "block_key": pa.array(np.repeat(block_key, n), pa.string()),
+        "record_id": pa.array(rids_sorted, pa.string()),
+        "cluster_id": pa.array([f"{block_key}#{r}" for r in roots], pa.string()),
+        "content_sha256": pa.array(shas_sorted, pa.string()),
+    })
+
+
+def make_block_sgc_clusters(
+    group: pa.Table,
+    cfg: SNDConfig,
+    tau_strong: float | None = None,
+    idf_w=None,
+) -> pa.Table:
+    """Graph-smoothed clustering — the per-name GNN analog (operator T8,
+    bond's ``/root/reference/bond/training/autotrain_bond.py:134-233``,
+    which trains a GAT per name block and DBSCANs the refined
+    embeddings). The trained attention network is swapped for one hop of
+    parameter-free graph convolution (SGC, Wu et al. 2019, "Simplifying
+    Graph Convolutional Networks"): each record's TF-IDF vector is
+    averaged with its strong neighbors' before the pairwise cosine.
+
+    Computed entirely in Gram space: with P = I + A (A = the strong-edge
+    adjacency induced by the base scores at ``tau_strong``) the smoothed
+    features are H' = P·H, so their Gram is H'·H'ᵀ = P·G·Pᵀ — two n×n
+    matmuls over the dense tf-idf dot matrix G the matrix-regime kernel
+    already produces; no per-record feature vectors are re-materialized
+    and nothing extra enters the shuffle. Cosine is invariant to row
+    scaling, so the unnormalized closed-neighborhood sum equals
+    degree-normalized SGC exactly. The pair score then swaps the raw
+    cosine for the smoothed one; clusters are components over
+    score₂ ≥ tau_edge (one closure — SQL-replicable; no post-match
+    attach, mirroring bond's pipeline which has none either).
+
+    Like bond's per-name training, the smoothing is block-bounded: blocks
+    beyond ``matrix_block_cap`` (hot blocks, already salted into
+    sub-blocks upstream) fall back to the raw score — smoothing within a
+    salted sub-block would make clusters depend on the salt.
+    """
+    ts = cfg.tau_edge if tau_strong is None else tau_strong
+    n = group.num_rows
+    block_key = group.column("block_key")[0].as_py() if n else ""
+    rid_col = np.asarray(group.column("record_id").to_pylist(), dtype=object)
+    sha_list = group.column("content_sha256").to_pylist()
+    if pa.types.is_fixed_size_binary(group.schema.field("content_sha256").type):
+        sha_list = [b.hex() for b in sha_list]
+    sha_col = np.asarray(sha_list, dtype=object)
+    order = np.argsort(rid_col, kind="stable")
+    rids_sorted = rid_col[order]
+    shas_sorted = sha_col[order]
+
+    from whoiswho_ray.stages.cluster import cc_labels
+
+    scored = _score_block(group, cfg, idf_w=idf_w, want_gram=True)
+    if scored is None:
+        labels = np.arange(n, dtype=np.int64)
+    else:
+        rids, ii, jj, feats = scored
+        G = feats.pop("_gram", None)
+        if G is None:  # beyond matrix_block_cap: raw-score fallback
+            score2 = feats["score"]
+        else:
+            P = np.eye(n)
+            strong = feats["score"] >= ts
+            P[ii[strong], jj[strong]] = 1.0
+            P[jj[strong], ii[strong]] = 1.0
+            GH = P @ G @ P
+            d = np.diagonal(GH)
+            ok = (d[ii] > 0) & (d[jj] > 0)
+            denom = np.sqrt(np.where(ok, d[ii] * d[jj], 1.0))
+            cos2 = np.where(ok, GH[ii, jj] / denom, 0.0)
+            score2 = (feats["score"]
+                      + cfg.w_tfidf * (cos2 - feats["cos"]))
+        keep = score2 >= cfg.tau_edge
         sorted_pos = np.empty(n, dtype=np.int64)
         sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
         labels = cc_labels(n, sorted_pos[ii[keep]], sorted_pos[jj[keep]])
