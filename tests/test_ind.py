@@ -1,0 +1,154 @@
+"""IND — incorrect-assignment detection (pipelines/ind.py).
+
+The engine analog of the reference's third task (``/root/reference/mind/``
+— LLM-scored outlier papers in author profiles, evaluated by per-profile
+AUC weighted by outlier count): cluster consensus inside each claimed
+profile, flag records outside the largest component."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.config import SNDConfig
+from whoiswho_ray.evaluation import ind_weighted_auc
+from whoiswho_ray.pipelines.ind import run_ind
+
+
+def _planted_assignments(gt: pd.DataFrame, every: int = 7, spread: int = 5):
+    """Claimed profiles with every Nth record planted into another entity.
+
+    ``spread`` distributes each entity's planted records over several
+    target entities so no profile is swamped (outliers stay a minority —
+    the consensus method's stated requirement)."""
+    gt = gt.sort_values("record_id").reset_index(drop=True)
+    ents = sorted(gt["entity_id"].unique())
+    idx = {e: i for i, e in enumerate(ents)}
+    planted = np.asarray(gt.index % every == 0)
+    step = 1 + (gt.index % spread)
+    target = [
+        ents[(idx[e] + s) % len(ents)] if p else e
+        for e, p, s in zip(gt["entity_id"], planted, step)
+    ]
+    asg = pd.DataFrame({"record_id": gt["record_id"], "profile_id": target})
+    truth = pd.DataFrame({"record_id": gt["record_id"], "is_outlier": planted})
+    return asg, truth
+
+
+class TestRunInd:
+    def test_planted_outliers_flagged(self, ray_session, small_fixture):
+        spec, tabs = small_fixture
+        gt = tabs["ground_truth"].to_pandas()
+        asg, truth = _planted_assignments(gt)
+        out = run_ind(rd.from_arrow(tabs["records"]), rd.from_pandas(asg)).to_pandas()
+        assert len(out) == len(gt)
+        m = out.merge(truth, on="record_id", suffixes=("", "_t"))
+        tp = int((m.is_outlier & m.is_outlier_t).sum())
+        precision = tp / max(int(m.is_outlier.sum()), 1)
+        recall = tp / max(int(m.is_outlier_t.sum()), 1)
+        assert precision >= 0.95, (precision, recall)
+        assert recall >= 0.95, (precision, recall)
+        ev = ind_weighted_auc(out, truth)
+        assert ev["weighted_auc"] >= 0.97, ev["weighted_auc"]
+
+    def test_clean_profiles_flag_nothing(self, ray_session, small_fixture):
+        """True assignments → nothing flagged (no false alarms on clean
+        profiles; every profile's core is the whole profile)."""
+        spec, tabs = small_fixture
+        gt = tabs["ground_truth"].to_pandas()
+        asg = pd.DataFrame({"record_id": gt["record_id"],
+                            "profile_id": gt["entity_id"]})
+        out = run_ind(rd.from_arrow(tabs["records"]), rd.from_pandas(asg)).to_pandas()
+        assert not out["is_outlier"].any()
+        # core members carry a positive consensus score
+        big = out[out["n_members"] >= 2]
+        assert (big["score"] > 0).all()
+
+    def test_singleton_and_incoherent_profiles_carry_no_evidence(self, ray_session):
+        """n==1 profiles and profiles with no component of size >= 2 flag
+        nothing (no core, no evidence)."""
+        records = pd.DataFrame({
+            "repo": ["org/a", "org/b", "org/c"],
+            "path": ["x/one.py", "x/two.py", "y/three.py"],
+            "commit": ["c1", "c2", "c3"],
+            "lang": ["py", "py", "py"],
+            # three unrelated contents -> no strong pairs anywhere
+            "content": ["alpha bravo charlie delta echo foxtrot",
+                        "golf hotel india juliet kilo lima",
+                        "mike november oscar papa quebec romeo"],
+        })
+        from whoiswho_ray.functions.hashing import record_id_of
+
+        rids = [record_id_of(r, p, c) for r, p, c in
+                zip(records["repo"], records["path"], records["commit"])]
+        asg = pd.DataFrame({"record_id": rids,
+                            "profile_id": ["p0", "p0", "p1"]})
+        out = run_ind(rd.from_pandas(records), rd.from_pandas(asg)).to_pandas()
+        assert len(out) == 3
+        assert not out["is_outlier"].any()
+        assert (out["score"] == 0).all()
+        assert out.set_index("record_id").loc[rids[2], "n_members"] == 1
+
+    def test_correlated_outliers_minority(self, ray_session, small_fixture):
+        """The regime that defeats per-record similarity scoring: several
+        records of ONE foreign entity planted into the same profile vouch
+        for each other, but still form a minority component and are all
+        flagged."""
+        spec, tabs = small_fixture
+        gt = tabs["ground_truth"].to_pandas()
+        sizes = gt.groupby("entity_id").size().sort_values()
+        # host: a mid-sized entity; invaders: 3 records of another entity
+        host = sizes.index[len(sizes) // 2]
+        foreign = sizes.index[-1]
+        invaders = gt[gt["entity_id"] == foreign].sort_values("record_id").head(3)
+        keep = gt[gt["entity_id"] == host]
+        asg = pd.DataFrame({
+            "record_id": pd.concat([keep["record_id"], invaders["record_id"]]),
+            "profile_id": host,
+        })
+        out = run_ind(rd.from_arrow(tabs["records"]), rd.from_pandas(asg)).to_pandas()
+        flagged = set(out.loc[out["is_outlier"], "record_id"])
+        assert flagged == set(invaders["record_id"]), flagged
+
+
+class TestWeightedAuc:
+    def test_perfect_and_inverted(self):
+        pred = pd.DataFrame({
+            "profile_id": ["p"] * 4,
+            "record_id": list("abcd"),
+            "score": [3.0, 2.0, 1.0, 0.5],
+        })
+        truth = pd.DataFrame({"record_id": list("abcd"),
+                              "is_outlier": [False, False, True, True]})
+        assert ind_weighted_auc(pred, truth)["weighted_auc"] == 1.0
+        truth2 = truth.assign(is_outlier=[True, True, False, False])
+        assert ind_weighted_auc(pred, truth2)["weighted_auc"] == 0.0
+
+    def test_weighting_by_outlier_count(self):
+        # p1: AUC 1.0 with 1 outlier; p2: AUC 0.0 with 3 outliers
+        pred = pd.DataFrame({
+            "profile_id": ["p1"] * 2 + ["p2"] * 4,
+            "record_id": list("abcdef"),
+            "score": [2.0, 1.0, 0.1, 5.0, 6.0, 7.0],
+        })
+        truth = pd.DataFrame({
+            "record_id": list("abcdef"),
+            "is_outlier": [False, True, False, True, True, True],
+        })
+        ev = ind_weighted_auc(pred, truth)
+        assert ev["weighted_auc"] == pytest.approx((1 * 1.0 + 3 * 0.0) / 4)
+
+    def test_undefined_profiles_excluded(self):
+        pred = pd.DataFrame({
+            "profile_id": ["all_norm"] * 2 + ["all_out"] * 2 + ["mixed"] * 2,
+            "record_id": list("abcdef"),
+            "score": [1.0, 2.0, 1.0, 2.0, 2.0, 1.0],
+        })
+        truth = pd.DataFrame({
+            "record_id": list("abcdef"),
+            "is_outlier": [False, False, True, True, False, True],
+        })
+        ev = ind_weighted_auc(pred, truth)
+        assert ev["n_profiles_scored"] == 1
+        assert ev["weighted_auc"] == 1.0

@@ -63,6 +63,12 @@ def main(argv=None) -> int:
     pr.add_argument("--new", required=True)
     pr.add_argument("--out", required=True, help="output parquet dir")
 
+    pi = sub.add_parser("ind", help="flag incorrect assignments in claimed profiles")
+    pi.add_argument("--records", required=True, help="records parquet path/dir")
+    pi.add_argument("--assignments", required=True,
+                    help="parquet with (record_id, profile_id)")
+    pi.add_argument("--out", required=True, help="output parquet dir")
+
     pe = sub.add_parser("eval", help="pairwise F1 of clusters vs ground truth")
     pe.add_argument("--pred", required=True, help="cluster parquet path/dir")
     pe.add_argument("--truth", required=True, help="ground_truth parquet")
@@ -100,6 +106,17 @@ def main(argv=None) -> int:
             out = run_rnd(args.known, args.new)
             out.write_parquet(args.out)
             print(json.dumps({"rows": out.count(), "out": args.out}))
+        elif args.cmd == "ind":
+            from whoiswho_ray.pipelines.ind import run_ind
+
+            import ray.data as rd
+
+            run_ind(args.records, args.assignments).write_parquet(args.out)
+            res = rd.read_parquet(args.out)  # one pipeline run; counts off disk
+            flagged = res.map_batches(
+                lambda d: d[d["is_outlier"]], batch_format="pandas").count()
+            print(json.dumps({"rows": res.count(), "flagged": flagged,
+                              "out": args.out}))
         elif args.cmd == "eval":
             import ray.data as rd
 

@@ -161,3 +161,40 @@ def assignment_metrics(
         "n_assigned": int((~is_nil).sum()),
         "n_records": int(len(a)),
     }
+
+
+def ind_weighted_auc(pred: pd.DataFrame, truth: pd.DataFrame) -> dict:
+    """IND evaluation — the KDD-Cup-2024 incorrect-assignment metric the
+    reference's mind/ module is scored against (MIND paper,
+    arXiv:2412.03930 §5.1): per-profile AUC of the predicted scores
+    against the normal/outlier labels (normal = positive, so higher
+    scores should mean more-likely-correct), averaged with each profile
+    weighted by its OUTLIER count — profiles with no outliers or no
+    normals have undefined AUC and zero weight.
+
+    pred: (profile_id, record_id, score); truth: (record_id, is_outlier).
+    AUC per profile via the rank statistic (Mann–Whitney U), average
+    ranks on ties.
+    """
+    df = pred.merge(truth[["record_id", "is_outlier"]].rename(
+        columns={"is_outlier": "_truth"}), on="record_id", how="inner")
+    total_w = 0.0
+    acc = 0.0
+    per = {}
+    for pid, g in df.groupby("profile_id"):
+        neg = g["_truth"].to_numpy(dtype=bool)
+        n_out = int(neg.sum())
+        n_norm = int((~neg).sum())
+        if n_out == 0 or n_norm == 0:
+            continue
+        ranks = pd.Series(g["score"].to_numpy()).rank(method="average").to_numpy()
+        u = ranks[~neg].sum() - n_norm * (n_norm + 1) / 2.0
+        auc = u / (n_norm * n_out)
+        per[pid] = auc
+        acc += n_out * auc
+        total_w += n_out
+    return {
+        "weighted_auc": float(acc / total_w) if total_w else float("nan"),
+        "n_profiles_scored": len(per),
+        "per_profile": per,
+    }
