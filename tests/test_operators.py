@@ -935,3 +935,65 @@ class TestExactDedupBloomPath:
         assert bloom["doc_id"].tolist() == bcast["doc_id"].tolist()
         assert bloom["doc_id"].tolist() == plain["doc_id"].tolist()
         assert len(bloom) == len(set(texts))
+
+
+class TestUnigramSurprisal:
+    """CCNet-style unigram-LM quality filter (text_analysis.unigram_surprisal)."""
+
+    def test_scores_match_direct_computation(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import unigram_surprisal
+
+        docs = {
+            "0": "the cat sat on the mat",
+            "1": "the dog sat on the rug",
+            "2": "zyxwvut qponmlk jihgfed",   # all-rare tokens
+            "3": "",                           # token-free
+        }
+        df = pd.DataFrame({"doc_id": [int(k) for k in docs],
+                           "text": list(docs.values())})
+        out = unigram_surprisal(rd.from_pandas(df).repartition(3), tau=2.0
+                                ).to_pandas().set_index("key")
+        # direct reference computation over the same tokenization
+        toks = {k: [t for t in v.lower().split(" ") if t] for k, v in docs.items()}
+        from collections import Counter
+        cnt = Counter(t for ts in toks.values() for t in ts)
+        total = sum(cnt.values())
+        for k, ts in toks.items():
+            n = len(ts)
+            mean = (sum(np.log(total) - np.log(cnt[t]) for t in ts) / n) if n else 0.0
+            assert out.loc[k, "n_tokens"] == n
+            assert out.loc[k, "mean_surprisal"] == pytest.approx(mean, rel=1e-12)
+            assert bool(out.loc[k, "is_low_quality"]) == (n > 0 and mean > 2.0)
+        # the rare-token doc is the flagged one
+        assert out.loc["2", "is_low_quality"]
+        assert not out.loc["3", "is_low_quality"]
+
+    def test_sharding_invariance(self, ray_session):
+        """Same scores whether the corpus arrives as 1 block or 7."""
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import unigram_surprisal
+
+        rng = np.random.RandomState(5)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 30)))
+                 for _ in range(200)]
+        df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+        a = unigram_surprisal(rd.from_pandas(df), tau=3.0
+                              ).to_pandas().sort_values("key").reset_index(drop=True)
+        b = unigram_surprisal(rd.from_pandas(df).repartition(7), tau=3.0
+                              ).to_pandas().sort_values("key").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import unigram_surprisal
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["", None]})
+        out = unigram_surprisal(rd.from_pandas(df)).to_pandas()
+        assert len(out) == 2
+        assert (out["n_tokens"] == 0).all()
+        assert not out["is_low_quality"].any()

@@ -795,3 +795,156 @@ def index_scan_rows(index_dir: str, terms: list[str] | None = None) -> dict:
     return {"rows_per_bucket": rows, "total_rows": sum(rows.values()),
             "probed_buckets": probed_buckets,
             "probed_rows": sum(rows.get(b, 0) for b in probed_buckets)}
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal — the CCNet-style perplexity quality filter
+# (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data") with the KenLM 5-gram model swapped for
+# the corpus's own unigram distribution — the deterministic,
+# external-model-free reduction (same sanctioned-swap pattern as the
+# engine's other model stages). A document whose tokens are rare in the
+# corpus has high mean surprisal; CCNet drops the high-perplexity tail.
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    tau: float = 10.0,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-document mean unigram surprisal + low-quality flag.
+
+    Two passes, both vocabulary-bounded:
+
+    1. corpus token counts — per-batch Arrow ``value_counts`` partials
+       (each batch collapses to its distinct tokens before any shuffle),
+       one bucketed sum per token-hash bucket; the integer corpus total
+       reduces from the count table.
+    2. scoring — documents explode to (key, token, occurrences) partials
+       (again distinct-per-batch), co-grouped with the count table on the
+       token-hash bucket (one Ray group per bucket); inside each bucket
+       one vectorized merge computes the partial surprisal sum
+       Σ occ·(ln total − ln cnt) per document, and a final small
+       ``groupby(key)`` adds the ≤ num_buckets partials per document.
+
+    Tokenization is the corpus rule shared with :func:`top_tokens`
+    (``lower → split /[^a-z0-9]+/ → drop empties``), so DuckDB replays it
+    token-for-token. Every token of the corpus is in the count table by
+    construction (the LM trains on the corpus it scores — no OOV, no
+    smoothing needed). Output per document (``key`` is the stringified
+    ``key_col``): ``n_tokens`` (int), ``is_low_quality`` = mean
+    surprisal > ``tau`` (empty documents score 0 and are never flagged).
+    The float mean stays internal (``mean_surprisal`` column) — flag
+    comparisons are exact under the usual threshold-margin regime
+    (sum-order noise ~1e-14 vs score gaps ≥1e-3)."""
+    from whoiswho_ray.stages.agg import group_apply
+
+    def _tok_list(t: pa.Table) -> pa.ListArray:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column(text_col), "")), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return toks
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat = _tok_list(t).flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        values = vc.field("values")
+        h = pd.util.hash_pandas_object(
+            pd.Series(values.to_pandas()), index=False).to_numpy()
+        return pa.table({
+            "token": values,
+            "cnt": pa.array(vc.field("counts").to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["cnt"].sum().reset_index()
+        s["cnt"] = s["cnt"].astype(np.int64)
+        return s
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    counts = group_apply(partials, "__b", bucket_sum,
+                         batch_format="pandas",
+                         num_buckets=num_buckets).materialize()
+    total = int(counts.sum("cnt") or 0)
+    log_total = float(np.log(total)) if total else 0.0
+
+    def doc_partial(t: pa.Table) -> pd.DataFrame:
+        toks = _tok_list(t)
+        off = np.asarray(toks.offsets)
+        flat = toks.flatten().to_pandas().to_numpy(dtype=object)
+        keys = np.repeat(
+            np.asarray([str(k) for k in t.column(key_col).to_pylist()],
+                       dtype=object),
+            np.diff(off))
+        ok = flat != ""
+        df = pd.DataFrame({"__k": keys[ok], "token": flat[ok]})
+        occ = df.groupby(["__k", "token"], sort=False).size().reset_index(name="occ")
+        h = pd.util.hash_pandas_object(occ["token"], index=False).to_numpy()
+        occ["__b"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        occ["occ"] = occ["occ"].astype(np.int64)
+        return occ
+
+    def tag_counts(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+        return pd.DataFrame({"__k": [""] * len(df), "token": df["token"],
+                             "occ": (-df["cnt"]).astype(np.int64),
+                             "__b": (h % np.uint64(num_buckets)).astype(np.int64)})
+
+    docs = ds.map_batches(doc_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tagged = docs.union(counts.map_batches(tag_counts, batch_format="pandas"))
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g[g["occ"] < 0]
+        occ = g[g["occ"] > 0]
+        if not len(occ):
+            return pd.DataFrame({"__k": pd.Series([], dtype=object),
+                                 "s": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        m = occ.merge(
+            pd.DataFrame({"token": cnt["token"],
+                          "cnt": (-cnt["occ"]).astype(np.int64)}),
+            on="token", how="left")
+        surp = log_total - np.log(m["cnt"].to_numpy(dtype=np.float64))
+        m["s"] = m["occ"].to_numpy(dtype=np.float64) * surp
+        out = m.groupby("__k", sort=False).agg(
+            s=("s", "sum"), n=("occ", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    scored = group_apply(tagged, "__b", bucket_score,
+                         batch_format="pandas", num_buckets=num_buckets,
+                         whole_bucket=True)
+
+    # skeleton (key, 0, 0) per document so token-free documents still
+    # appear in the output (score 0, never flagged)
+    def skeleton(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__k": [str(k) for k in t.column(key_col).to_pylist()],
+            "s": np.zeros(t.num_rows),
+            "n": np.zeros(t.num_rows, np.int64),
+        })
+
+    scored = scored.union(ds.map_batches(skeleton, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = float(g["s"].sum())
+        n = int(g["n"].sum())
+        mean = s / n if n else 0.0
+        return pd.DataFrame({
+            "key": [g["__k"].iloc[0]],
+            "n_tokens": np.array([n], np.int64),
+            "mean_surprisal": [mean],
+            "is_low_quality": [bool(n and mean > tau)],
+        })
+
+    return group_apply(scored, "__k", finish, batch_format="pandas")
