@@ -36,8 +36,11 @@ BENCH_QUERIES = [
     "q_doc_ngram_pairs",
     "q_doc_minhash_dedup",
     "q_doc_top_tokens",
+    "q_doc_surprisal",
     "q_knn_cosine",
+    "q_embed_kmeans",
     "rnd_assign",
+    "ind_detect",
 ]
 
 

@@ -97,13 +97,30 @@ def kmeans_fit(
     cents = np.asarray(init, dtype=np.float64) if init is not None else \
         kmeans_init(ds, k, vec_col, key_col)
     proj = ds.select_columns([vec_col])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # second-level tree combine (the build_idf pattern): collapse many
+        # per-batch partials inside big map tasks so the driver reduce
+        # sees O(k × combine-tasks) rows, not O(k × batches) — without
+        # this the driver collect GROWS with corpus size
+        g = df.groupby("cluster", sort=True)
+        return pd.DataFrame({
+            "cluster": np.fromiter(g.groups.keys(), np.int64),
+            "n": g["n"].sum().to_numpy(np.int64),
+            "vsum": [np.sum(np.stack(v.to_list()), axis=0)
+                     for _, v in g["vsum"]],
+        })
+
     for _ in range(iters):
         ref = ray.put(cents)
 
         def partials(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
             return _partial_stats(df, ray.get(_ref), vec_col)
 
-        agg = proj.map_batches(partials, batch_format="pandas").to_pandas()
+        agg = (proj.map_batches(partials, batch_format="pandas")
+                   .map_batches(combine, batch_format="pandas",
+                                batch_size=500_000)
+                   .to_pandas())
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros_like(cents)
         np.add.at(counts, agg["cluster"].to_numpy(), agg["n"].to_numpy())
