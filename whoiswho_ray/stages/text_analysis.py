@@ -886,6 +886,13 @@ def unigram_surprisal(
             np.diff(off))
         ok = flat != ""
         df = pd.DataFrame({"__k": keys[ok], "token": flat[ok]})
+        if not len(df):
+            # typed empty (a pandas object-dtype empty becomes an Arrow
+            # null column and poisons the union schema)
+            return pa.table({"__k": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "occ": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
         occ = df.groupby(["__k", "token"], sort=False).size().reset_index(name="occ")
         h = pd.util.hash_pandas_object(occ["token"], index=False).to_numpy()
         occ["__b"] = (h % np.uint64(num_buckets)).astype(np.int64)
