@@ -808,6 +808,33 @@ def _q_embed_kmeans_oracle_sql() -> str:
     """
 
 
+def q_doc_embed_simjoin(sf_dir: str):
+    """Encode → label-free cosine self-join composition: the hashed-BoW
+    encoder output piped into the SRP-LSH similarity join
+    (``dedup.embedding_simjoin``) — near-duplicate documents surface as
+    high-cosine pairs without any grouping column. Rows-only by LSH
+    design (recall ≈0.998 at cos ≥ 0.95 under the defaults; precision
+    exact via verification)."""
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import embedding_simjoin
+    from whoiswho_ray.stages.encoder import encode_column
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = encode_column(ds, dim=32)
+    out = embedding_simjoin(emb, vec_col="embedding", key_col="doc_id",
+                            threshold=0.95)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["key_a"].astype(np.int64)
+        b = df["key_b"].astype(np.int64)
+        return pd.DataFrame({"key_a": np.minimum(a, b),
+                             "key_b": np.maximum(a, b)})
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_clean_names(sf_dir: str):
     """The cleaning_name normalization chain (M1/M6) over customer names —
     vectorized Arrow kernels (scalar fallback only for non-ASCII rows)."""
@@ -1358,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
+        "q_doc_embed_simjoin": q_doc_embed_simjoin,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_knn_ivf": q_knn_ivf,
         "snd_publications": snd_publications,

@@ -997,3 +997,89 @@ class TestUnigramSurprisal:
         assert len(out) == 2
         assert (out["n_tokens"] == 0).all()
         assert not out["is_low_quality"].any()
+
+
+class TestEmbeddingSimjoin:
+    """Label-free SRP-LSH cosine self-join (dedup.embedding_simjoin)."""
+
+    @staticmethod
+    def _corpus(seed=3, n_groups=30, dup_per=3, n_noise=200, d=32):
+        """Planted near-dup groups (cos ≈ 0.99 within) + isolated noise."""
+        rng = np.random.RandomState(seed)
+        rows = []
+        vid = 0
+        truth = []
+        for g in range(n_groups):
+            base = rng.randn(d)
+            base /= np.linalg.norm(base)
+            members = []
+            for _ in range(dup_per):
+                v = base + rng.randn(d) * 0.03
+                rows.append((vid, v.astype(np.float32)))
+                members.append(vid)
+                vid += 1
+            truth.append(members)
+        for _ in range(n_noise):
+            v = rng.randn(d)
+            rows.append((vid, v.astype(np.float32)))
+            vid += 1
+        df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                           "embedding": [r[1] for r in rows]})
+        return df, truth
+
+    @staticmethod
+    def _brute_pairs(df, threshold):
+        X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        ii, jj = np.triu_indices(len(X), 1)
+        ok = S[ii, jj] >= threshold
+        ids = df["vec_id"].to_numpy()
+        return {(int(min(a, b)), int(max(a, b)))
+                for a, b in zip(ids[ii[ok]], ids[jj[ok]])}
+
+    def test_precision_exact_recall_high(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.dedup import embedding_simjoin
+
+        df, _ = self._corpus()
+        tau = 0.9
+        out = embedding_simjoin(rd.from_pandas(df).repartition(4),
+                                threshold=tau).to_pandas()
+        got = {(int(min(a, b)), int(max(a, b)))
+               for a, b in zip(out["key_a"], out["key_b"])}
+        want = self._brute_pairs(df, tau)
+        assert got <= want, f"false positives: {got - want}"  # precision exact
+        recall = len(got & want) / max(len(want), 1)
+        assert recall >= 0.85, (recall, len(want))
+        # verified cosines are the exact values
+        X = {int(r.vec_id): np.asarray(r.embedding, np.float64)
+             for r in df.itertuples()}
+        for r in out.itertuples():
+            a, b = X[int(r.key_a)], X[int(r.key_b)]
+            expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert r.cos == pytest.approx(expect, rel=1e-12)
+
+    def test_sharding_invariance(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.dedup import embedding_simjoin
+
+        df, _ = self._corpus(seed=9, n_groups=10, n_noise=50)
+        a = embedding_simjoin(rd.from_pandas(df), threshold=0.9
+                              ).to_pandas().sort_values(["key_a", "key_b"]).reset_index(drop=True)
+        b = embedding_simjoin(rd.from_pandas(df).repartition(6), threshold=0.9
+                              ).to_pandas().sort_values(["key_a", "key_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_and_tiny(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.dedup import embedding_simjoin
+
+        df = pd.DataFrame({"vec_id": [1], "embedding": [np.ones(8, np.float32)]})
+        out = embedding_simjoin(rd.from_pandas(df)).to_pandas()
+        # a pair-free corpus yields zero rows (Ray drops the schema of
+        # fully-empty datasets, so only emptiness is asserted)
+        assert len(out) == 0

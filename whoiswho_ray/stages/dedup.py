@@ -927,3 +927,106 @@ def line_dedup(
 
     return ds.map_batches(Strip, batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# Label-free embedding cosine self-join — signed-random-projection LSH
+# ---------------------------------------------------------------------------
+
+_SRP_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _srp_planes(d: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes, cached per process (every worker
+    regenerates the identical matrix from the seed — nothing broadcast)."""
+    key = (d, n_bits, seed)
+    if key not in _SRP_CACHE:
+        _SRP_CACHE[key] = np.random.RandomState(seed).randn(d, n_bits)
+    return _SRP_CACHE[key]
+
+
+def embedding_simjoin(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_bits: int = 512,
+    bands: int = 32,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """All-pairs cosine similarity self-join WITHOUT a grouping column —
+    the scale path ``embedding_dup_pairs`` (label-grouped exact matmul)
+    cannot offer when no label exists. Signed-random-projection LSH
+    (Charikar 2002, "Similarity estimation techniques from rounding
+    algorithms": P(sign match per hyperplane) = 1 − θ/π) bands the
+    ``n_bits`` sign bits into ``bands`` buckets; colliding keys become
+    candidates (the same bucketed candidate → global pair dedup → fused
+    verify machinery as MinHash/SimHash — nothing corpus-sized on the
+    driver), and exact cosine ≥ ``threshold`` verification makes
+    precision exact. Recall is the documented LSH approximation:
+    1 − (1 − p^w)^bands with w = n_bits/bands, ≈0.94 at cos 0.9 under
+    the defaults (512 bits, 32 bands of 16).
+
+    Returns (key_a, key_b, cos) pairs, key_a < key_b."""
+    width = n_bits // bands
+    shifts = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+
+    def side(t: pa.Table) -> pa.Table:
+        # (key, vec) side table rows with vectors as float64 lists
+        X = np.stack([np.asarray(v, np.float64)
+                      for v in t.column(vec_col).to_pylist()]) \
+            if t.num_rows else np.zeros((0, 0))
+        return pa.table({
+            "key": t.column(key_col),
+            "vec": pa.array(list(X), pa.list_(pa.float64())),
+        })
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "key": t.column(key_col)})
+        X = np.stack([np.asarray(v, np.float64)
+                      for v in t.column(vec_col).to_pylist()])
+        R = _srp_planes(X.shape[1], n_bits, seed)
+        B = (X @ R) > 0                      # (n, n_bits) sign bits
+        keys = t.column(key_col)
+        parts = []
+        for p in range(bands):
+            piece = B[:, p * width:(p + 1) * width].astype(np.uint64) @ shifts
+            parts.append(pa.table({
+                "bucket": pa.array((piece.astype(np.int64) & ((1 << 56) - 1))
+                                   | (np.int64(p) << 56)),
+                "key": keys,
+            }))
+        return pa.concat_tables(parts)
+
+    sides = ds.map_batches(side, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    from whoiswho_ray.stages.cluster import _cc_num_buckets
+
+    nb = _cc_num_buckets()
+    cand = _global_dedup_pairs(_local_dedup(_candidates_distributed(exploded)), nb)
+
+    def verify_cos(ka: pa.Array, kb: pa.Array, va: pa.Array, vb: pa.Array) -> pa.Table:
+        n = len(ka)
+        if n == 0:
+            return pa.table({"key_a": ka, "key_b": kb,
+                             "cos": pa.array([], pa.float64())})
+        fa, la = _flat(va)
+        fb, lb = _flat(vb)
+        A = fa.astype(np.float64).reshape(n, -1)
+        Bm = fb.astype(np.float64).reshape(n, -1)
+        na = np.linalg.norm(A, axis=1)
+        nmb = np.linalg.norm(Bm, axis=1)
+        denom = na * nmb
+        cs = np.where(denom > 0, (A * Bm).sum(axis=1) / np.where(denom > 0, denom, 1.0), 0.0)
+        ok_np = cs >= threshold
+        ok = pa.array(ok_np)
+        return pa.table({"key_a": ka.filter(ok), "key_b": kb.filter(ok),
+                         "cos": pa.array(cs[ok_np])})
+
+    return _verify_candidates_fused(cand, sides, "key", "vec", verify_cos, nb)

@@ -96,7 +96,10 @@ def kmeans_fit(
     independent of corpus size."""
     cents = np.asarray(init, dtype=np.float64) if init is not None else \
         kmeans_init(ds, k, vec_col, key_col)
-    proj = ds.select_columns([vec_col])
+    # materialize the vectors-only projection once: every Lloyd iteration
+    # re-consumes it from the object store (spilling if needed) instead of
+    # re-executing the whole upstream pipeline per iteration
+    proj = ds.select_columns([vec_col]).materialize()
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         # second-level tree combine (the build_idf pattern): collapse many
