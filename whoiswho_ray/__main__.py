@@ -69,6 +69,14 @@ def main(argv=None) -> int:
                     help="parquet with (record_id, profile_id)")
     pi.add_argument("--out", required=True, help="output parquet dir")
 
+    pk = sub.add_parser("kmeans", help="distributed Lloyd's k-means over an embedding column")
+    pk.add_argument("--input", required=True, help="parquet with a vector list column")
+    pk.add_argument("--out", required=True, help="output parquet dir (key + cluster)")
+    pk.add_argument("--k", type=int, required=True)
+    pk.add_argument("--iters", type=int, default=4)
+    pk.add_argument("--vec-col", default="embedding")
+    pk.add_argument("--key-col", default="vec_id")
+
     pe = sub.add_parser("eval", help="pairwise F1 of clusters vs ground truth")
     pe.add_argument("--pred", required=True, help="cluster parquet path/dir")
     pe.add_argument("--truth", required=True, help="ground_truth parquet")
@@ -117,6 +125,19 @@ def main(argv=None) -> int:
                 lambda d: d[d["is_outlier"]], batch_format="pandas").count()
             print(json.dumps({"rows": res.count(), "flagged": flagged,
                               "out": args.out}))
+        elif args.cmd == "kmeans":
+            import ray.data as rd
+
+            from whoiswho_ray.stages.kmeans import run_kmeans
+
+            out = run_kmeans(rd.read_parquet(args.input), k=args.k,
+                             iters=args.iters, vec_col=args.vec_col,
+                             key_col=args.key_col, keep=[args.key_col])
+            out.write_parquet(args.out)
+            res = rd.read_parquet(args.out)
+            sizes = res.groupby("cluster").count().to_pandas()
+            print(json.dumps({"rows": int(sizes["count()"].sum()),
+                              "clusters": len(sizes), "out": args.out}))
         elif args.cmd == "eval":
             import ray.data as rd
 
