@@ -678,11 +678,19 @@ def _empty_edges_table() -> pa.Table:
 def shuffle_partitions() -> int:
     """Target partition count for the wide ops: enough blocks that the
     sort-shuffle and the per-group map tasks can use every core (tasks
-    after a groupby ≈ number of blocks entering it)."""
+    after a groupby ≈ number of blocks entering it). The multiplier is
+    tunable (``WHOISWHO_SHUFFLE_MULT``); the default 2 comes from a
+    round-3 interleaved sweep at 32 CPUs (6 pairs: mult=2 beat mult=4 in
+    4/6 with min 24.2 s vs 27.7 s and mean 29.7 vs 31.7; mult=8 was
+    consistently worst) — at ≤ 8 CPUs the max(32, ·) floor makes 2 and 4
+    identical, so the change only affects high-core single-node runs."""
+    import os
+
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(32, cpus * 4)
+    mult = int(os.environ.get("WHOISWHO_SHUFFLE_MULT", "2"))
+    return max(32, cpus * mult)
 
 
 # Columns the SND block kernels actually read — pass as ``keep=`` to
