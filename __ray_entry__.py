@@ -835,6 +835,88 @@ def q_doc_embed_simjoin(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Distributed PageRank (``stages/graph.py``) over the bidirectional
+    customer↔supplier graph derived from orders⋈lineitem: one
+    shuffle-hash join + distinct to build edges, then 3 power iterations
+    (each one co-group + one bucketed reduce). Output ranks in integer
+    nano-units (rint(r·1e9)) — exactly comparable across engines, with a
+    verified ≥4e-4-grid-unit margin to every rounding boundary at sf."""
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.graph import pagerank
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = shuffle_hash_join(orders, li, on="o_orderkey")
+    pairs = distinct(joined, ["o_custkey", "l_suppkey"], final="shuffle")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = "c" + df["o_custkey"].astype(str)
+        s = "s" + df["l_suppkey"].astype(str)
+        return pd.DataFrame({"src": pd.concat([c, s], ignore_index=True),
+                             "dst": pd.concat([s, c], ignore_index=True)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    out = pagerank(edges, iters=PAGERANK_ITERS, damping=PAGERANK_D)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"],
+            "rank_e9": np.rint(df["rank"].to_numpy() * 1e9).astype(np.int64),
+        })
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_graph_pagerank_oracle_sql() -> str:
+    """Unrolled SQL replay of the 3 power iterations. The bidirectional
+    edge set makes every node a source (outdeg > 0), so the dangling
+    term is exactly zero on both engines and is omitted here; the
+    Python side computes it numerically and adds d·0/N = 0."""
+    d, iters = PAGERANK_D, PAGERANK_ITERS
+    parts = [f"""
+        eb AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS MATERIALIZED (
+            SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM eb
+            UNION ALL
+            SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM eb),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS MATERIALIZED (SELECT src AS node, count(*) AS m FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT n.node,
+                   (1.0 - {d!r}) / (SELECT n FROM nn)
+                   + {d!r} * coalesce(c.sm, 0.0) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.r / od.m) AS sm
+                FROM edges e
+                JOIN r{i - 1} p ON p.node = e.src
+                JOIN od ON od.node = e.src
+                GROUP BY 1) c ON c.node = n.node)""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT node, CAST(round(r * 1e9, 0) AS BIGINT) AS rank_e9 FROM r{iters}
+    """
+
+
 def q_clean_names(sf_dir: str):
     """The cleaning_name normalization chain (M1/M6) over customer names —
     vectorized Arrow kernels (scalar fallback only for non-ASCII rows)."""
@@ -1326,7 +1408,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q_segment_revenue": q_segment_revenue,
-        "q_region_customers": q_region_customers,
         "q_supplier_volume": q_supplier_volume,
         "q_distinct_flags": q_distinct_flags,
         "q_union_keys": q_union_keys,
@@ -1356,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_surprisal": q_doc_surprisal,
         "q_doc_winnow": q_doc_winnow,
         "q_knn_cosine": q_knn_cosine,
+        "q_graph_pagerank": q_graph_pagerank,
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
@@ -1382,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_search_terms": q_doc_search_terms,
         "q_events_sliding": q_events_sliding,
         "q_top_orders": q_top_orders,
+        "q_region_customers": q_region_customers,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2257,6 +2340,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {KNN_K}
         """,
         "q_embed_kmeans": _q_embed_kmeans_oracle_sql(),
+        "q_graph_pagerank": _q_graph_pagerank_oracle_sql(),
         "q_embedding_dups": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.label AS label, a.vec_id AS key_a, b.vec_id AS key_b

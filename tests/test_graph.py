@@ -1,0 +1,71 @@
+"""Distributed PageRank (stages/graph.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.stages.graph import pagerank
+
+
+def _dense_reference(edges: pd.DataFrame, iters: int, d: float = 0.85) -> dict:
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = edges.groupby("src").size()
+    M = np.zeros((n, n))
+    for _, row in edges.iterrows():
+        M[idx[row["dst"]], idx[row["src"]]] = 1.0 / outdeg[row["src"]]
+    dangling = np.array([outdeg.get(v, 0) == 0 for v in nodes])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
+    return dict(zip(nodes, r))
+
+
+class TestPagerank:
+    def test_matches_dense_reference_with_dangling(self, ray_session):
+        edges = pd.DataFrame({
+            "src": ["a", "b", "c", "c", "d", "a"],
+            "dst": ["b", "c", "a", "b", "a", "e"],  # e is dangling
+        })
+        out = pagerank(rd.from_pandas(edges), iters=5).to_pandas()
+        ref = _dense_reference(edges, iters=5)
+        assert len(out) == len(ref)
+        for r in out.itertuples():
+            assert r.rank == pytest.approx(ref[r.node], rel=1e-12), r.node
+        assert out["rank"].sum() == pytest.approx(1.0, abs=1e-12)
+
+    def test_sharding_invariance(self, ray_session):
+        rng = np.random.RandomState(11)
+        n = 300
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, n, 1500)],
+            "dst": [f"n{v}" for v in rng.randint(0, n, 1500)],
+        }).drop_duplicates()
+        edges = edges[edges["src"] != edges["dst"]]
+        a = pagerank(rd.from_pandas(edges), iters=3
+                     ).to_pandas().sort_values("node").reset_index(drop=True)
+        b = pagerank(rd.from_pandas(edges).repartition(7), iters=3
+                     ).to_pandas().sort_values("node").reset_index(drop=True)
+        assert a["node"].tolist() == b["node"].tolist()
+        # identical bucket partition -> identical per-node sum order
+        np.testing.assert_allclose(a["rank"].to_numpy(), b["rank"].to_numpy(),
+                                   rtol=1e-12)
+        assert a["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+    def test_disconnected_components(self, ray_session):
+        edges = pd.DataFrame({"src": ["a", "b", "x", "y"],
+                              "dst": ["b", "a", "y", "x"]})
+        out = pagerank(rd.from_pandas(edges), iters=4).to_pandas()
+        r = out.set_index("node")["rank"]
+        # two symmetric 2-cycles: all ranks equal by symmetry
+        assert r.nunique() == 1 or np.allclose(r.to_numpy(), 0.25, atol=1e-12)
+        assert out["rank"].sum() == pytest.approx(1.0, abs=1e-12)
+
+    def test_empty_edges(self, ray_session):
+        edges = pd.DataFrame({"src": pd.Series([], dtype=object),
+                              "dst": pd.Series([], dtype=object)})
+        out = pagerank(rd.from_pandas(edges), iters=2).to_pandas()
+        assert len(out) == 0
