@@ -837,6 +837,64 @@ def q_doc_embed_simjoin(sf_dir: str):
 
 PAGERANK_ITERS = 3
 PAGERANK_D = 0.85
+CC_MIN_ORDERS = 4  # customer–supplier edges need ≥ this many distinct orders
+
+
+def q_graph_components(sf_dir: str):
+    """Global connected components (``cluster.connected_components`` —
+    the Kiveris et al. star-contraction operator, previously tested but
+    not driver-oracled) over the sparsified customer↔supplier graph:
+    an edge exists when the pair shares ≥ CC_MIN_ORDERS distinct orders
+    (54 components over 144 nodes at sf0.01). Output (node, component)
+    with component = the minimum node id, isolates absent by
+    construction (every node has an edge)."""
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct, grouped_agg
+    from whoiswho_ray.stages.cluster import connected_components
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    triples = distinct(shuffle_hash_join(orders, li, on="o_orderkey"),
+                       ["o_custkey", "l_suppkey", "o_orderkey"],
+                       final="shuffle")
+    counts = grouped_agg(triples, ["o_custkey", "l_suppkey"],
+                         {"n": (None, "count")}, final="shuffle")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n"] >= CC_MIN_ORDERS]
+        return pd.DataFrame({
+            "u": "c" + keep["o_custkey"].astype(str),
+            "v": "s" + keep["l_suppkey"].astype(str),
+        })
+
+    edges = counts.map_batches(to_edges, batch_format="pandas")
+    return connected_components(edges)
+
+
+def _q_graph_components_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE p AS (
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                   's' || CAST(l_suppkey AS VARCHAR) AS b,
+                   count(DISTINCT o_orderkey) AS n
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2),
+        e AS MATERIALIZED (SELECT a, b FROM p WHERE n >= {CC_MIN_ORDERS}),
+        sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS x FROM sym),
+        reach(x, y) AS (
+            SELECT x, x FROM nodes
+            UNION
+            SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a),
+        comp AS (SELECT x, min(y) AS c FROM reach GROUP BY 1)
+        SELECT x AS node, c AS component FROM comp
+    """
 
 
 def q_graph_pagerank(sf_dir: str):
@@ -1410,7 +1468,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_revenue": q_segment_revenue,
         "q_supplier_volume": q_supplier_volume,
         "q_distinct_flags": q_distinct_flags,
-        "q_union_keys": q_union_keys,
         "q_orders_by_month": q_orders_by_month,
         "q_events_tumbling": q_events_tumbling,
         "q_events_sessions": q_events_sessions,
@@ -1438,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_winnow": q_doc_winnow,
         "q_knn_cosine": q_knn_cosine,
         "q_graph_pagerank": q_graph_pagerank,
+        "q_graph_components": q_graph_components,
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
@@ -1465,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": q_events_sliding,
         "q_top_orders": q_top_orders,
         "q_region_customers": q_region_customers,
+        "q_union_keys": q_union_keys,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2341,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embed_kmeans": _q_embed_kmeans_oracle_sql(),
         "q_graph_pagerank": _q_graph_pagerank_oracle_sql(),
+        "q_graph_components": _q_graph_components_oracle_sql(),
         "q_embedding_dups": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.label AS label, a.vec_id AS key_a, b.vec_id AS key_b

@@ -326,5 +326,17 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
-    # cur is now (node, root) star edges, possibly with duplicates
-    return min_by_key(cur, "u", "v", "node", "component", num_buckets=nb)
+    # cur is now (node, root) star edges, possibly with duplicates. The
+    # root of each component has no edge row of its own (stars orient
+    # big→small, so the minimum only ever appears as v) — append the
+    # (root, root) self-labels so every edge-touching node is labeled
+    # (previously roots were silently absent and only the dedup callers'
+    # isolate-union masked it).
+    labels = min_by_key(cur, "u", "v", "node", "component", num_buckets=nb)
+    from whoiswho_ray.stages.agg import distinct
+
+    roots = distinct(labels.map_batches(
+        lambda df: pd.DataFrame({"node": df["component"],
+                                 "component": df["component"]}),
+        batch_format="pandas"), ["node", "component"], final="shuffle")
+    return labels.union(roots)
