@@ -838,6 +838,83 @@ def q_doc_embed_simjoin(sf_dir: str):
 PAGERANK_ITERS = 3
 PAGERANK_D = 0.85
 CC_MIN_ORDERS = 4  # customer–supplier edges need ≥ this many distinct orders
+TRI_SHARE_FRAC = 0.3  # co-supplier edge: pair shares ≥ this fraction of suppliers
+
+
+def q_graph_triangles(sf_dir: str):
+    """Exact triangle count (``graph.triangle_count``, degree-oriented
+    wedge join) over the customer co-purchase projection: an edge links
+    two customers sharing ≥ 30% of all suppliers (scale-relative — the
+    supplier count differs per sf). The bipartite projection itself is a
+    supplier-grouped pair emit + grouped count (the classic projection
+    step, supplier groups bounded by the customer count). One-row
+    integer output."""
+    import math
+
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct, grouped_agg
+    from whoiswho_ray.stages.graph import triangle_count
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    cs = distinct(shuffle_hash_join(orders, li, on="o_orderkey"),
+                  ["o_custkey", "l_suppkey"], final="shuffle").materialize()
+    n_supp = int(distinct(cs, ["l_suppkey"], final="shuffle").count())
+    min_shared = max(1, math.ceil(TRI_SHARE_FRAC * n_supp))
+
+    from whoiswho_ray.stages.agg import group_apply
+
+    def pairs_per_supplier(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["o_custkey"].to_numpy())
+        m = c.size
+        if m < 2:
+            return pd.DataFrame({"c1": pd.Series([], dtype=np.int64),
+                                 "c2": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(m, 1)
+        return pd.DataFrame({"c1": c[ii], "c2": c[jj]})
+
+    pairs = group_apply(cs, "l_suppkey", pairs_per_supplier,
+                        batch_format="pandas")
+    counts = grouped_agg(pairs, ["c1", "c2"], {"n": (None, "count")},
+                         final="shuffle")
+    edges = counts.map_batches(
+        lambda df, _m=min_shared: pd.DataFrame({
+            "src": "c" + df.loc[df["n"] >= _m, "c1"].astype(str),
+            "dst": "c" + df.loc[df["n"] >= _m, "c2"].astype(str)}),
+        batch_format="pandas")
+    res = triangle_count(edges)
+    return pd.DataFrame({k: [np.int64(v)] for k, v in res.items()})
+
+
+def _q_graph_triangles_oracle_sql() -> str:
+    f = TRI_SHARE_FRAC
+    return f"""
+        WITH cs AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        ns AS (SELECT count(DISTINCT s) AS n FROM cs),
+        thr AS (SELECT greatest(1, CAST(ceil({f!r} * n) AS BIGINT)) AS t FROM ns),
+        pc AS (SELECT a.c AS c1, b.c AS c2, count(*) AS n
+               FROM cs a JOIN cs b ON a.s = b.s AND a.c < b.c
+               GROUP BY 1, 2),
+        e AS MATERIALIZED (
+            SELECT c1, c2 FROM pc WHERE n >= (SELECT t FROM thr)),
+        nodes AS (SELECT DISTINCT x FROM
+                  (SELECT c1 AS x FROM e UNION ALL SELECT c2 FROM e)),
+        tri AS (
+            SELECT count(*) AS n FROM e x
+            JOIN e y ON y.c1 = x.c2
+            JOIN e z ON z.c1 = x.c1 AND z.c2 = y.c2)
+        SELECT (SELECT n FROM tri) AS n_triangles,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*) FROM nodes) AS n_nodes
+    """
 
 
 def q_graph_components(sf_dir: str):
@@ -1467,7 +1544,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q_segment_revenue": q_segment_revenue,
         "q_supplier_volume": q_supplier_volume,
-        "q_distinct_flags": q_distinct_flags,
         "q_orders_by_month": q_orders_by_month,
         "q_events_tumbling": q_events_tumbling,
         "q_events_sessions": q_events_sessions,
@@ -1496,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_cosine": q_knn_cosine,
         "q_graph_pagerank": q_graph_pagerank,
         "q_graph_components": q_graph_components,
+        "q_graph_triangles": q_graph_triangles,
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
@@ -1524,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_orders": q_top_orders,
         "q_region_customers": q_region_customers,
         "q_union_keys": q_union_keys,
+        "q_distinct_flags": q_distinct_flags,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2401,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_kmeans": _q_embed_kmeans_oracle_sql(),
         "q_graph_pagerank": _q_graph_pagerank_oracle_sql(),
         "q_graph_components": _q_graph_components_oracle_sql(),
+        "q_graph_triangles": _q_graph_triangles_oracle_sql(),
         "q_embedding_dups": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.label AS label, a.vec_id AS key_a, b.vec_id AS key_b

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_doc_minhash_dedup",
     "q_doc_top_tokens",
     "q_doc_surprisal",
+    "q_graph_pagerank",
     "q_knn_cosine",
     "q_embed_kmeans",
     "rnd_assign",

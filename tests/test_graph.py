@@ -69,3 +69,64 @@ class TestPagerank:
                               "dst": pd.Series([], dtype=object)})
         out = pagerank(rd.from_pandas(edges), iters=2).to_pandas()
         assert len(out) == 0
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _brute(edges: pd.DataFrame) -> int:
+        import itertools
+        adj = {}
+        for _, r in edges.iterrows():
+            a, b = str(r["src"]), str(r["dst"])
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        t = 0
+        for a, b, c in itertools.combinations(nodes, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                t += 1
+        return t
+
+    def test_known_graphs(self, ray_session):
+        from whoiswho_ray.stages.graph import triangle_count
+
+        k4 = pd.DataFrame({"src": ["a", "a", "a", "b", "b", "c"],
+                           "dst": ["b", "c", "d", "c", "d", "d"]})
+        res = triangle_count(rd.from_pandas(k4))
+        assert res == {"n_triangles": 4, "n_edges": 6, "n_nodes": 4}
+        c5 = pd.DataFrame({"src": list("abcde"), "dst": list("bcdea")})
+        res = triangle_count(rd.from_pandas(c5))
+        assert res["n_triangles"] == 0 and res["n_edges"] == 5
+
+    def test_random_graph_vs_brute_force(self, ray_session):
+        from whoiswho_ray.stages.graph import triangle_count
+
+        rng = np.random.RandomState(17)
+        n = 60
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, n, 500)],
+            "dst": [f"n{v}" for v in rng.randint(0, n, 500)],
+        })
+        res = triangle_count(rd.from_pandas(edges).repartition(5))
+        assert res["n_triangles"] == self._brute(edges)
+
+    def test_canonicalization(self, ray_session):
+        """Duplicates, reversed duplicates and self-loops collapse."""
+        from whoiswho_ray.stages.graph import triangle_count
+
+        edges = pd.DataFrame({
+            "src": ["a", "b", "a", "b", "c", "a", "c"],
+            "dst": ["b", "a", "b", "c", "b", "c", "c"],
+        })
+        res = triangle_count(rd.from_pandas(edges))
+        assert res == {"n_triangles": 1, "n_edges": 3, "n_nodes": 3}
+
+    def test_empty(self, ray_session):
+        from whoiswho_ray.stages.graph import triangle_count
+
+        edges = pd.DataFrame({"src": pd.Series([], dtype=object),
+                              "dst": pd.Series([], dtype=object)})
+        assert triangle_count(rd.from_pandas(edges)) == {
+            "n_triangles": 0, "n_edges": 0, "n_nodes": 0}
