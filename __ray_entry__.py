@@ -1052,6 +1052,46 @@ def _q_graph_pagerank_oracle_sql() -> str:
     """
 
 
+WSAMPLE_K = 100
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Weighted reservoir sample (A-Res, ``splits.weighted_sample``):
+    the 100 documents sampled without replacement proportional to text
+    length (w = length+1), md5-deterministic draws — the corpus
+    subsampling staple. Output is the integer (doc_id, w) set."""
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.splits import weighted_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    weighted = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "w": df["text"].fillna("").str.len().to_numpy(np.float64) + 1.0,
+        }), batch_format="pandas")
+    out = weighted_sample(weighted, "doc_id", "w", k=WSAMPLE_K)
+    return pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64),
+                         "w": out["w"].astype(np.int64)})
+
+
+def _q_doc_weighted_sample_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) + 1 AS DOUBLE) AS w
+            FROM documents),
+        s AS (
+            SELECT doc_id, w,
+                   ln((CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) + 0.5) / 4294967296.0) / w AS sk
+            FROM t)
+        SELECT doc_id, CAST(w AS BIGINT) AS w
+        FROM s ORDER BY sk DESC, doc_id LIMIT {WSAMPLE_K}
+    """
+
+
 def q_clean_names(sf_dir: str):
     """The cleaning_name normalization chain (M1/M6) over customer names —
     vectorized Arrow kernels (scalar fallback only for non-ASCII rows)."""
@@ -1555,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_user_quantiles": q_events_user_quantiles,
         "q_doc_top_tokens": q_doc_top_tokens,
         "q_doc_stratified_sample": q_doc_stratified_sample,
+        "q_doc_weighted_sample": q_doc_weighted_sample,
         "q_doc_chunks": q_doc_chunks,
         "q_doc_redact_pii": q_doc_redact_pii,
         "q_doc_search_pruned": q_doc_search_pruned,
@@ -1580,7 +1621,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cap_per_group": q_cap_per_group,
         "q_kfold_assign": q_kfold_assign,
         "q_events_top_per_user": q_events_top_per_user,
-        "q_negative_samples": q_negative_samples,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -1602,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_customers": q_region_customers,
         "q_union_keys": q_union_keys,
         "q_distinct_flags": q_distinct_flags,
+        "q_negative_samples": q_negative_samples,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2243,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, token ASC
             LIMIT 50
         """,
+        "q_doc_weighted_sample": _q_doc_weighted_sample_oracle_sql(),
         "q_doc_stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

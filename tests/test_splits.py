@@ -63,3 +63,49 @@ def test_sample_negatives_deterministic_and_excludes_self():
         a.sort_values(key).reset_index(drop=True)[key],
         b.sort_values(key).reset_index(drop=True)[key],
     )
+
+
+class TestWeightedSample:
+    """A-Res weighted reservoir sampling (splits.weighted_sample)."""
+
+    def test_deterministic_and_sharding_invariant(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.splits import weighted_sample
+
+        df = pd.DataFrame({"k": [f"d{i}" for i in range(500)],
+                           "w": np.linspace(1, 50, 500)})
+        a = weighted_sample(rd.from_pandas(df), "k", "w", k=40)
+        b = weighted_sample(rd.from_pandas(df).repartition(7), "k", "w", k=40)
+        assert a["k"].tolist() == b["k"].tolist()
+        assert len(a) == 40
+
+    def test_weight_bias(self, ray_session):
+        """Across many seeds, heavy rows are sampled far more often than
+        light ones (the A-Res inclusion-probability property)."""
+        import ray.data as rd
+
+        from whoiswho_ray.stages.splits import weighted_sample
+
+        df = pd.DataFrame({"k": [f"d{i}" for i in range(200)],
+                           "w": [100.0] * 20 + [1.0] * 180})
+        ds = rd.from_pandas(df)
+        heavy = 0
+        total = 0
+        for seed in range(8):
+            out = weighted_sample(ds, "k", "w", k=20, seed=seed)
+            heavy += out["w"].ge(100).sum()
+            total += len(out)
+        assert heavy / total > 0.6, heavy / total  # uniform would be 0.1
+
+    def test_k_exceeds_population_and_bad_weights(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.splits import weighted_sample
+
+        df = pd.DataFrame({"k": ["a", "b", "c"], "w": [1.0, 0.0, -2.0]})
+        out = weighted_sample(rd.from_pandas(df), "k", "w", k=10)
+        # zero/negative weights draw -inf keys and sort last, but are
+        # still returned when k exceeds the positive-weight population
+        assert out["k"].tolist()[0] == "a"
+        assert len(out) == 3

@@ -206,3 +206,56 @@ def stratified_sample(
         return df[u < f * 4294967296.0]
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Weighted reservoir sample without replacement — A-Res (Efraimidis
+    & Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row draws a uniform u and the k rows with the largest u^(1/w)
+    survive, which yields exactly the sequential weighted-sampling
+    distribution. The corpus-subsampling staple (sample 1M docs
+    proportional to length/quality from 10B) in one streaming pass.
+
+    Determinism: u = (first 8 md5 hex digits of '{seed}|{key}' + 0.5) /
+    2^32 — the same cross-engine-exact draw as ``stratified_sample``
+    (+0.5 keeps u strictly inside (0,1) so the log is finite). The sort
+    key is the monotone-equivalent ln(u)/w (descending, ties by key) —
+    one ln() per row, whose ≤1-ulp libm-vs-DuckDB difference is
+    absorbed by the measured gap at the k-th boundary.
+
+    Scale shape: per-batch partial top-k (vectorized argpartition), one
+    driver merge of k×batches candidate rows — no shuffle, no global
+    sort. Returns the k sampled rows as a DataFrame (key, weight, and
+    the selection key for callers that chain)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 weight_col: pd.Series([], dtype=np.float64),
+                                 "__s": pd.Series([], dtype=np.float64)})
+        u = np.fromiter(
+            (int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8], 16)
+             for key in df[key_col]),
+            dtype=np.float64, count=n)
+        u = (u + 0.5) / 4294967296.0
+        w = df[weight_col].to_numpy(np.float64)
+        s = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1.0), -np.inf)
+        out = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                            weight_col: w, "__s": s})
+        if n > k:
+            keep = np.argpartition(-s, k - 1)[:k]
+            out = out.iloc[keep]
+        return out
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["__s", key_col], ascending=[False, True],
+                            kind="stable").head(k)
+    return cand.reset_index(drop=True)
