@@ -130,3 +130,23 @@ class TestTriangleCount:
                               "dst": pd.Series([], dtype=object)})
         assert triangle_count(rd.from_pandas(edges)) == {
             "n_triangles": 0, "n_edges": 0, "n_nodes": 0}
+
+
+class TestPagerankPaths:
+    def test_distributed_equals_broadcast(self, ray_session):
+        """Force the co-group scale path (max_broadcast_nodes=0) and
+        assert it matches the broadcast path to float tolerance."""
+        rng = np.random.RandomState(23)
+        n = 120
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, n, 600)],
+            "dst": [f"n{v}" for v in rng.randint(0, n, 600)],
+        }).drop_duplicates()
+        edges = edges[edges["src"] != edges["dst"]]
+        a = pagerank(rd.from_pandas(edges), iters=3
+                     ).to_pandas().sort_values("node").reset_index(drop=True)
+        b = pagerank(rd.from_pandas(edges), iters=3, max_broadcast_nodes=0
+                     ).to_pandas().sort_values("node").reset_index(drop=True)
+        assert a["node"].tolist() == b["node"].tolist()
+        np.testing.assert_allclose(a["rank"].to_numpy(), b["rank"].to_numpy(),
+                                   rtol=1e-12)

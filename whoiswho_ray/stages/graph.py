@@ -85,10 +85,19 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_broadcast_nodes: int = 2_000_000,
 ) -> "rd.Dataset":
     """(src, dst) edge table → (node, rank) after ``iters`` power
     iterations from the uniform start. Multi-edges contribute once each
-    (pass a distinct edge table for simple-graph semantics)."""
+    (pass a distinct edge table for simple-graph semantics).
+
+    Two execution paths on the same math (the exact_dedup
+    ``broadcast_threshold`` pattern): node sets ≤ ``max_broadcast_nodes``
+    broadcast the rank vector (``ray.put`` per iteration) and reduce
+    per-batch contribution partials on the driver — ONE map job per
+    iteration, zero shuffles, the edges never re-sort. Larger graphs take
+    the fully-distributed co-group path (2 bucketed shuffles/iteration,
+    nothing node- or edge-sized on the driver)."""
     from whoiswho_ray.stages.agg import distinct
 
     d = float(damping)
@@ -105,6 +114,9 @@ def pagerank(
 
     ew = attach_out_weights(edges, src_col, dst_col).materialize()
     r0 = 1.0 / n
+
+    if n <= max_broadcast_nodes:
+        return _pagerank_broadcast(ew, nodes, n, d, iters)
 
     # has_out is static: stamp it once via a bucketed co-group of the
     # node table with the distinct source set (both stay distributed)
@@ -133,10 +145,16 @@ def pagerank(
     state = _bucketed(tagged_init, "node").groupby("__bucket").map_groups(
         init_state, batch_format="pandas").materialize()
 
+    # dangling-node existence is static; when there are none (e.g. any
+    # symmetrized edge set) the per-iteration mass pass is skipped —
+    # dangling_t is exactly 0 every round
+    n_src = srcs.count()
+    any_dangling = n_src < n
+
     for _ in range(iters):
-        dang = state.map_batches(
+        dang = (state.map_batches(
             lambda df: pd.DataFrame({"s": [df.loc[~df["has_out"], "r"].sum()]}),
-            batch_format="pandas").sum("s") or 0.0
+            batch_format="pandas").sum("s") or 0.0) if any_dangling else 0.0
         base = (1.0 - d) / n + d * float(dang) / n
 
         def tag_state(df: pd.DataFrame) -> pd.DataFrame:
@@ -335,3 +353,47 @@ def triangle_count(
         close, batch_format="pandas").sum("t") or 0
     return {"n_triangles": int(total), "n_edges": int(n_edges),
             "n_nodes": int(n_nodes)}
+
+
+def _pagerank_broadcast(ew: "rd.Dataset", nodes: "rd.Dataset", n: int,
+                        d: float, iters: int) -> "rd.Dataset":
+    """Broadcast-state path: the sorted node array + rank vector ride
+    ``ray.put`` once per iteration; each edge batch emits per-destination
+    partial sums (searchsorted positions, bincount) and the driver adds
+    the O(n × blocks) partials. Edges stream in place — no shuffle, no
+    re-sort, ever."""
+    import ray
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=object))
+    pos = {v: i for i, v in enumerate(node_arr)}
+
+    def encode(df: pd.DataFrame, _pos=pos) -> pd.DataFrame:
+        return pd.DataFrame({
+            "si": df["src"].map(_pos).to_numpy(np.int64),
+            "di": df["dst"].map(_pos).to_numpy(np.int64),
+            "inv": df["inv"].to_numpy(np.float64),
+        })
+
+    eidx = ew.map_batches(encode, batch_format="pandas").materialize()
+    has_out = np.zeros(n, dtype=bool)
+    for b in eidx.iter_batches(batch_format="pandas", batch_size=1_000_000):
+        has_out[np.unique(b["si"].to_numpy())] = True
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = float(r[~has_out].sum())
+        base = (1.0 - d) / n + d * dang / n
+        ref = ray.put(r)
+
+        def partial(df: pd.DataFrame, _ref=ref, _d=d, _n=n) -> pd.DataFrame:
+            rv = ray.get(_ref)
+            c = _d * rv[df["si"].to_numpy()] * df["inv"].to_numpy()
+            sums = np.bincount(df["di"].to_numpy(), weights=c, minlength=_n)
+            nz = np.flatnonzero(sums)
+            return pd.DataFrame({"i": nz.astype(np.int64), "c": sums[nz]})
+
+        parts = eidx.map_batches(partial, batch_format="pandas").to_pandas()
+        r = np.full(n, base)
+        np.add.at(r, parts["i"].to_numpy(), parts["c"].to_numpy())
+
+    return rd.from_pandas(pd.DataFrame({"node": node_arr, "rank": r}))
