@@ -1054,6 +1054,43 @@ def _q_graph_pagerank_oracle_sql() -> str:
 
 WSAMPLE_K = 100
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority", "o_orderdate"]
+
+
+def q_profile_orders(sf_dir: str):
+    """Per-column data profile (``agg.profile_columns``): row count,
+    nulls, exact distinct count, native-domain min/max over the orders
+    table — the profiling pass every ingest pipeline runs first."""
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import profile_columns
+
+    ds = read_table(sf_dir, "orders", columns=PROFILE_COLS)
+    out = profile_columns(ds, PROFILE_COLS)
+    return pd.DataFrame({
+        "col": out["column"],
+        "n": out["n"].astype(np.int64),
+        "nulls": out["nulls"].astype(np.int64),
+        "n_distinct": out["n_distinct"].astype(np.int64),
+        "min_s": out["min_s"].astype(str),
+        "max_s": out["max_s"].astype(str),
+    })
+
+
+def _q_profile_orders_oracle_sql() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS col, count(*) AS n,
+               count(*) - count({c}) AS nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
 
 def q_doc_weighted_sample(sf_dir: str):
     """Weighted reservoir sample (A-Res, ``splits.weighted_sample``):
@@ -1596,6 +1633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_top_tokens": q_doc_top_tokens,
         "q_doc_stratified_sample": q_doc_stratified_sample,
         "q_doc_weighted_sample": q_doc_weighted_sample,
+        "q_profile_orders": q_profile_orders,
         "q_doc_chunks": q_doc_chunks,
         "q_doc_redact_pii": q_doc_redact_pii,
         "q_doc_search_pruned": q_doc_search_pruned,
@@ -1620,7 +1658,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temporal_split": q_temporal_split,
         "q_cap_per_group": q_cap_per_group,
         "q_kfold_assign": q_kfold_assign,
-        "q_events_top_per_user": q_events_top_per_user,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -1643,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_keys": q_union_keys,
         "q_distinct_flags": q_distinct_flags,
         "q_negative_samples": q_negative_samples,
+        "q_events_top_per_user": q_events_top_per_user,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2285,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "q_doc_weighted_sample": _q_doc_weighted_sample_oracle_sql(),
+        "q_profile_orders": _q_profile_orders_oracle_sql(),
         "q_doc_stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

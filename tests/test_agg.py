@@ -156,3 +156,33 @@ class TestSearchEmptyTerms:
         idx = build_inverted_index(rd.from_pandas(df))
         out = search_all_terms(idx, [])
         assert len(out) == 0 and list(out.columns) == ["doc_id"]
+
+
+class TestProfileColumns:
+    def test_stats_and_native_minmax(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import profile_columns
+
+        df = pd.DataFrame({
+            "i": [9, 10, 2, None, 2],          # string-min trap: "10" < "2"
+            "s": ["b", None, "a", "a", "c"],
+        })
+        out = profile_columns(rd.from_pandas(df).repartition(3), ["i", "s"]
+                              ).set_index("column")
+        assert out.loc["i", "n"] == 5 and out.loc["i", "nulls"] == 1
+        assert out.loc["i", "n_distinct"] == 3
+        assert out.loc["i", "min_s"] == "2.0" and out.loc["i", "max_s"] == "10.0"
+        assert out.loc["s", "nulls"] == 1 and out.loc["s", "n_distinct"] == 3
+        assert out.loc["s", "min_s"] == "a" and out.loc["s", "max_s"] == "c"
+
+    def test_all_null_column(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.agg import profile_columns
+
+        df = pd.DataFrame({"x": [None, None], "y": [1, 2]})
+        out = profile_columns(rd.from_pandas(df), ["x", "y"]).set_index("column")
+        assert out.loc["x", "nulls"] == 2
+        assert out.loc["x", "n_distinct"] == 0
+        assert out.loc["x", "min_s"] is None

@@ -396,3 +396,56 @@ def grouped_quantiles(
 
     return group_apply(ds, key, bucket_q, batch_format="pyarrow",
                        num_buckets=num_buckets, whole_bucket=True)
+
+
+def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> pd.DataFrame:
+    """Per-column data profile — the data-engineering staple (n, nulls,
+    exact distinct count, lexicographic min/max as strings) over a
+    streaming pass per statistic family:
+
+    * n / nulls / min / max: one ``map_batches`` partial per batch (four
+      numbers per column per batch), driver combine — no shuffle;
+    * n_distinct: EXACT, one bucketed ``distinct(final='shuffle')`` count
+      per column (unbounded cardinality never lands on the driver; swap
+      in ``sketch.hll_count`` when approximate is acceptable at scale).
+
+    min/max are reported as strings via ``str()`` of the native value —
+    callers needing typed extremes should read the column directly; for
+    cross-engine exactness use integer/string/date columns (float
+    formatting differs between engines).
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # WIDE layout — one row per batch, per-statistic columns stay in
+        # each source column's native type (min/max must combine in the
+        # native domain: stringifying first would compare "10" < "9",
+        # and a tall object column would mix types across source columns
+        # and break the Arrow block conversion)
+        row = {}
+        for c in cols:
+            s = df[c]
+            nn = s.notna()
+            vals = s[nn]
+            row[f"n__{c}"] = [len(s)]
+            row[f"z__{c}"] = [int((~nn).sum())]
+            row[f"lo__{c}"] = [vals.min() if len(vals) else None]
+            row[f"hi__{c}"] = [vals.max() if len(vals) else None]
+        return pd.DataFrame(row)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for c in cols:
+        mins = parts[f"lo__{c}"].dropna()
+        maxs = parts[f"hi__{c}"].dropna()
+        nd = distinct(
+            ds.map_batches(lambda df, _c=c: df.loc[df[_c].notna(), [_c]],
+                           batch_format="pandas"),
+            [c], final="shuffle").count()
+        out.append({
+            "column": c,
+            "n": int(parts[f"n__{c}"].sum()),
+            "nulls": int(parts[f"z__{c}"].sum()),
+            "n_distinct": int(nd),
+            "min_s": str(mins.min()) if len(mins) else None,
+            "max_s": str(maxs.max()) if len(maxs) else None,
+        })
+    return pd.DataFrame(out)
