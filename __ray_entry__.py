@@ -1058,6 +1058,42 @@ PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                 "o_orderpriority", "o_orderdate"]
 
 
+def q_left_join_orders(sf_dir: str):
+    """LEFT outer shuffle-hash join (``joins.shuffle_hash_join(how=
+    'left')`` — the typed-null-padded outer branch, previously only
+    inner-gated): every customer with their order count, zero-order
+    customers included."""
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    counts = grouped_agg(
+        read_table(sf_dir, "orders", columns=["o_custkey"]),
+        "o_custkey", {"n_orders": (None, "count")}, final="shuffle"
+    ).map_batches(lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+                  batch_format="pandas")
+    out = shuffle_hash_join(cust, counts, on="c_custkey", how="left")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype(np.int64),
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": df["n_orders"].fillna(0).astype(np.int64),
+        }), batch_format="pandas")
+
+
+def _q_left_join_orders_oracle_sql() -> str:
+    return """
+        SELECT c.c_custkey, c.c_mktsegment,
+               coalesce(o.n, 0) AS n_orders
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+        ON o.o_custkey = c.c_custkey
+    """
+
+
 def q_profile_orders(sf_dir: str):
     """Per-column data profile (``agg.profile_columns``): row count,
     nulls, exact distinct count, native-domain min/max over the orders
@@ -1634,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_stratified_sample": q_doc_stratified_sample,
         "q_doc_weighted_sample": q_doc_weighted_sample,
         "q_profile_orders": q_profile_orders,
+        "q_left_join_orders": q_left_join_orders,
         "q_doc_chunks": q_doc_chunks,
         "q_doc_redact_pii": q_doc_redact_pii,
         "q_doc_search_pruned": q_doc_search_pruned,
@@ -1655,7 +1692,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
-        "q_temporal_split": q_temporal_split,
         "q_cap_per_group": q_cap_per_group,
         "q_kfold_assign": q_kfold_assign,
         "snd_normalize": snd_normalize,
@@ -1681,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_flags": q_distinct_flags,
         "q_negative_samples": q_negative_samples,
         "q_events_top_per_user": q_events_top_per_user,
+        "q_temporal_split": q_temporal_split,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2324,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_doc_weighted_sample": _q_doc_weighted_sample_oracle_sql(),
         "q_profile_orders": _q_profile_orders_oracle_sql(),
+        "q_left_join_orders": _q_left_join_orders_oracle_sql(),
         "q_doc_stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

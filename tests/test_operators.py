@@ -1083,3 +1083,22 @@ class TestEmbeddingSimjoin:
         # a pair-free corpus yields zero rows (Ray drops the schema of
         # fully-empty datasets, so only emptiness is asserted)
         assert len(out) == 0
+
+
+class TestLeftOuterJoin:
+    def test_left_join_keeps_unmatched_with_typed_nulls(self, ray_session):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.joins import shuffle_hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+        # include an int64 > 2^53 payload: the typed-null Arrow padding
+        # must not round-trip through float64 (the r2 ADVICE bug class)
+        big = 9007199254740993
+        right = pd.DataFrame({"k": [2, 4], "rv": [big, 7]})
+        out = shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                                on="k", how="left").to_pandas().sort_values("k")
+        assert out["k"].tolist() == [1, 2, 3, 4]
+        matched = out.set_index("k")["rv"]
+        assert matched[2] == big and matched[4] == 7
+        assert pd.isna(matched[1]) and pd.isna(matched[3])
