@@ -841,6 +841,96 @@ CC_MIN_ORDERS = 4  # customer–supplier edges need ≥ this many distinct order
 TRI_SHARE_FRAC = 0.3  # co-supplier edge: pair shares ≥ this fraction of suppliers
 
 
+LPA_ITERS = 4
+
+
+def q_graph_communities(sf_dir: str):
+    """Label-propagation community detection (``graph.label_propagation``,
+    Raghavan et al. 2007, deterministic synchronous variant) over the
+    co-supplier customer projection (same ≥30%-shared-suppliers edges as
+    the triangle query — a graph with planted clique structure). Fully
+    discrete output (node, community), no floats anywhere."""
+    import math
+
+    import pandas as pd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct, group_apply, grouped_agg
+    from whoiswho_ray.stages.graph import label_propagation
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    cs = distinct(shuffle_hash_join(orders, li, on="o_orderkey"),
+                  ["o_custkey", "l_suppkey"], final="shuffle").materialize()
+    n_supp = int(distinct(cs, ["l_suppkey"], final="shuffle").count())
+    min_shared = max(1, math.ceil(TRI_SHARE_FRAC * n_supp))
+
+    def pairs_per_supplier(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["o_custkey"].to_numpy())
+        m = c.size
+        if m < 2:
+            return pd.DataFrame({"c1": pd.Series([], dtype=np.int64),
+                                 "c2": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(m, 1)
+        return pd.DataFrame({"c1": c[ii], "c2": c[jj]})
+
+    pairs = group_apply(cs, "l_suppkey", pairs_per_supplier,
+                        batch_format="pandas")
+    counts = grouped_agg(pairs, ["c1", "c2"], {"n": (None, "count")},
+                         final="shuffle")
+    edges = counts.map_batches(
+        lambda df, _m=min_shared: pd.DataFrame({
+            "src": "c" + df.loc[df["n"] >= _m, "c1"].astype(str),
+            "dst": "c" + df.loc[df["n"] >= _m, "c2"].astype(str)}),
+        batch_format="pandas")
+    return label_propagation(edges, iters=LPA_ITERS)
+
+
+def _q_graph_communities_oracle_sql() -> str:
+    f = TRI_SHARE_FRAC
+    parts = [f"""
+        cs AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        ns AS (SELECT count(DISTINCT s) AS n FROM cs),
+        thr AS (SELECT greatest(1, CAST(ceil({f!r} * n) AS BIGINT)) AS t FROM ns),
+        pc AS (SELECT a.c AS c1, b.c AS c2, count(*) AS n
+               FROM cs a JOIN cs b ON a.s = b.s AND a.c < b.c
+               GROUP BY 1, 2),
+        e0 AS (SELECT 'c' || CAST(c1 AS VARCHAR) AS a, 'c' || CAST(c2 AS VARCHAR) AS b
+               FROM pc WHERE n >= (SELECT t FROM thr)),
+        edges AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM e0
+            UNION SELECT b, a FROM e0),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        l0 AS (SELECT node, node AS lab FROM nodes)"""]
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(f"""
+        v{i} AS (
+            SELECT e.dst AS node, p.lab, count(*) AS c
+            FROM edges e JOIN l{i - 1} p ON p.node = e.src
+            GROUP BY 1, 2),
+        m{i} AS (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM v{i}) WHERE rn = 1),
+        l{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(m.lab, p.lab) AS lab
+            FROM nodes n
+            JOIN l{i - 1} p ON p.node = n.node
+            LEFT JOIN m{i} m ON m.node = n.node)""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT node, lab AS community FROM l{LPA_ITERS}
+    """
+
+
 def q_graph_triangles(sf_dir: str):
     """Exact triangle count (``graph.triangle_count``, degree-oriented
     wedge join) over the customer co-purchase projection: an edge links
@@ -1665,7 +1755,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_decontaminate": q_doc_decontaminate,
         "q_events_hll_users": q_events_hll_users,
         "q_events_quantiles": q_events_quantiles,
-        "q_events_user_quantiles": q_events_user_quantiles,
         "q_doc_top_tokens": q_doc_top_tokens,
         "q_doc_stratified_sample": q_doc_stratified_sample,
         "q_doc_weighted_sample": q_doc_weighted_sample,
@@ -1689,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_pagerank": q_graph_pagerank,
         "q_graph_components": q_graph_components,
         "q_graph_triangles": q_graph_triangles,
+        "q_graph_communities": q_graph_communities,
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
         "q_clean_names": q_clean_names,
@@ -1718,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_negative_samples": q_negative_samples,
         "q_events_top_per_user": q_events_top_per_user,
         "q_temporal_split": q_temporal_split,
+        "q_events_user_quantiles": q_events_user_quantiles,
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,
@@ -2599,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_pagerank": _q_graph_pagerank_oracle_sql(),
         "q_graph_components": _q_graph_components_oracle_sql(),
         "q_graph_triangles": _q_graph_triangles_oracle_sql(),
+        "q_graph_communities": _q_graph_communities_oracle_sql(),
         "q_embedding_dups": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.label AS label, a.vec_id AS key_a, b.vec_id AS key_b

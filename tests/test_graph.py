@@ -150,3 +150,73 @@ class TestPagerankPaths:
         assert a["node"].tolist() == b["node"].tolist()
         np.testing.assert_allclose(a["rank"].to_numpy(), b["rank"].to_numpy(),
                                    rtol=1e-12)
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _reference(edges: pd.DataFrame, iters: int) -> dict:
+        """Synchronous LPA, ties -> smallest label string."""
+        adj = {}
+        for _, r in edges.iterrows():
+            a, b = str(r["src"]), str(r["dst"])
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v, nbrs in adj.items():
+                counts = {}
+                for u in nbrs:
+                    counts[lab[u]] = counts.get(lab[u], 0) + 1
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[v] = best
+            lab = new
+        return lab
+
+    def test_two_cliques_with_bridge(self, ray_session):
+        from whoiswho_ray.stages.graph import label_propagation
+
+        import itertools
+        c1 = list("abcd")
+        c2 = list("wxyz")
+        rows = [(u, v) for u, v in itertools.combinations(c1, 2)]
+        rows += [(u, v) for u, v in itertools.combinations(c2, 2)]
+        rows.append(("d", "w"))  # bridge
+        edges = pd.DataFrame(rows, columns=["src", "dst"])
+        out = label_propagation(rd.from_pandas(edges), iters=4
+                                ).to_pandas().set_index("node")["community"]
+        assert len(set(out[c1])) == 1 and len(set(out[c2])) == 1
+        assert out["a"] != out["z"]
+
+    def test_matches_reference_random(self, ray_session):
+        from whoiswho_ray.stages.graph import label_propagation
+
+        rng = np.random.RandomState(29)
+        n = 40
+        edges = pd.DataFrame({
+            "src": [f"n{v:02d}" for v in rng.randint(0, n, 160)],
+            "dst": [f"n{v:02d}" for v in rng.randint(0, n, 160)],
+        })
+        out = label_propagation(rd.from_pandas(edges).repartition(3), iters=3
+                                ).to_pandas()
+        ref = self._reference(edges, iters=3)
+        assert len(out) == len(ref)
+        for r in out.itertuples():
+            assert r.community == ref[r.node], r.node
+
+    def test_paths_agree(self, ray_session):
+        from whoiswho_ray.stages.graph import label_propagation
+
+        rng = np.random.RandomState(31)
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, 50, 200)],
+            "dst": [f"n{v}" for v in rng.randint(0, 50, 200)],
+        })
+        a = label_propagation(rd.from_pandas(edges), iters=3
+                              ).to_pandas().sort_values("node").reset_index(drop=True)
+        b = label_propagation(rd.from_pandas(edges), iters=3,
+                              max_broadcast_nodes=0
+                              ).to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -397,3 +397,158 @@ def _pagerank_broadcast(ew: "rd.Dataset", nodes: "rd.Dataset", n: int,
         np.add.at(r, parts["i"].to_numpy(), parts["c"].to_numpy())
 
     return rd.from_pandas(pd.DataFrame({"node": node_arr, "rank": r}))
+
+
+def label_propagation(
+    edges: "rd.Dataset",
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_broadcast_nodes: int = 2_000_000,
+) -> "rd.Dataset":
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, "Near linear time algorithm to detect community structures
+    in large-scale networks") — deterministic variant: labels start as
+    the node ids, every round each node adopts the most frequent label
+    among its UNDIRECTED neighbors (ties → lexicographically smallest
+    label; isolated-in-round nodes keep their label), all nodes update
+    simultaneously, fixed ``iters`` rounds. Fully discrete — no floats —
+    so the SQL replay is exact with no margin argument at all.
+
+    Same dual-path shape as :func:`pagerank`: small node sets broadcast
+    the label vector (one map job per round, per-batch (dst, label)
+    count partials, driver mode); large graphs run the co-group path
+    (attach labels to edges on src, bucketed mode reduce on dst — 2
+    shuffles per round, nothing node-sized on the driver)."""
+    from whoiswho_ray.stages.agg import distinct
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([df[src_col], df[dst_col]], ignore_index=True).astype(str),
+            "dst": pd.concat([df[dst_col], df[src_col]], ignore_index=True).astype(str),
+        })
+
+    und = distinct(edges.map_batches(sym, batch_format="pandas"),
+                   ["src", "dst"], final="shuffle")
+    und = und.map_batches(lambda df: df[df["src"] != df["dst"]],
+                          batch_format="pandas").materialize()
+    nodes = distinct(und.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"]}), batch_format="pandas"),
+        ["node"], final="shuffle").materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "community": pd.Series([], dtype=object)}))
+
+    if n <= max_broadcast_nodes:
+        return _lpa_broadcast(und, nodes, n, iters)
+
+    # ---- co-group scale path ----
+    state = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "lab": df["node"]}),
+        batch_format="pandas").materialize()
+    for _ in range(iters):
+        def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"], "dst": [""] * len(df),
+                                 "lab": df["lab"], "__side": ["l"] * len(df)})
+
+        def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["src"], "dst": df["dst"],
+                                 "lab": [""] * len(df), "__side": ["e"] * len(df)})
+
+        both = state.map_batches(tag_l, batch_format="pandas").union(
+            und.map_batches(tag_e, batch_format="pandas"))
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            df = g.drop(columns="__bucket")
+            l = df[df["__side"] == "l"][["node", "lab"]]
+            e = df[df["__side"] == "e"][["node", "dst"]]
+            if not len(e) or not len(l):
+                return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                     "lab": pd.Series([], dtype=object)})
+            m = e.merge(l, on="node")
+            # pre-aggregate (dst, lab) counts inside the task
+            c = m.groupby(["dst", "lab"], sort=False).size().reset_index(name="c")
+            return c.rename(columns={"dst": "node"})
+
+        votes = _bucketed(both, "node").groupby("__bucket").map_groups(
+            attach, batch_format="pandas")
+
+        def tag_v(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["own"] = [""] * len(df)
+            return out
+
+        def tag_own(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"], "lab": [""] * len(df),
+                                 "c": np.zeros(len(df), np.int64),
+                                 "own": df["lab"]})
+
+        merged = votes.map_batches(tag_v, batch_format="pandas").union(
+            state.map_batches(tag_own, batch_format="pandas"))
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            df = g.drop(columns="__bucket")
+            own = df[df["own"] != ""][["node", "own"]]
+            v = df[df["own"] == ""]
+            agg = (v.groupby(["node", "lab"], sort=False)["c"].sum().reset_index()
+                   .sort_values(["node", "c", "lab"],
+                                ascending=[True, False, True], kind="stable")
+                   .drop_duplicates("node"))
+            out = own.merge(agg[["node", "lab"]], on="node", how="left")
+            out["lab"] = out["lab"].fillna(out["own"])
+            return out[["node", "lab"]]
+
+        state = _bucketed(merged, "node").groupby("__bucket").map_groups(
+            pick, batch_format="pandas").materialize()
+
+    return state.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "community": df["lab"]}),
+        batch_format="pandas")
+
+
+def _lpa_broadcast(und: "rd.Dataset", nodes: "rd.Dataset", n: int,
+                   iters: int) -> "rd.Dataset":
+    """Broadcast path: integer-encoded edges stream in place; each round
+    ships the label vector via ``ray.put``, per-batch (dst, label) count
+    partials combine on the driver, mode with ties → smallest label."""
+    import ray
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=object))
+    pos = {v: i for i, v in enumerate(node_arr)}
+
+    eidx = und.map_batches(
+        lambda df, _p=pos: pd.DataFrame({
+            "si": df["src"].map(_p).to_numpy(np.int64),
+            "di": df["dst"].map(_p).to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    lab = np.arange(n, dtype=np.int64)  # label = index of own node id
+    for _ in range(iters):
+        ref = ray.put(lab)
+
+        def partial(df: pd.DataFrame, _ref=ref, _n=n) -> pd.DataFrame:
+            lv = ray.get(_ref)
+            key = df["di"].to_numpy() * np.int64(_n) + lv[df["si"].to_numpy()]
+            u, c = np.unique(key, return_counts=True)
+            return pd.DataFrame({"k": u, "c": c.astype(np.int64)})
+
+        parts = eidx.map_batches(partial, batch_format="pandas").to_pandas()
+        agg = parts.groupby("k", sort=False)["c"].sum().reset_index()
+        di = (agg["k"].to_numpy() // n).astype(np.int64)
+        lb = (agg["k"].to_numpy() % n).astype(np.int64)
+        c = agg["c"].to_numpy()
+        # mode per dst: sort by (dst, -count, label) and take the first
+        order = np.lexsort((lb, -c, di))
+        di, lb = di[order], lb[order]
+        first = np.r_[True, di[1:] != di[:-1]]
+        new = lab.copy()
+        new[di[first]] = lb[first]
+        lab = new
+
+    # labels map back to node-id strings: the community id is the node id
+    # whose index won (node_arr is sorted, so index order == lexicographic
+    # order and tie-breaks match the string rule)
+    return rd.from_pandas(pd.DataFrame({"node": node_arr,
+                                        "community": node_arr[lab]}))
