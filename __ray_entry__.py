@@ -1361,7 +1361,8 @@ def snd_clusters_sgc(sf_dir: str):
     return run_snd_sgc(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
-def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None) -> str:
+def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None,
+                                 cfg=None) -> str:
     """SQL replay of ``make_block_sgc_clusters``: strong edges from the
     base scores → closed neighborhoods N̄ (self loops + symmetrized
     strong pairs) → smoothed Gram Ĝ_ij = Σ_{k∈N̄(i), l∈N̄(j)} G_kl via two
@@ -1372,7 +1373,7 @@ def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None) -> str:
     gaps (same regime as the other cluster oracles)."""
     from whoiswho_ray.config import SNDConfig
 
-    c = SNDConfig()
+    c = cfg or SNDConfig()
     ts = c.tau_edge if tau_strong is None else tau_strong
     score = _score_expr(c)
     return f"""
@@ -1395,13 +1396,20 @@ def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None) -> str:
             SELECT x.a AS i, y.a AS j, sum(g.dot) AS v
             FROM nbr x JOIN gpair g ON g.a = x.b JOIN nbr y ON y.b = g.b
             GROUP BY 1, 2),
+        blockn AS (SELECT block_key, count(*) AS bn FROM rec GROUP BY 1),
         sgc AS MATERIALIZED (
+            -- replay of the engine's matrix_block_cap fallback (ADVICE
+            -- r3): blocks larger than the cap keep their RAW score
+            -- (make_block_sgc_clusters skips smoothing there), so the
+            -- oracle stays exact at any scale factor
             SELECT s.block_key, s.ra, s.rb,
-                   s.score + {c.w_tfidf!r} * ((CASE
+                   CASE WHEN bn.bn > {c.matrix_block_cap} THEN s.score
+                   ELSE s.score + {c.w_tfidf!r} * ((CASE
                        WHEN coalesce(gi.v, 0) > 0 AND coalesce(gj.v, 0) > 0
                        THEN coalesce(gh.v, 0) / sqrt(gi.v * gj.v)
-                       ELSE 0.0 END) - s.cos) AS score2
+                       ELSE 0.0 END) - s.cos) END AS score2
             FROM scored s
+            JOIN blockn bn ON bn.block_key = s.block_key
             LEFT JOIN ghat gh ON gh.i = s.ra AND gh.j = s.rb
             LEFT JOIN ghat gi ON gi.i = s.ra AND gi.j = s.ra
             LEFT JOIN ghat gj ON gj.i = s.rb AND gj.j = s.rb),

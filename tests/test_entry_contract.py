@@ -55,3 +55,27 @@ def test_query_matches_oracle(name, con):
     oracle = con.execute(entrymod.oracle_sql()[name]).fetchdf()
     problems = compare(name, mine, oracle)
     assert not problems, problems
+
+
+def test_sgc_oracle_replays_matrix_block_cap(con):
+    """Blocks above matrix_block_cap fall back to raw scores in the
+    engine; the SQL oracle replays that CASE so the two stay exact at any
+    scale (ADVICE r3). Force the fallback on every block with a tiny cap
+    and compare engine vs oracle under the same config."""
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.pipelines.snd import run_snd_sgc
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    cfg = SNDConfig(matrix_block_cap=4)
+    # the fixture's blocks really do exceed the forced cap (non-vacuous)
+    max_block = con.execute(
+        f"SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM read_parquet("
+        f"'{SF}/documents.parquet') GROUP BY doc_id % "
+        f"{entrymod.N_DOC_BLOCKS})").fetchone()[0]
+    assert max_block > cfg.matrix_block_cap
+    mine = to_pandas(run_snd_sgc(
+        records_from_documents(SF, n_blocks=entrymod.N_DOC_BLOCKS), cfg=cfg))
+    oracle = con.execute(
+        entrymod._snd_clusters_sgc_oracle_sql(cfg=cfg)).fetchdf()
+    problems = compare("snd_clusters_sgc_capped", mine, oracle)
+    assert not problems, problems

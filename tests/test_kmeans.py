@@ -78,6 +78,39 @@ class TestKmeans:
         b = kmeans_init(rd.from_pandas(shuffled), k=6)
         np.testing.assert_array_equal(a, b)
 
+    def test_init_never_global_sorts(self, ray_session, monkeypatch):
+        """Seed selection is a per-batch partial top-k + driver merge —
+        no whole-dataset sort().limit(k) shuffle (VERDICT r3 #3), with
+        seeds identical to the documented smallest-md5 rule."""
+        import hashlib
+
+        def boom(self, *a, **k):
+            raise AssertionError("global sort in kmeans_init")
+
+        monkeypatch.setattr(rd.Dataset, "sort", boom)
+        df, _ = _blobs(n_per=30, k=3, d=8, seed=11)
+        got = kmeans_init(rd.from_pandas(df), k=6)
+        h = np.argsort([hashlib.md5(str(v).encode()).hexdigest()
+                        for v in df["vec_id"]], kind="stable")[:6]
+        expect = np.asarray([np.asarray(v, np.float64)
+                             for v in df["embedding"].iloc[h]])
+        np.testing.assert_array_equal(got, expect)
+
+    def test_empty_batch_guards(self, ray_session):
+        """Empty blocks pass through partials and assign without crashing
+        (ADVICE r3: X[:, None, :] raised IndexError on a 0-row batch)."""
+        from whoiswho_ray.stages.kmeans import _partial_stats
+
+        cents = np.zeros((3, 4))
+        out = _partial_stats(pd.DataFrame({"embedding": []}), cents, "embedding")
+        assert len(out) == 0
+        assert list(out.columns) == ["cluster", "n", "vsum"]
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "embedding": pd.Series([], dtype=object)})
+        assigned = kmeans_assign(rd.from_pandas(empty), cents,
+                                 keep=["vec_id"]).to_pandas()
+        assert len(assigned) == 0
+
     def test_empty_cluster_keeps_centroid(self, ray_session):
         # 10 identical points: every vector lands in one cluster; the
         # other seeds (duplicates of the same point) must keep their

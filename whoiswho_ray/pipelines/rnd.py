@@ -519,16 +519,36 @@ def fit_rnd_ensemble(
 
     n_known = known_vectorized.count()
     if n_known > max_train_records:
-        def add_h(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__h"] = pd.util.hash_pandas_object(
-                df["record_id"], index=False).to_numpy().astype(np.int64)
-            return df
+        # Smallest-hash sample without a global sort (VERDICT r3 #3):
+        # materialize once (count() above already executed upstream; the
+        # old sort().limit() materialized the same payload inside the
+        # shuffle), then pick the sample keys via a per-batch partial
+        # top-k over bare (record_id, hash) rows + driver merge, and
+        # broadcast-filter the blocks by key membership. Ties by record_id.
+        import ray as _ray
 
-        known_vectorized = (known_vectorized
-                            .map_batches(add_h, batch_format="pandas")
-                            .sort("__h").limit(max_train_records)
-                            .drop_columns(["__h"]))
+        known_vectorized = known_vectorized.materialize()
+
+        def keys_h(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"record_id": df["record_id"].to_numpy()})
+            out["__h"] = pd.util.hash_pandas_object(
+                out["record_id"], index=False).to_numpy().astype(np.int64)
+            if len(out) > max_train_records:
+                out = out.sort_values(["__h", "record_id"],
+                                      kind="stable").head(max_train_records)
+            return out
+
+        cand = (known_vectorized.select_columns(["record_id"])
+                .map_batches(keys_h, batch_format="pandas").to_pandas())
+        keep = frozenset(cand.sort_values(["__h", "record_id"], kind="stable")
+                         .head(max_train_records)["record_id"])
+        ref = _ray.put(keep)
+
+        def filt(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            return df[df["record_id"].isin(_ray.get(_ref))]
+
+        known_vectorized = known_vectorized.map_batches(
+            filt, batch_format="pandas")
     feats = expand_knrm(
         rnd_knrm_features(known_vectorized, profiles, n_kernels, sigma,
                           with_graph=with_graph), n_kernels)

@@ -41,14 +41,56 @@ def _arrow_type(t):
     return pa.from_numpy_dtype(dt)
 
 
+#: Fixed hash assigned to NULL key values — keeps nulls co-located without
+#: ever letting a null-induced pandas dtype promotion change a VALUE's hash.
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _col_hash(col) -> np.ndarray:
+    """uint64 hash of one Arrow (chunked) key column, stable under nulls.
+
+    ``to_pandas()`` on an int64 column promotes to float64 only in batches
+    that happen to contain nulls, and pandas hashes int64 ``2`` and float64
+    ``2.0`` differently — the same key value would land in different shuffle
+    buckets across batches/sides (ADVICE r3). Canonicalize the dtype FIRST
+    (ints/bools/temporals → int64, floats → float64), hash the null-filled
+    values, then stamp null positions with a fixed sentinel hash.
+    """
+    import pyarrow as pa
+
+    t = col.type
+    if (pa.types.is_integer(t) or pa.types.is_boolean(t)
+            or pa.types.is_temporal(t)):
+        c = col.cast(pa.int64())
+        mask = c.is_null().to_numpy(zero_copy_only=False)
+        vals = c.fill_null(0).to_numpy(zero_copy_only=False)
+    elif pa.types.is_floating(t):
+        c = col.cast(pa.float64())
+        mask = c.is_null().to_numpy(zero_copy_only=False)
+        vals = c.fill_null(0.0).to_numpy(zero_copy_only=False)
+    else:
+        s = col.to_pandas()
+        mask = s.isna().to_numpy()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(
+            np.uint64)
+        if mask.any():
+            h = h.copy()
+            h[mask] = _NULL_HASH
+        return h
+    h = pd.util.hash_array(vals).astype(np.uint64)
+    if mask.any():
+        h[mask] = _NULL_HASH
+    return h
+
+
 def _key_hash(t, keys: list[str]) -> np.ndarray:
     """Deterministic uint64 hash of one or more key columns of an Arrow
-    table (FNV-style combine of per-column pandas siphashes)."""
+    table (FNV-style combine of per-column siphashes; dtype-canonical and
+    null-stable, see ``_col_hash``)."""
     h = np.zeros(t.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for k in keys:
-            h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
-                t.column(k).to_pandas(), index=False).to_numpy().astype(np.uint64)
+            h = h * np.uint64(1099511628211) ^ _col_hash(t.column(k))
     return h
 
 

@@ -51,24 +51,42 @@ def kmeans_init(
     ds: "rd.Dataset", k: int, vec_col: str = "embedding", key_col: str = "vec_id"
 ) -> np.ndarray:
     """Deterministic seeds: the k vectors whose ``md5(str(key))`` digests
-    are smallest, in digest order. One projected sort+limit — the same
-    order-invariant smallest-hash sampling rule used across the engine
-    (a sorted or re-sharded input cannot bias it)."""
+    are smallest, in digest order — the same order-invariant smallest-hash
+    sampling rule used across the engine (a sorted or re-sharded input
+    cannot bias it).
 
-    def add_h(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[key_col, vec_col]].copy()
-        df["__h"] = _md5_hex(df[key_col])
-        return df
+    Scale shape (VERDICT r3 #3): per-batch partial top-k + one driver
+    merge of k×batches candidates — the ``splits.weighted_sample``
+    pattern — instead of a whole-dataset ``sort().limit(k)``, which is a
+    global all-to-all shuffle just to pick k rows. Identical seeds (the
+    global k smallest digests are always within the per-batch k smallest),
+    zero shuffle operators in the plan."""
 
-    top = (ds.map_batches(add_h, batch_format="pandas")
-             .sort("__h").limit(k).to_pandas())
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"__h": pd.Series([], dtype=object),
+                                 vec_col: pd.Series([], dtype=object)})
+        out = pd.DataFrame({"__h": _md5_hex(df[key_col]),
+                            vec_col: list(df[vec_col])})
+        if len(out) > k:
+            out = out.sort_values("__h", kind="stable").head(k)
+        return out
+
+    cand = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = cand.sort_values("__h", kind="stable").head(k)
     return _as_matrix(top[vec_col])
 
 
 def _partial_stats(df: pd.DataFrame, cents: np.ndarray, vec_col: str) -> pd.DataFrame:
     """One batch → per-cluster partial (count, componentwise sum)."""
-    X = _as_matrix(df[vec_col])
     k, d = cents.shape
+    if len(df) == 0:
+        # typed empty partial: _as_matrix on an empty column is 1-D and
+        # X[:, None, :] would raise (ADVICE r3)
+        return pd.DataFrame({"cluster": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "vsum": pd.Series([], dtype=object)})
+    X = _as_matrix(df[vec_col])
     # explicit (x - c)^2 distances: the same arithmetic the SQL replay
     # performs (the dot-product expansion differs in rounding)
     dist = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -145,10 +163,13 @@ def kmeans_assign(
     ref = ray.put(np.asarray(cents, dtype=np.float64))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keep or [col for col in df.columns if col != vec_col]].copy()
+        if len(df) == 0:  # empty block: pass-through frame (ADVICE r3)
+            out["cluster"] = pd.Series([], dtype=np.int64)
+            return out
         c = ray.get(ref)
         X = _as_matrix(df[vec_col])
         dist = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        out = df[keep or [col for col in df.columns if col != vec_col]].copy()
         out["cluster"] = np.argmin(dist, axis=1).astype(np.int64)
         return out
 

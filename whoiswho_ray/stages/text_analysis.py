@@ -536,11 +536,13 @@ def _drop_hot_tokens(exploded: "ray.data.Dataset", max_df: int):
 
     class Filt:
         def __init__(self):
-            self.hot = ray.get(hot_ref)
+            # build the Arrow value_set ONCE per actor — rebuilding it per
+            # batch was an O(|hot| log |hot|) sort on the hot path of
+            # every max_df index build (ADVICE r3)
+            self.hot = pa.array(sorted(ray.get(hot_ref)))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(
-                t.column("token"), value_set=pa.array(sorted(self.hot))))
+            mask = pc.invert(pc.is_in(t.column("token"), value_set=self.hot))
             return t.filter(mask)
 
     return (exploded.map_batches(Filt, batch_format="pyarrow",
