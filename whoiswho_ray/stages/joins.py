@@ -184,10 +184,17 @@ def shuffle_hash_join(
     on: str | list[str],
     num_buckets: int = 16,
     how: str = "inner",
+    project=None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join: bucket both sides on the key hash, union with
     a side tag (typed-null Arrow padding — see :func:`arrow_tagged_union`),
     co-group by bucket, pandas-merge inside each group.
+
+    ``project``, if given, runs on each bucket's merged frame INSIDE the
+    join task (e.g. ``lambda m: m[cols].drop_duplicates()``) — fusing a
+    projection/local-dedup into the join so the full joined rows never
+    leave the bucket task. A downstream global pass (e.g. ``distinct``)
+    then shuffles only the projected survivors.
 
     Non-key column names must be disjoint between the sides: a shared
     payload name would silently occupy ONE physical column in the union
@@ -208,7 +215,8 @@ def shuffle_hash_join(
 
     def merge_bucket(g: pa.Table) -> pd.DataFrame:
         l, r = split_sides(g, lcols, rcols)
-        return l.to_pandas().merge(r.to_pandas(), on=keys, how=how)
+        m = l.to_pandas().merge(r.to_pandas(), on=keys, how=how)
+        return project(m) if project is not None else m
 
     return u.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
