@@ -57,18 +57,55 @@ class TextEncoder:
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-    def _fake_encode(self, texts: list) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, x in enumerate(texts):
-            for tok in tokenize_text(x or ""):
-                h = stable_hash64(tok)
-                out[i, h % self.dim] += 1.0 if (h >> 32) % 2 else -1.0
+    def _fake_encode(self, col) -> np.ndarray:
+        """Vectorized signed hashed bag-of-words (VERDICT r3 #6): Arrow
+        clean/split kernels + ``dictionary_encode`` + ONE hash per
+        batch-UNIQUE token + one ``np.add.at`` scatter — the
+        ``dedup._token_id_rows`` pattern — replacing the per-row,
+        per-token Python loop. Bit-identical to the loop: ±1 float32
+        accumulations are exact integers (commutative below 2^24), and
+        ``clean_text_column`` is the proven bit-exact column kernel for
+        the per-row cleaning chain."""
+        import pyarrow.compute as pc
+
+        from whoiswho_ray.functions.textnorm import (STOPWORDS,
+                                                     clean_text_column)
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nrows = len(col)
+        out = np.zeros((nrows, self.dim), dtype=np.float32)
+        cleaned = clean_text_column(col.fill_null(""))
+        toks = pc.split_pattern(cleaned, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        # tokenize_text keep rule (len>=2, non-stopword) + hash, once per
+        # batch-unique token; dropped tokens get position -1
+        upos = np.full(len(uniq), -1, np.int64)
+        usign = np.zeros(len(uniq), np.float32)
+        for j, u in enumerate(uniq):
+            if u and len(u) >= 2 and u not in STOPWORDS:
+                h = stable_hash64(u)
+                upos[j] = h % self.dim
+                usign[j] = 1.0 if (h >> 32) % 2 else -1.0
+        if codes.size:
+            row_of = np.repeat(np.arange(nrows, dtype=np.int64),
+                               np.diff(offsets))
+            pos = upos[codes]
+            keep = pos >= 0
+            np.add.at(out, (row_of[keep], pos[keep]), usign[codes][keep])
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        emb = self.encode(t.column(self.text_col).to_pylist())
+        emb = self.encode(t.column(self.text_col))
         off = pa.array(np.arange(0, (len(emb) + 1) * self.dim, self.dim, dtype=np.int32))
         col = pa.ListArray.from_arrays(off, pa.array(emb.ravel(), pa.float32()))
         return t.append_column("embedding", col)
