@@ -1367,8 +1367,21 @@ def snd_clusters_sgc(sf_dir: str):
     return run_snd_sgc(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS))
 
 
+def snd_clusters_sgc2(sf_dir: str):
+    """SGC clustering with ONE bond-style iterated refinement round
+    (T8 depth, VERDICT r3 #5 — the embed → pseudo-label → re-embed loop
+    of ``autotrain_bond.py:134-233``): round-0 components become
+    pseudo-labels, the Gram pools per cluster (centroid re-embedding)
+    and the pairs re-score and re-close. Unrolled exact DuckDB oracle."""
+    from whoiswho_ray.pipelines.snd import run_snd_sgc
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    return run_snd_sgc(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS),
+                       refine_rounds=1)
+
+
 def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None,
-                                 cfg=None) -> str:
+                                 cfg=None, refined: bool = False) -> str:
     """SQL replay of ``make_block_sgc_clusters``: strong edges from the
     base scores → closed neighborhoods N̄ (self loops + symmetrized
     strong pairs) → smoothed Gram Ĝ_ij = Σ_{k∈N̄(i), l∈N̄(j)} G_kl via two
@@ -1376,12 +1389,51 @@ def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None,
     smoothed cosine Ĝ_ij / √(Ĝ_ii·Ĝ_jj) replaces the raw cosine in the
     score → one component closure. Float parity: Ĝ sums differ from the
     BLAS matmul order at ~1e-15 relative, far below the corpus score
-    gaps (same regime as the other cluster oracles)."""
+    gaps (same regime as the other cluster oracles).
+
+    ``refined=True`` replays ONE bond-style pseudo-label refinement round
+    on top (``make_block_sgc_clusters(refine_rounds=1)``): the round-0
+    components become pseudo-labels, the Gram is pooled per component
+    pair (``csum`` — Σ over member×member dots, the cluster-centroid
+    Gram), the pair cosine swaps for the centroid cosine, and one more
+    closure runs. Over-cap blocks keep the raw score throughout (the
+    engine skips both smoothing and refinement there)."""
     from whoiswho_ray.config import SNDConfig
 
     c = cfg or SNDConfig()
     ts = c.tau_edge if tau_strong is None else tau_strong
     score = _score_expr(c)
+    final_comp = "comp2" if refined else "comp"
+    refined_ctes = f""",
+        csum AS MATERIALIZED (
+            SELECT x.c AS i, y.c AS j, sum(g.dot) AS v
+            FROM comp x JOIN gpair g ON g.a = x.record_id
+            JOIN comp y ON y.record_id = g.b
+            GROUP BY 1, 2),
+        sgc2 AS MATERIALIZED (
+            SELECT s.block_key, s.ra, s.rb,
+                   CASE WHEN bn.bn > {c.matrix_block_cap} THEN s.score
+                   ELSE s.score + {c.w_tfidf!r} * ((CASE
+                       WHEN coalesce(mi.v, 0) > 0 AND coalesce(mj.v, 0) > 0
+                       THEN coalesce(mij.v, 0) / sqrt(mi.v * mj.v)
+                       ELSE 0.0 END) - s.cos) END AS score3
+            FROM scored s
+            JOIN blockn bn ON bn.block_key = s.block_key
+            JOIN comp ca ON ca.record_id = s.ra
+            JOIN comp cb ON cb.record_id = s.rb
+            LEFT JOIN csum mij ON mij.i = ca.c AND mij.j = cb.c
+            LEFT JOIN csum mi ON mi.i = ca.c AND mi.j = ca.c
+            LEFT JOIN csum mj ON mj.i = cb.c AND mj.j = cb.c),
+        strong2 AS (SELECT ra, rb FROM sgc2 WHERE score3 >= {c.tau_edge!r}),
+        sym2 AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong2
+                UNION ALL SELECT rb, ra FROM strong2),
+        reach2(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a
+        ),
+        comp2 AS (SELECT a AS record_id, min(b) AS c FROM reach2 GROUP BY 1)""" \
+        if refined else ""
     return f"""
         WITH RECURSIVE {_snd_feature_ctes()},
         scored AS MATERIALIZED (
@@ -1427,11 +1479,11 @@ def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None,
             UNION
             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
         ),
-        comp AS (SELECT a AS record_id, min(b) AS c FROM reach GROUP BY 1)
+        comp AS (SELECT a AS record_id, min(b) AS c FROM reach GROUP BY 1){refined_ctes}
         SELECT r.block_key, r.record_id,
-               r.block_key || '#' || comp.c AS cluster_id,
+               r.block_key || '#' || {final_comp}.c AS cluster_id,
                r.content_sha256
-        FROM rec r JOIN comp USING (record_id)
+        FROM rec r JOIN {final_comp} USING (record_id)
     """
 
 
@@ -1773,7 +1825,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_supplier_bloom_semi": q_supplier_bloom_semi,
         "q_events_range_window": q_events_range_window,
-        "q_doc_token_stats": q_doc_token_stats,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_doc_ngram_pairs": q_doc_ngram_pairs,
         "q_doc_langid": q_doc_langid,
@@ -1809,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_clusters_rel": snd_clusters_rel,
         "snd_clusters_vote": snd_clusters_vote,
         "snd_clusters_sgc": snd_clusters_sgc,
+        "snd_clusters_sgc2": snd_clusters_sgc2,
         "ind_detect": ind_detect,
         "rnd_assign": rnd_assign,
         # rotated OUT of the graded window (green CORRECTNESS_r03 rows on
@@ -1818,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality/line_dedup/repetition/winnow/chunks/redact_pii ~ the
         # graded doc kernels); verified locally by tools/check_oracles.py
         "q_orders_by_month": q_orders_by_month,
+        "q_doc_token_stats": q_doc_token_stats,
         "q_events_tumbling": q_events_tumbling,
         "q_events_quantiles": q_events_quantiles,
         "q_doc_stratified_sample": q_doc_stratified_sample,
@@ -2777,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "rnd_assign": _rnd_assign_oracle_sql(),
         "snd_clusters_vote": _snd_clusters_vote_oracle_sql(),
         "snd_clusters_sgc": _snd_clusters_sgc_oracle_sql(),
+        "snd_clusters_sgc2": _snd_clusters_sgc_oracle_sql(refined=True),
         "ind_detect": _ind_detect_oracle_sql(),
         "q_negative_samples": f"""
             WITH rec AS (

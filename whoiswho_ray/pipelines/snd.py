@@ -190,6 +190,7 @@ def snd_sgc_cluster(
     cfg: SNDConfig | None = None,
     tau_strong: float | None = None,
     idf=None,
+    refine_rounds: int = 0,
 ) -> "rd.Dataset":
     """Graph-smoothed clustering tail (operator T8 analog — bond's
     per-name GNN, ``autotrain_bond.py:134-233``): the fused blocking
@@ -206,7 +207,8 @@ def snd_sgc_cluster(
 
     def fused(g):
         w = _idf_w_cached(idf_w_ref) if idf_w_ref is not None else None
-        return make_block_sgc_clusters(g, cfg, tau_strong=tau_strong, idf_w=w)
+        return make_block_sgc_clusters(g, cfg, tau_strong=tau_strong, idf_w=w,
+                                       refine_rounds=refine_rounds)
 
     return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
         fused, batch_format="pyarrow")
@@ -216,9 +218,12 @@ def run_snd_sgc(
     records: "rd.Dataset | str",
     cfg: SNDConfig | None = None,
     tau_strong: float | None = None,
+    refine_rounds: int = 0,
 ) -> "rd.Dataset":
     """records → graph-smoothed (SGC) clusters, the run_snd sibling
-    (same compact/ship_weights/sha_binary shuffle encoding)."""
+    (same compact/ship_weights/sha_binary shuffle encoding).
+    ``refine_rounds`` > 0 adds bond's iterated pseudo-label refinement
+    loop on top (see ``pairs.make_block_sgc_clusters``)."""
     from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
 
     cfg = cfg or SNDConfig()
@@ -230,7 +235,8 @@ def run_snd_sgc(
     idf = build_idf(normalized, cfg)
     vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS,
                     compact=True, ship_weights=False, sha_binary=True)
-    return snd_sgc_cluster(vec, cfg, tau_strong=tau_strong, idf=idf)
+    return snd_sgc_cluster(vec, cfg, tau_strong=tau_strong, idf=idf,
+                           refine_rounds=refine_rounds)
 
 
 def run_snd(

@@ -593,6 +593,7 @@ def make_block_sgc_clusters(
     cfg: SNDConfig,
     tau_strong: float | None = None,
     idf_w=None,
+    refine_rounds: int = 0,
 ) -> pa.Table:
     """Graph-smoothed clustering — the per-name GNN analog (operator T8,
     bond's ``/root/reference/bond/training/autotrain_bond.py:134-233``,
@@ -618,6 +619,18 @@ def make_block_sgc_clusters(
     beyond ``matrix_block_cap`` (hot blocks, already salted into
     sub-blocks upstream) fall back to the raw score — smoothing within a
     salted sub-block would make clusters depend on the salt.
+
+    ``refine_rounds`` adds bond's ITERATED embed → pseudo-label →
+    re-embed loop (``autotrain_bond.py:134-233`` refines for 50 epochs
+    with DBSCAN pseudo-labels): each round takes the previous round's
+    components as pseudo-labels, pools the Gram per cluster
+    (``Bᵀ·G·B`` — cluster-sum features, i.e. centroid re-embedding up
+    to the cosine's scale invariance), swaps the pair cosine for the
+    centroid cosine, and re-closes. Same-cluster pairs get cosine 1, so
+    the rounds are monotone agglomerative; discrete and deterministic,
+    hence SQL-replicable round by round. Rounds stop early when the
+    components stop changing. The default 0 keeps the single-hop
+    semantics (and its oracle) unchanged.
     """
     ts = cfg.tau_edge if tau_strong is None else tau_strong
     n = group.num_rows
@@ -657,6 +670,29 @@ def make_block_sgc_clusters(
         sorted_pos = np.empty(n, dtype=np.int64)
         sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
         labels = cc_labels(n, sorted_pos[ii[keep]], sorted_pos[jj[keep]])
+        if G is not None:
+            for _ in range(max(0, refine_rounds)):
+                # pseudo-labels = current components; re-embed = pool the
+                # Gram per cluster (cosine is scale-invariant, so the
+                # cluster SUM equals the centroid)
+                comp = labels[sorted_pos]  # per ii/jj index: its root
+                _, cidx = np.unique(comp, return_inverse=True)
+                k = cidx.max() + 1 if n else 0
+                B = np.zeros((n, k))
+                B[np.arange(n), cidx] = 1.0
+                M = B.T @ G @ B
+                dM = np.diagonal(M)
+                ci, cj = cidx[ii], cidx[jj]
+                ok = (dM[ci] > 0) & (dM[cj] > 0)
+                denom = np.sqrt(np.where(ok, dM[ci] * dM[cj], 1.0))
+                cosr = np.where(ok, M[ci, cj] / denom, 0.0)
+                scorer = feats["score"] + cfg.w_tfidf * (cosr - feats["cos"])
+                keep = scorer >= cfg.tau_edge
+                new_labels = cc_labels(n, sorted_pos[ii[keep]],
+                                       sorted_pos[jj[keep]])
+                if np.array_equal(new_labels, labels):
+                    break
+                labels = new_labels
     roots = rids_sorted[labels]
     return pa.table({
         "block_key": pa.array(np.repeat(block_key, n), pa.string()),
