@@ -1324,18 +1324,42 @@ def snd_clusters_vote(sf_dir: str):
 
 
 def _snd_clusters_vote_oracle_sql() -> str:
+    """Replay of the clustering-level vote (bond's co-association rule,
+    ``autotrain_bond_ensemble.py:241-260``): one recursive closure PER
+    grid config (its edges → its components), each config votes pair
+    co-assignment (same component root), pairs with a vote majority
+    close once more into the final clusters."""
     from whoiswho_ray.config import SNDConfig
     from whoiswho_ray.stages.pairs import default_vote_configs
 
     cfgs = default_vote_configs(SNDConfig())
     min_votes = len(cfgs) // 2 + 1
-    votes = " + ".join(
-        f"(CASE WHEN {_score_expr(c)} >= {c.tau_edge!r} THEN 1 ELSE 0 END)"
-        for c in cfgs)
+    per_cfg = "".join(f""",
+        e{i} AS MATERIALIZED (
+            SELECT ra, rb FROM feats WHERE {_score_expr(c)} >= {c.tau_edge!r}),
+        sym{i} AS MATERIALIZED (SELECT ra AS a, rb AS b FROM e{i}
+                UNION ALL SELECT rb, ra FROM e{i}),
+        reach{i}(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach{i} r JOIN sym{i} s ON r.b = s.a
+        ),
+        comp{i} AS MATERIALIZED (
+            SELECT a AS record_id, min(b) AS c FROM reach{i} GROUP BY 1)"""
+        for i, c in enumerate(cfgs))
+    vote_joins = "".join(
+        f"""
+            JOIN comp{i} a{i} ON a{i}.record_id = f.ra
+            JOIN comp{i} b{i} ON b{i}.record_id = f.rb"""
+        for i in range(len(cfgs)))
+    vote_sum = " + ".join(
+        f"(CASE WHEN a{i}.c = b{i}.c THEN 1 ELSE 0 END)"
+        for i in range(len(cfgs)))
     return f"""
-        WITH RECURSIVE {_snd_feature_ctes()},
+        WITH RECURSIVE {_snd_feature_ctes()}{per_cfg},
         voted AS MATERIALIZED (
-            SELECT block_key, ra, rb, {votes} AS v FROM feats),
+            SELECT f.block_key, f.ra, f.rb, {vote_sum} AS v
+            FROM feats f{vote_joins}),
         strong AS (SELECT ra, rb FROM voted WHERE v >= {min_votes}),
         sym AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
                 UNION ALL SELECT rb, ra FROM strong),

@@ -185,11 +185,90 @@ class TestVoteClusters:
         c = row("r_c", range(200, 219))
         d = row("r_d", list(range(200, 213)) + list(range(300, 306)))
         g = pa.Table.from_pylist([a, b, c, d])
+        cfgs = default_vote_configs()
         out = make_block_vote_clusters(
-            g, default_vote_configs(), min_votes=3).to_pandas()
+            g, cfgs, min_votes=len(cfgs) // 2 + 1).to_pandas()
         cl = out.set_index("record_id")["cluster_id"]
-        assert cl["r_a"] != cl["r_b"]          # 1 vote: vetoed
-        assert cl["r_c"] == cl["r_d"]          # 5 votes: merged
+        assert cl["r_a"] != cl["r_b"]          # minority votes: vetoed
+        assert cl["r_c"] == cl["r_d"]          # majority votes: merged
+
+    def test_threshold_diversity_rescues(self, ray_session):
+        """VERDICT r3 #7: a pair whose score is a robust near-miss under
+        MOST feature weightings (1.4 vs tau 1.5) but clears tau under two
+        of them. Weight diversity alone can never reach a majority (2/5
+        clusterings co-assign). The threshold-crossed default grid adds
+        the 0.9·tau tier, where all five weightings co-assign — 8/15
+        votes — so threshold diversity merges what weight diversity
+        cannot."""
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.pairs import (default_vote_configs,
+                                               make_block_vote_clusters)
+
+        def row(rid, repo, tfv_ids, tfv_w):
+            return {"block_key": "bk", "record_id": rid,
+                    "content_sha256": "00" * 32, "name": "x.txt",
+                    "tok_ids": np.empty(0, np.int64),
+                    "repo_ids": np.asarray(repo, np.int64),
+                    "ctx_ids": np.empty(0, np.int64),
+                    "tfv_ids": np.asarray(tfv_ids, np.int64),
+                    "tfv_w": np.asarray(tfv_w, np.float32)}
+
+        # features: j_tok=0, t_repo=1, t_ctx=0, cos=0.4, jw=1 →
+        # scores per weighting: [1.4, 1.4, 2.2, 1.3, 1.9]
+        s84 = float(np.sqrt(0.84))
+        g = pa.Table.from_pylist([
+            row("r_p", [7, 8], [1], [1.0]),
+            row("r_q", [7, 8], [1, 2], [0.4, s84]),
+        ])
+        weight_only = default_vote_configs(tau_grid=(1.0,))
+        old = make_block_vote_clusters(
+            g, weight_only, min_votes=len(weight_only) // 2 + 1).to_pandas()
+        assert old["cluster_id"].nunique() == 2   # 2/5 votes: separate
+        grid = default_vote_configs()
+        new = make_block_vote_clusters(
+            g, grid, min_votes=len(grid) // 2 + 1).to_pandas()
+        assert new["cluster_id"].nunique() == 1   # 8/15 votes: merged
+
+    def test_clustering_level_vote_counts_transitive_merges(self, ray_session):
+        """bond votes CLUSTERINGS (co-association matrices,
+        ``autotrain_bond_ensemble.py:241-260``), not raw edges: two
+        bridges that are each a 1-of-3 EDGE minority under different
+        configs still merge the groups in 2 of 3 clusterings (each
+        passing config's closure co-assigns every cross pair), so the
+        clustering-level majority merges what edge-level voting never
+        could."""
+        import dataclasses
+
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.pairs import make_block_vote_clusters
+
+        s19 = float(np.sqrt(0.19))
+
+        def row(rid, toks, repo, tfv_ids, tfv_w):
+            return {"block_key": "bk", "record_id": rid,
+                    "content_sha256": "00" * 32, "name": "x.txt",
+                    "tok_ids": np.asarray(sorted(toks), np.int64),
+                    "repo_ids": np.asarray(repo, np.int64),
+                    "ctx_ids": np.empty(0, np.int64),
+                    "tfv_ids": np.asarray(tfv_ids, np.int64),
+                    "tfv_w": np.asarray(tfv_w, np.float32)}
+
+        # groups {x,u} and {y,v} tied by cos 0.9 (passes every config);
+        # bridge1 (x,y) = token Jaccard 0.3: passes ONLY cfg_tok (1.9);
+        # bridge2 (u,v) = shared repo: passes ONLY cfg_repo (2.1)
+        x = row("r_x", range(0, 6), [], [1], [1.0])
+        u = row("r_u", [], [7], [1, 2], [0.9, s19])
+        y = row("r_y", list(range(0, 3)) + list(range(50, 54)), [], [3], [1.0])
+        v = row("r_v", [], [7], [3, 4], [0.9, s19])
+        base = SNDConfig()
+        cfgs = [base,
+                dataclasses.replace(base, w_tokens=6.0),
+                dataclasses.replace(base, w_repo=2.0)]
+        g = pa.Table.from_pylist([x, u, y, v])
+        out = make_block_vote_clusters(g, cfgs, min_votes=2).to_pandas()
+        assert out["cluster_id"].nunique() == 1
 
     def test_fixture_f1(self, ray_session, small_fixture):
         from whoiswho_ray.evaluation import pairwise_f1_frames

@@ -515,25 +515,32 @@ def make_block_clusters(group: pa.Table, cfg: SNDConfig, idf_w=None) -> pa.Table
     })
 
 
-def default_vote_configs(base: SNDConfig | None = None) -> list[SNDConfig]:
+def default_vote_configs(base: SNDConfig | None = None,
+                         tau_grid: tuple[float, ...] = (0.9, 1.0, 1.1)
+                         ) -> list[SNDConfig]:
     """The default ensemble grid: five weight perturbations of the base
-    config (tokens-heavy, tfidf-heavy, name-blind, structure-heavy) —
-    the role of bond's per-config threshold grid
-    (``/root/reference/bond/training/autotrain_bond_ensemble.py:241-260``),
-    which re-clusters under several eps/min configs and majority-votes
-    pairs. Every config shares the base tau_edge; diversity comes from
-    the weight vector, so a pair must look like a match under most
-    feature emphases to survive."""
+    config (tokens-heavy, tfidf-heavy, name-blind, structure-heavy)
+    CROSSED with an edge-threshold grid around the base ``tau_edge`` —
+    the full shape of bond's ensemble
+    (``/root/reference/bond/training/autotrain_bond_ensemble.py:144-147``
+    iterates th_a × th_o × th_v threshold combos around the operating
+    point and votes the resulting CLUSTERINGS). 5 weightings × 3
+    thresholds = 15 clusterings; the tau grid is centered so the default
+    operating point is unchanged, while threshold diversity lets
+    transitive low-threshold merges and strict high-threshold merges
+    both contribute votes (VERDICT r3 #7)."""
     import dataclasses
 
     c = base or SNDConfig()
-    return [
+    weights = [
         c,
         dataclasses.replace(c, w_tokens=c.w_tokens * 2.0),
         dataclasses.replace(c, w_tfidf=c.w_tfidf * 2.0),
         dataclasses.replace(c, w_name=0.0),
         dataclasses.replace(c, w_repo=c.w_repo * 2.0, w_ctx=c.w_ctx * 2.0),
     ]
+    return [dataclasses.replace(w, tau_edge=w.tau_edge * t)
+            for t in tau_grid for w in weights]
 
 
 def make_block_vote_clusters(
@@ -542,14 +549,23 @@ def make_block_vote_clusters(
     min_votes: int,
     idf_w=None,
 ) -> pa.Table:
-    """Ensemble pair-vote clustering (operator A9, the bond threshold-grid
-    analog, ``autotrain_bond_ensemble.py:241-260``): candidate features
-    are computed ONCE per pair (``_score_block`` under the base config),
-    each config casts a vote (its weighted score >= its tau_edge), an
-    edge survives with >= ``min_votes``, and the clusters are connected
-    components over surviving edges (cluster_id = block # min record_id).
-    Post-match attach is intentionally absent — the vote grid is the
-    robustness mechanism; SQL-replicable with one recursive closure."""
+    """Ensemble pair-vote clustering (operator A9, bond's threshold-grid
+    ensemble, ``autotrain_bond_ensemble.py:241-260``): candidate
+    features are computed ONCE per pair (``_score_block`` under the base
+    config); each config produces a full CLUSTERING of the block (its
+    weighted score ≥ its tau_edge → connected components — bond's
+    ``clus_label_box`` entries); each clustering votes pair
+    CO-ASSIGNMENT (bond's one-hot ``class_matrix @ class_matrix.T``
+    co-association matrix); a pair survives with ≥ ``min_votes``
+    co-assignments and the final clusters are components over surviving
+    pairs (``clus_mat_box > 0.5 → matx2list``). Voting at the clustering
+    level (not the raw-edge level) lets a config's TRANSITIVE merges
+    count: a low-threshold config that links two groups through a chain
+    co-assigns every cross pair, so threshold diversity contributes
+    votes raw edge scores never could. Post-match attach is
+    intentionally absent — the vote grid is the robustness mechanism;
+    SQL-replicable with one recursive closure per config + a final one.
+    """
     base = cfgs[0]
     n = group.num_rows
     block_key = group.column("block_key")[0].as_py() if n else ""
@@ -569,16 +585,19 @@ def make_block_vote_clusters(
         labels = np.arange(n, dtype=np.int64)
     else:
         rids, ii, jj, feats = scored
+        sorted_pos = np.empty(n, dtype=np.int64)
+        sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
+        pi, pj = sorted_pos[ii], sorted_pos[jj]
         votes = np.zeros(ii.size, dtype=np.int64)
         for c in cfgs:
             s = (c.w_tokens * feats["j_tok"] + c.w_repo * feats["t_repo"]
                  + c.w_ctx * feats["t_ctx"] + c.w_tfidf * feats["cos"]
                  + c.w_name * feats["jw"])
-            votes += (s >= c.tau_edge)
+            edges = s >= c.tau_edge
+            lab_c = cc_labels(n, pi[edges], pj[edges])
+            votes += (lab_c[pi] == lab_c[pj])  # co-assignment vote
         keep = votes >= min_votes
-        sorted_pos = np.empty(n, dtype=np.int64)
-        sorted_pos[np.argsort(rids, kind="stable")] = np.arange(n, dtype=np.int64)
-        labels = cc_labels(n, sorted_pos[ii[keep]], sorted_pos[jj[keep]])
+        labels = cc_labels(n, pi[keep], pj[keep])
     roots = rids_sorted[labels]
     return pa.table({
         "block_key": pa.array(np.repeat(block_key, n), pa.string()),
