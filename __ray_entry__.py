@@ -1567,6 +1567,41 @@ def ind_detect(sf_dir: str):
         ["profile_id", "record_id", "n_members", "is_outlier", "content_sha256"])
 
 
+def ind_detect_learned(sf_dir: str):
+    """Learned IND (mind/'s supervised scorer re-expressed: consensus +
+    similarity features per (profile, record) → CellSpec ensemble fit on
+    the labeled half of the profiles → broadcast scoring,
+    ``pipelines/ind.run_ind_learned``). Rows-only by design
+    (model-driven); the planted rule supplies the training labels on the
+    first half of the profiles. Output is float-free (the learned score
+    column is dropped; the flag remains)."""
+    from whoiswho_ray.pipelines.ind import run_ind_learned
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    asg = _ind_assignments(sf_dir).to_pandas()
+    # the planted rule itself supplies the labels: a record is an outlier
+    # iff its claimed profile differs from its own block's profile (the
+    # d % 9 == 0 plant); own block = doc{d % N}, recoverable from the
+    # record's OTHER assignment siblings — here simply re-derived from
+    # the rule's structure: outliers are exactly the records whose
+    # profile is the NEXT block, and _ind_assignments emits them in the
+    # documents row order, so the d % 9 == 0 mask aligns positionally.
+    from whoiswho_ray.sources.tables import read_table
+
+    doc_ids = read_table(sf_dir, "documents", columns=["doc_id"]
+                         ).to_pandas()["doc_id"].astype(int)
+    truth = asg[["record_id"]].copy()
+    truth["is_outlier"] = (doc_ids % 9 == 0).to_numpy()
+    profiles = sorted(asg["profile_id"].unique())
+    train_profiles = set(profiles[: len(profiles) // 2])
+    truth_train = truth[asg["profile_id"].isin(train_profiles).to_numpy()]
+    out = run_ind_learned(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS),
+                          _ind_assignments(sf_dir), truth_train)
+    return out.select_columns(
+        ["profile_id", "record_id", "n_members", "is_outlier",
+         "content_sha256"])
+
+
 def _ind_detect_oracle_sql() -> str:
     """SQL replay of the cluster-consensus IND: candidate pairs grouped by
     the claimed profile (``_snd_feature_ctes(profile_expr=...)``) → the
@@ -1912,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": q_knn_ivf,
         "snd_publications": snd_publications,
         "rnd_assign_learned": rnd_assign_learned,
+        "ind_detect_learned": ind_detect_learned,
     }
 
 

@@ -112,6 +112,71 @@ class TestRunInd:
         assert flagged == set(invaders["record_id"]), flagged
 
 
+class TestRunIndLearned:
+    """Learned IND scorer (mind/'s supervised half re-expressed over the
+    engine's consensus + similarity features through the CellSpec
+    ensemble, VERDICT r3 missing #5)."""
+
+    def test_heldout_profiles_auc(self, ray_session, small_fixture):
+        """Fit on half the profiles' labels; the held-out profiles'
+        weighted AUC must stay high (the learned scorer generalizes
+        across profiles, it does not memorize them)."""
+        from whoiswho_ray.pipelines.ind import run_ind_learned
+
+        spec, tabs = small_fixture
+        gt = tabs["ground_truth"].to_pandas()
+        asg, truth = _planted_assignments(gt)
+        profiles = sorted(asg["profile_id"].unique())
+        train_profiles = set(profiles[: len(profiles) // 2])
+        train_mask = asg["profile_id"].isin(train_profiles).to_numpy()
+        truth_train = truth[train_mask]
+        out = run_ind_learned(rd.from_arrow(tabs["records"]),
+                              rd.from_pandas(asg), truth_train).to_pandas()
+        assert len(out) == len(gt)
+        held = out[~out["profile_id"].isin(train_profiles)]
+        held_truth = truth[~train_mask]
+        ev = ind_weighted_auc(held, held_truth)
+        assert ev["weighted_auc"] >= 0.9, ev
+
+    def test_deterministic(self, ray_session, small_fixture):
+        from whoiswho_ray.pipelines.ind import run_ind_learned
+
+        spec, tabs = small_fixture
+        gt = tabs["ground_truth"].to_pandas()
+        asg, truth = _planted_assignments(gt)
+        a = (run_ind_learned(rd.from_arrow(tabs["records"]),
+                             rd.from_pandas(asg), truth).to_pandas()
+             .sort_values("record_id").reset_index(drop=True))
+        b = (run_ind_learned(rd.from_arrow(tabs["records"]),
+                             rd.from_pandas(asg), truth).to_pandas()
+             .sort_values("record_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_features_bounded_fit(self, ray_session, small_fixture):
+        """max_train_records caps the fit set via the deterministic
+        smallest-hash sample."""
+        from whoiswho_ray.pipelines.ind import (attach_profiles,
+                                                fit_ind_ensemble,
+                                                ind_features)
+        from whoiswho_ray.pipelines.ind import IND_SIG_COLS
+        from whoiswho_ray.stages.idf import build_idf
+        from whoiswho_ray.stages.normalize import normalize_records
+        from whoiswho_ray.stages.scoring import vectorize
+
+        spec, tabs = small_fixture
+        gt = tabs["ground_truth"].to_pandas()
+        asg, truth = _planted_assignments(gt)
+        norm = normalize_records(rd.from_arrow(tabs["records"])).select_columns(
+            [c for c in IND_SIG_COLS if c not in ("tfv_ids", "tfv_w")]).materialize()
+        idf = build_idf(norm)
+        vec = vectorize(norm, idf, keep=IND_SIG_COLS)
+        feats = ind_features(attach_profiles(vec, rd.from_pandas(asg))).materialize()
+        model, diag = fit_ind_ensemble(feats, truth, max_train_records=40)
+        assert diag["n_train_records"] == 40
+        model2, diag2 = fit_ind_ensemble(feats, truth, max_train_records=40)
+        assert diag2["n_train_records"] == 40
+
+
 class TestWeightedAuc:
     def test_perfect_and_inverted(self):
         pred = pd.DataFrame({
