@@ -157,6 +157,25 @@ class TestConnectedComponents:
             root = names[ref[i]]
             assert got.get(names[i], names[i]) == root
 
+    @pytest.mark.parametrize("seed", [1, 7])
+    def test_int_encoded_path_identical(self, seed):
+        """The int-encoded contraction (encode_edges reuse, VERDICT r3
+        #1) decodes to exactly the string-path labels — the encoding is
+        order-preserving, so the min-id component roots are unchanged."""
+        rng = np.random.RandomState(seed)
+        n = 60
+        raw = [tuple(sorted(rng.randint(0, n, 2))) for _ in range(70)]
+        raw = [e for e in raw if e[0] != e[1]]
+        names = [f"n{i:03d}" for i in range(n)]
+        items = [{"u": names[a], "v": names[b]} for a, b in raw]
+        plain = (connected_components(rd.from_items(items), int_encode=False)
+                 .to_pandas().drop_duplicates())
+        encoded = (connected_components(rd.from_items(items), int_encode=True)
+                   .to_pandas().drop_duplicates())
+        a = plain.sort_values(["node", "component"]).reset_index(drop=True)
+        b = encoded.sort_values(["node", "component"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
 
 class TestVoteClusters:
     """Ensemble pair-vote clustering (A9 full analog: bond's
