@@ -238,8 +238,41 @@ class TestExtendedPinyinTable:
         from whoiswho_ray.functions.names import is_pinyin_token
         from whoiswho_ray.functions.pinyin_data import COMMON_PINYIN
 
-        assert len(COMMON_PINYIN) >= 500
+        assert len(COMMON_PINYIN) >= 1800
         assert all(is_pinyin_token(v) for v in COMMON_PINYIN.values())
+        assert all(len(k) == 1 and 0x3400 <= ord(k) <= 0x9FFF
+                   for k in COMMON_PINYIN)
+
+    def test_no_duplicate_literal_keys(self):
+        """Python dict literals silently drop duplicate keys — parse the
+        source so a conflicting double entry (same char, two readings)
+        can never hide in the table."""
+        import ast
+        import collections
+        import inspect
+
+        import whoiswho_ray.functions.pinyin_data as pd_
+
+        src = inspect.getsource(pd_)
+        dicts = [n for n in ast.walk(ast.parse(src))
+                 if isinstance(n, ast.Dict) and len(n.keys) > 50]
+        assert dicts
+        for node in dicts:
+            keys = [ast.literal_eval(k) for k in node.keys]
+            dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+            assert dupes == []
+
+    def test_traditional_forms_match_simplified(self):
+        """Traditional-form bylines transliterate identically to the
+        simplified form: 張偉 == 张伟 == 'zhangwei'."""
+        from whoiswho_ray.functions.names import match_name, pinyin_of
+
+        assert pinyin_of("張偉") == pinyin_of("张伟") == "zhangwei"
+        assert pinyin_of("劉德華") == "liudehua"
+        assert pinyin_of("陳靜") == "chenjing"
+        assert match_name("張偉", "wei_zhang")
+        assert pinyin_of("臺灣") == "taiwan"  # affiliation block
+        assert not match_name("張偉", "wei_wang")
 
     def test_cjk_names_match_without_setup(self):
         """Extended-coverage CJK name forms resolve without
