@@ -1790,6 +1790,53 @@ def q_events_top_per_user(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "value_cents"])
 
 
+def q_doc_pack(sf_dir: str):
+    """Sequence-packing plan: the corpus in doc_id order cut into
+    2048-token context windows — one row per document locating its tokens
+    in the packed stream. Built on the zero-shuffle distributed
+    prefix-sum primitive (agg.with_running_total); integer-exact vs a SQL
+    window-cumsum oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import pack_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_documents(ds, budget=2048)
+
+
+def q_events_lag_delta(sf_dir: str):
+    """Lag window function: per-event gap (microseconds) to the same
+    user's previous event; first event per user -> NULL."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import lag_delta
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return lag_delta(ds)
+
+
+def q_events_moving_sum(sf_dir: str):
+    """Moving window function: per-event sum of the user's last 3 event
+    values (integer cents) ordered by (ts, event_id)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import moving_sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    return moving_sum(ds, window=3)
+
+
+def q_events_quantile_sketch(sf_dir: str):
+    """APPROXIMATE quantiles via a deterministic bottom-k uniform sample
+    (m=4096 smallest md5 digests) — zero shuffles vs exact_quantiles' full
+    sample-sort, yet exactly SQL-replayable because the sample itself is
+    deterministic."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.sketch import quantile_sketch
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return quantile_sketch(ds, "event_id", "value", [0.5, 0.9, 0.99],
+                           m=4096, seed=42)
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -1929,6 +1976,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality/line_dedup/repetition/winnow/chunks/redact_pii ~ the
         # graded doc kernels); verified locally by tools/check_oracles.py
         "q_orders_by_month": q_orders_by_month,
+        # round-4 second-half additions (oracled; tail = verified by
+        # tools/check_oracles.py until a future rotation grades them)
+        "q_doc_pack": q_doc_pack,
+        "q_events_lag_delta": q_events_lag_delta,
+        "q_events_moving_sum": q_events_moving_sum,
+        "q_events_quantile_sketch": q_events_quantile_sketch,
         "q_doc_token_stats": q_doc_token_stats,
         "q_events_tumbling": q_events_tumbling,
         "q_events_quantiles": q_events_quantiles,
@@ -2690,6 +2743,61 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = e.user_id AND p.ts <= e.ts
                  AND p.ts > e.ts - INTERVAL 24 HOUR
             GROUP BY 1, 2, 3
+        """,
+        "q_doc_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cum_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+                   CAST(cum_before % 2048 AS BIGINT) AS pack_offset,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (cum_before + n_tokens - 1) // 2048
+                        ELSE cum_before // 2048 END AS BIGINT) AS pack_id_last
+            FROM c
+        """,
+        "q_events_lag_delta": """
+            WITH x AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS delta_us
+                FROM events
+            )
+            SELECT * FROM x WHERE delta_us IS NOT NULL
+        """,
+        "q_events_moving_sum": f"""
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(sum({cents.format(x='value')}) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS moving_sum_cents
+            FROM events
+        """,
+        "q_events_quantile_sketch": """
+            WITH s AS (
+                SELECT value FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                ORDER BY md5('42|' || CAST(event_id AS VARCHAR))
+                LIMIT 4096
+            )
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(value, 0.5) AS "value" FROM s
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM s
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM s
         """,
         "q_doc_token_stats": r"""
             SELECT doc_id,

@@ -342,6 +342,58 @@ def with_global_rank(
         [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])])
 
 
+def with_running_total(
+    s: "ray.data.Dataset",
+    weight_col: str,
+    total_col: str = "cum_before",
+    inclusive: bool = False,
+) -> "ray.data.Dataset":
+    """Append each row's GLOBAL running total of ``weight_col`` in dataset
+    iteration order (exclusive prefix sum by default — the total of all
+    PRECEDING rows; ``inclusive=True`` includes the row itself).
+
+    The distributed-prefix-sum primitive: pass 1 computes one int64 sum
+    per block (tiny tasks over the ordered block list), the driver does an
+    exclusive scan over the per-block sums, pass 2 appends
+    ``block_offset + local_cumsum`` per block. No shuffle, no driver
+    materialization of rows — the driver sees one scalar per block.
+
+    ``s`` must be materialized (e.g. ``sort(...).materialize()``) so block
+    order is the dataset order, same contract as :func:`with_global_rank`.
+    Oracle shape: ``sum(w) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` (exclusive) — integer weights stay exact.
+    """
+    import ray.data as rd
+    from ray.data.block import BlockAccessor
+
+    @ray.remote
+    def block_sum(block) -> int:
+        t = BlockAccessor.for_block(block).to_arrow()
+        if t.num_rows == 0:
+            return 0
+        return int(np.sum(t.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)))
+
+    refs = []
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            refs.append(ref)
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)])[:-1]
+
+    @ray.remote
+    def add_total(block, off: int):
+        import pyarrow as _pa
+        t = BlockAccessor.for_block(block).to_arrow()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.cumsum(w)
+        run = off + (c if inclusive else c - w)
+        return t.append_column(total_col, _pa.array(run))
+
+    return rd.from_arrow_refs(
+        [add_total.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
 def grouped_quantiles(
     ds: "ray.data.Dataset",
     key: str,

@@ -80,6 +80,70 @@ def hll_registers(
     return grouped_agg(partials, "register", {"max_rank": ("rank", "max")})
 
 
+def quantile_sketch(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    value_col: str,
+    qs: list[float],
+    m: int = 4096,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate quantiles WITHOUT the global sort: deterministic
+    bottom-k uniform sample (the m rows with the smallest
+    ``md5('{seed}|{id}')`` hex digests — a seeded uniform sample, so the
+    sample's discrete quantile estimates the population's with the usual
+    O(1/sqrt(m)) error) + the exact quantile_disc convention on the
+    sample.
+
+    This is the 100-TB path next to :func:`agg.exact_quantiles`: that one
+    is exact but pays a distributed sample-sort of every row; this one
+    ships at most ``m`` rows per batch (vectorized argpartition partial
+    top-k, the :func:`splits.weighted_sample` shape) and one k×batches
+    driver merge — zero shuffles. Rows with NULL/NaN values are dropped
+    first (quantile_disc semantics).
+
+    Determinism makes the APPROXIMATE operator EXACTLY oracle-replayable:
+    DuckDB's ``md5()`` hex string orders identically, so
+    ``ORDER BY md5(...) LIMIT m`` rebuilds the very same sample and
+    ``quantile_disc`` over it returns bit-identical values.
+    """
+    import math
+
+    from whoiswho_ray.stages.agg import _drop_null_values
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "__h": pd.Series([], dtype=object),
+                value_col: df[value_col].iloc[0:0]})
+        h = np.fromiter(
+            (hashlib.md5(f"{seed}|{k}".encode()).hexdigest()
+             for k in df[id_col]),
+            dtype=object, count=n)
+        out = pd.DataFrame({"__h": h, value_col: df[value_col].to_numpy()})
+        if n > m:
+            keep = np.argpartition(h, m - 1)[:m]
+            out = out.iloc[keep]
+        return out
+
+    cand = _drop_null_values(
+        ds, value_col).map_batches(partial, batch_format="pandas").to_pandas()
+    if len(cand) == 0:  # fully-empty datasets can drop the schema entirely
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": np.nan})
+    cand = cand.sort_values("__h", kind="stable").head(m)
+    vals = np.sort(cand[value_col].to_numpy())
+    n = vals.size
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": np.nan})
+    return pd.DataFrame({
+        "q": pd.Series(qs, dtype=float),
+        "value": [vals[max(0, math.ceil(q * n) - 1)] for q in qs],
+    })
+
+
 def hll_estimate(registers: pd.DataFrame, b: int = 12) -> float:
     """Standard HLL estimate with small-range linear counting."""
     m = 1 << b

@@ -433,6 +433,66 @@ def chunk_documents(
     return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pack_documents(
+    ds: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Sequence-packing plan: concatenate the corpus in ``id_col`` order
+    and cut it into fixed ``budget``-token context windows (the standard
+    LLM pre-training packing layout — documents straddle pack boundaries;
+    the plan records where each document's tokens land).
+
+    Returns one row per document: ``(id, n_tokens, pack_id, pack_offset,
+    pack_id_last)`` where ``pack_id = cum_before // budget`` is the window
+    holding the document's FIRST token, ``pack_offset = cum_before %
+    budget`` its position inside that window, and ``pack_id_last`` the
+    window holding its last token (== pack_id when the document doesn't
+    straddle; empty documents stay in pack_id).
+
+    Scale shape: project to (id, n_tokens) FIRST (text never enters the
+    wide step), one distributed sample-sort on the id, then the
+    zero-shuffle prefix-sum primitive (:func:`agg.with_running_total`) —
+    the driver only ever sees one int per block. Token definition is the
+    engine-wide ``\\S+`` run (same as :func:`token_stats_batch`), so the
+    whole plan is integer-exact against a SQL window-cumsum oracle.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from whoiswho_ray.stages.agg import with_running_total
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(_counts(col, r"\S+")),
+        })
+
+    slim = ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(id_col).materialize()
+    packed = with_running_total(slim, "n_tokens", "cum_before")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum = t.column("cum_before").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        first = cum // budget
+        last = np.where(n > 0, (cum + n - 1) // budget, first)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": t.column("n_tokens"),
+            "pack_id": pa.array(first),
+            "pack_offset": pa.array(cum % budget),
+            "pack_id_last": pa.array(last),
+        })
+
+    return packed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # PII scrub patterns (RE2-compatible — identical semantics in Arrow and
 # DuckDB, so the scrub is oracle-exact). Order matters: emails before the
 # bare-number patterns so the local part is not half-eaten.

@@ -86,6 +86,95 @@ def sliding_window(
     )
 
 
+def lag_delta(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> "ray.data.Dataset":
+    """Per-event gap to the SAME user's previous event (lag window
+    function): one row per event WITH a predecessor ``(user, event_id,
+    ts_us, delta_us)`` — each user's first event has no lag and is
+    dropped, keeping the delta column pure int64 (oracle-exact; no
+    nullable-int → float64 conversion ambiguity between engines).
+
+    Order inside a user is ``(ts, event_id)`` — the engine-wide tie rule
+    (same as :func:`sessionize`), matching the oracle's
+    ``lag(...) OVER (PARTITION BY user ORDER BY ts, id)`` exactly. One
+    hash-bucket shuffle on the user key; the kernel is ONE sort + ONE
+    diff across the entire bucket (no per-user Python)."""
+    from whoiswho_ray.stages.agg import group_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        ts_us = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if n == 0:
+            keep = np.zeros(0, dtype=bool)
+            delta = ts_us
+        else:
+            prev = np.empty_like(ts_us)
+            prev[0] = 0
+            prev[1:] = ts_us[:-1]
+            delta = ts_us - prev
+            keep = g[user_col].eq(g[user_col].shift()).to_numpy()
+        return pd.DataFrame({
+            user_col: g[user_col].to_numpy()[keep],
+            id_col: g[id_col].to_numpy()[keep],
+            "ts_us": ts_us[keep],
+            "delta_us": delta[keep],
+        })
+
+    return group_apply(ds, user_col, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
+def moving_sum(
+    ds: "ray.data.Dataset",
+    window: int = 3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Per-event moving sum over the user's last ``window`` events
+    (current + window-1 preceding, fewer near the partition start) —
+    ``sum(v) OVER (PARTITION BY user ORDER BY ts, id ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. Values are integer cents so
+    the sum is order-free and oracle-exact.
+
+    Whole-bucket vectorized: one sort, one exclusive prefix sum, one
+    gather at ``max(partition_start, i-window+1)`` — no per-user loop."""
+    from whoiswho_ray.stages.agg import group_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        v = np.floor(g[value_col].to_numpy(np.float64) * 100.0 + 0.5
+                     ).astype(np.int64)
+        pe = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v, out=pe[1:])
+        idx = np.arange(n, dtype=np.int64)
+        if n:
+            new = ~g[user_col].eq(g[user_col].shift()).to_numpy()
+            part_start = np.maximum.accumulate(np.where(new, idx, 0))
+        else:
+            part_start = idx
+        start = np.maximum(part_start, idx - (window - 1))
+        return pd.DataFrame({
+            user_col: g[user_col],
+            id_col: g[id_col],
+            "ts_us": g[ts_col].to_numpy(
+                dtype="datetime64[us]").astype(np.int64),
+            "moving_sum_cents": pe[idx + 1] - pe[start],
+        })
+
+    return group_apply(ds, user_col, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     ts_col: str = "ts",
