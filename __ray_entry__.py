@@ -1837,6 +1837,42 @@ def q_events_quantile_sketch(sf_dir: str):
                            m=4096, seed=42)
 
 
+def q_doc_cms(sf_dir: str):
+    """Count-min sketch over the corpus token stream (d=4 rows × w=512
+    counters): the COUNTER TABLE is oracle-exact (md5-derived cells,
+    counter = sum of colliding token counts) even though point estimates
+    are approximate — the hll_registers split."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.sketch import count_min
+
+    return count_min(read_table(sf_dir, "documents", columns=["text"]),
+                     d=4, w=512)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) over orders: one distributed
+    partial pass at the finest grain, coarser levels re-aggregated from
+    the finest result; level = retained-key count, rolled keys = 'ALL'."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import rollup
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(df):
+        return pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "o_orderpriority": df["o_orderpriority"],
+            "cents": _cents(df["o_totalprice"]),
+        })
+
+    return rollup(ds.map_batches(prep, batch_format="pandas"),
+                  ["o_orderstatus", "o_orderpriority"],
+                  {"revenue_cents": ("cents", "sum"),
+                   "n_orders": (None, "count")})
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -1982,6 +2018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_lag_delta": q_events_lag_delta,
         "q_events_moving_sum": q_events_moving_sum,
         "q_events_quantile_sketch": q_events_quantile_sketch,
+        "q_doc_cms": q_doc_cms,
+        "q_rollup_revenue": q_rollup_revenue,
         "q_doc_token_stats": q_doc_token_stats,
         "q_events_tumbling": q_events_tumbling,
         "q_events_quantiles": q_events_quantiles,
@@ -2798,6 +2836,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM s
             UNION ALL
             SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM s
+        """,
+        "q_doc_cms": """
+            WITH tok AS (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                           AS token
+                FROM documents
+            ), tc AS (
+                SELECT token, count(*) AS c FROM tok
+                WHERE token <> '' GROUP BY token
+            ), cells AS (
+                SELECT CAST(r AS BIGINT) * 512 + CAST(
+                           ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                               || token), 1, 16))::UBIGINT
+                           % 512 AS BIGINT) AS cell,
+                       c
+                FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+            )
+            SELECT cell, CAST(sum(c) AS BIGINT) AS cnt
+            FROM cells GROUP BY cell
+        """,
+        "q_rollup_revenue": f"""
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(2 - grouping(o_orderstatus)
+                          - grouping(o_orderpriority) AS BIGINT) AS level,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "q_doc_token_stats": r"""
             SELECT doc_id,

@@ -1,0 +1,126 @@
+"""Count-min sketch (exact counter table, approximate point queries) and
+GROUP BY ROLLUP (distributive hierarchy aggregate)."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.stages.agg import rollup
+from whoiswho_ray.stages.sketch import cms_query, count_min
+
+
+class TestCountMin:
+    D, W = 4, 512
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.RandomState(5)
+        vocab = [f"tok{i}" for i in range(300)]
+        # zipf-ish: heavy hitters + long tail
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        docs = [" ".join(rng.choice(vocab, size=30, p=probs))
+                for _ in range(400)]
+        return pd.DataFrame({"text": docs + ["", None, "  ?? !! "]})
+
+    def _true_counts(self, corpus) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        for txt in corpus["text"]:
+            for tk in re.split("[^a-z0-9]+", (txt or "").lower()):
+                if tk:
+                    counts[tk] = counts.get(tk, 0) + 1
+        return counts
+
+    def test_matches_reference_and_sharding_invariant(self, corpus):
+        a = count_min(rd.from_pandas(corpus).repartition(3),
+                      d=self.D, w=self.W)
+        b = count_min(rd.from_pandas(corpus).repartition(11),
+                      d=self.D, w=self.W)
+        pd.testing.assert_frame_equal(a, b)
+
+        # driver-side replay of the counter definition
+        dense = np.zeros(self.D * self.W, dtype=np.int64)
+        for tk, c in self._true_counts(corpus).items():
+            for r in range(self.D):
+                col = int.from_bytes(
+                    hashlib.md5(f"{r}|{tk}".encode()).digest()[:8],
+                    "big") % self.W
+                dense[r * self.W + col] += c
+        hit = np.flatnonzero(dense)
+        np.testing.assert_array_equal(a["cell"].to_numpy(), hit)
+        np.testing.assert_array_equal(a["cnt"].to_numpy(), dense[hit])
+
+    def test_point_queries_never_underestimate(self, corpus):
+        cms = count_min(rd.from_pandas(corpus), d=self.D, w=self.W)
+        truth = self._true_counts(corpus)
+        tokens = list(truth)
+        est = cms_query(cms, tokens, d=self.D, w=self.W)
+        true = np.array([truth[t] for t in tokens], dtype=np.int64)
+        assert (est >= true).all()
+        # CM guarantee: overestimate <= e/w * N (whp); check the mean is
+        # well inside it and heavy hitters are nearly exact
+        n_total = true.sum()
+        assert (est - true).mean() <= np.e / self.W * n_total
+        top = np.argsort(true)[-5:]
+        assert ((est[top] - true[top]) / true[top] < 0.15).all()
+
+    def test_empty_corpus(self):
+        out = count_min(rd.from_pandas(pd.DataFrame({"text": ["", None]})))
+        assert len(out) == 0
+        assert list(out.columns) == ["cell", "cnt"]
+        assert (cms_query(out, ["anything"]) == 0).all()
+
+
+class TestRollup:
+    @pytest.fixture(scope="class")
+    def sales(self):
+        rng = np.random.RandomState(9)
+        return pd.DataFrame({
+            "region": rng.choice(["east", "west"], 500),
+            "cat": rng.choice(["a", "b", "c"], 500),
+            "units": rng.randint(1, 50, 500).astype(np.int64),
+        })
+
+    def test_matches_pandas_reference(self, sales):
+        out = rollup(rd.from_pandas(sales).repartition(7),
+                     ["region", "cat"],
+                     {"units": ("units", "sum"), "n": (None, "count"),
+                      "hi": ("units", "max")})
+        # level 2: finest
+        fin = out[out["level"] == 2].set_index(["region", "cat"])
+        exp = sales.groupby(["region", "cat"]).agg(
+            units=("units", "sum"), n=("units", "size"),
+            hi=("units", "max"))
+        for (r, c), row in exp.iterrows():
+            got = fin.loc[(r, c)]
+            assert got["units"] == row["units"]
+            assert got["n"] == row["n"]
+            assert got["hi"] == row["hi"]
+        # level 1: per region, cat rolled up
+        lvl1 = out[out["level"] == 1]
+        assert set(lvl1["cat"]) == {"ALL"}
+        for r, row in sales.groupby("region")["units"].agg(
+                ["sum", "size", "max"]).iterrows():
+            got = lvl1[lvl1["region"] == r].iloc[0]
+            assert got["units"] == row["sum"]
+            assert got["n"] == row["size"]
+            assert got["hi"] == row["max"]
+        # level 0: grand total
+        tot = out[out["level"] == 0].iloc[0]
+        assert (tot["region"], tot["cat"]) == ("ALL", "ALL")
+        assert tot["units"] == sales["units"].sum()
+        assert tot["n"] == len(sales)
+        assert tot["hi"] == sales["units"].max()
+        assert len(out) == len(exp) + sales["region"].nunique() + 1
+
+    def test_mean_rejected_and_empty_keys(self, sales):
+        ds = rd.from_pandas(sales)
+        with pytest.raises(ValueError, match="distributive"):
+            rollup(ds, ["region"], {"m": ("units", "mean")})
+        with pytest.raises(ValueError, match="at least one key"):
+            rollup(ds, [], {"units": ("units", "sum")})

@@ -501,3 +501,59 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> pd.DataFrame:
             "max_s": str(maxs.max()) if len(maxs) else None,
         })
     return pd.DataFrame(out)
+
+def rollup(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys...)`` for DISTRIBUTIVE aggregates
+    (sum/count/min/max — mean is not re-aggregable from partials; pass
+    sum+count and divide downstream). Returns every prefix level of the
+    key hierarchy in one frame: rolled-up key columns carry
+    ``total_label`` (keys are stringified so the sentinel types cleanly)
+    and ``level`` = how many leading keys are retained (len(keys) =
+    finest … 0 = grand total) — the SQL ``len(keys) - sum(GROUPING(k))``.
+
+    Scale shape: ONE distributed partial pass at the finest grain (the
+    :func:`grouped_agg` per-batch partial-combine); every coarser level
+    re-aggregates the finest RESULT — |finest groups| rows, already
+    driver-sized by the grouped_agg('driver') contract — so the rollup
+    costs one shuffle-free pass regardless of how many levels it emits.
+    """
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    for out, (_src, op) in spec.items():
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"rollup supports distributive ops only, got {op!r} for"
+                f" {out!r} (decompose mean into sum + count)")
+    finest = grouped_agg(ds, keys, spec, final="driver")
+    # re-aggregation op over the finest partials: counts re-SUM
+    re_op = {out: ("sum" if op == "count" else op)
+             for out, (_s, op) in spec.items()}
+    frames = []
+    for level in range(len(keys), -1, -1):
+        kept = keys[:level]
+        if level == len(keys):
+            f = finest.copy()
+        elif kept:
+            f = (finest.groupby(kept, sort=False, dropna=False)
+                 .agg(re_op).reset_index())
+        else:
+            f = pd.DataFrame({out: [finest[out].agg(op)]
+                              for out, op in re_op.items()})
+        for k in keys:
+            f[k] = (f[k].astype(str) if k in kept
+                    else total_label)
+        f["level"] = np.int64(level)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out = out[keys + ["level"] + list(spec)]
+    for col, (_s, op) in spec.items():
+        if op in ("sum", "count") and not out[col].isna().any():
+            out[col] = out[col].astype(np.int64)
+    out["level"] = out["level"].astype(np.int64)
+    return out.sort_values(["level"] + keys, kind="stable",
+                           ignore_index=True)

@@ -155,3 +155,93 @@ def hll_estimate(registers: pd.DataFrame, b: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         return float(m * np.log(m / zeros))  # linear counting regime
     return float(est)
+
+def count_min(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 512,
+) -> pd.DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream: ``d`` hash rows × ``w`` counters; every counter is the
+    SUM of the true counts of the tokens hashing into it, so point
+    queries (:func:`cms_query`, min over the d rows) over-estimate by at
+    most ``e/w · N`` with probability ``1 - e^-d``.
+
+    Scale shape: the same partial-combine pattern as :func:`hll_registers`
+    — each batch tokenizes with Arrow kernels (lower → split
+    ``[^a-z0-9]+`` → drop empties, the :func:`text_analysis.top_tokens`
+    convention), value-counts to its distinct tokens, hashes ONCE per
+    batch-unique token per row, and folds into a dense ``d·w`` int64
+    array; only the non-zero ``(cell, cnt)`` rows ship, and the grouped
+    sum runs over a BOUNDED key space (``d·w`` cells). Counter merging is
+    addition — associative/commutative, distributes over any
+    partitioning.
+
+    Determinism / oracle: the row-``r`` hash of token ``t`` is the first
+    8 bytes of ``md5('{r}|{t}')`` mod ``w`` — in DuckDB
+    ``('0x' || substr(md5(r || '|' || t), 1, 16))::UBIGINT % w`` — so the
+    COUNTER TABLE is oracle-EXACT even though point estimates are
+    approximate (same split as hll_registers: exact registers,
+    approximate read-out).
+    """
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column(text_col), "")),
+            "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return empty
+        vc = flat.value_counts()
+        tokens = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        dense = np.zeros(d * w, dtype=np.int64)
+        for r in range(d):
+            cols = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{r}|{tk}".encode()).digest()[:8],
+                    "big") % w for tk in tokens),
+                np.int64, len(tokens))
+            np.add.at(dense, r * w + cols, counts)
+        hit = np.flatnonzero(dense)
+        return pa.table({"cell": pa.array(hit, pa.int64()),
+                         "cnt": pa.array(dense[hit], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = grouped_agg(partials, "cell", {"cnt": ("cnt", "sum")})
+    if len(out) == 0:
+        return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    out = out.sort_values("cell").reset_index(drop=True)
+    out["cell"] = out["cell"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def cms_query(
+    cms: pd.DataFrame, tokens: list[str], d: int = 4, w: int = 512
+) -> np.ndarray:
+    """Point-query the :func:`count_min` counter table: the estimate for
+    each token is the MIN of its ``d`` counters (never under-estimates)."""
+    dense = np.zeros(d * w, dtype=np.int64)
+    dense[cms["cell"].to_numpy()] = cms["cnt"].to_numpy()
+    est = np.empty(len(tokens), dtype=np.int64)
+    for i, tk in enumerate(tokens):
+        cells = [r * w + int.from_bytes(
+            hashlib.md5(f"{r}|{tk}".encode()).digest()[:8], "big") % w
+            for r in range(d)]
+        est[i] = dense[cells].min()
+    return est
