@@ -1873,6 +1873,18 @@ def q_rollup_revenue(sf_dir: str):
                    "n_orders": (None, "count")})
 
 
+def q_events_funnel(sf_dir: str):
+    """Sequential funnel (MATCH_RECOGNIZE-lite): per user, greedy-earliest
+    progression through view -> click -> purchase under the (ts, id)
+    order; one bucketed shuffle, per-step vectorized kernel."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import funnel
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    return funnel(ds, ["view", "click", "purchase"])
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -2020,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_quantile_sketch": q_events_quantile_sketch,
         "q_doc_cms": q_doc_cms,
         "q_rollup_revenue": q_rollup_revenue,
+        "q_events_funnel": q_events_funnel,
         "q_doc_token_stats": q_doc_token_stats,
         "q_events_tumbling": q_events_tumbling,
         "q_events_quantiles": q_events_quantiles,
@@ -2866,6 +2879,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q_events_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t, event_id AS i
+                FROM events
+            ), s1 AS (
+                SELECT user_id, t, i FROM (
+                    SELECT user_id, t, i, row_number() OVER (
+                        PARTITION BY user_id ORDER BY t, i) AS rn
+                    FROM e WHERE event_type = 'view')
+                WHERE rn = 1
+            ), s2 AS (
+                SELECT user_id, t, i FROM (
+                    SELECT e.user_id, e.t, e.i, row_number() OVER (
+                        PARTITION BY e.user_id ORDER BY e.t, e.i) AS rn
+                    FROM e JOIN s1 ON e.user_id = s1.user_id
+                    WHERE e.event_type = 'click'
+                      AND (e.t > s1.t OR (e.t = s1.t AND e.i > s1.i)))
+                WHERE rn = 1
+            ), s3 AS (
+                SELECT user_id, t, i FROM (
+                    SELECT e.user_id, e.t, e.i, row_number() OVER (
+                        PARTITION BY e.user_id ORDER BY e.t, e.i) AS rn
+                    FROM e JOIN s2 ON e.user_id = s2.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND (e.t > s2.t OR (e.t = s2.t AND e.i > s2.i)))
+                WHERE rn = 1
+            )
+            SELECT s1.user_id,
+                   CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS stages,
+                   s1.t AS first_us,
+                   coalesce(s3.t, s2.t, s1.t) AS last_us
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "q_doc_token_stats": r"""
             SELECT doc_id,

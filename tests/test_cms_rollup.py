@@ -124,3 +124,68 @@ class TestRollup:
             rollup(ds, ["region"], {"m": ("units", "mean")})
         with pytest.raises(ValueError, match="at least one key"):
             rollup(ds, [], {"units": ("units", "sum")})
+
+
+class TestFunnel:
+    def _reference(self, df, steps):
+        rows = []
+        for u, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            cur = None
+            matched = []
+            for step in steps:
+                sub = g[g["event_type"] == step]
+                if cur is not None:
+                    after = (sub["ts"] > cur[0]) | (
+                        (sub["ts"] == cur[0]) & (sub["event_id"] > cur[1]))
+                    sub = sub[after]
+                if sub.empty:
+                    break
+                r = sub.iloc[0]
+                cur = (r["ts"], r["event_id"])
+                matched.append(r)
+            if matched:
+                rows.append({
+                    "user_id": u,
+                    "stages": len(matched),
+                    "first_us": matched[0]["ts"].value // 1000,
+                    "last_us": matched[-1]["ts"].value // 1000,
+                })
+        return (pd.DataFrame(rows).sort_values("user_id")
+                .reset_index(drop=True))
+
+    def test_matches_greedy_reference(self):
+        from whoiswho_ray.stages.windows import funnel
+
+        rng = np.random.RandomState(13)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 60, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            # coarse second resolution -> plenty of exact-ts ties
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 500, n), unit="s"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "error"], n),
+        })
+        steps = ["view", "click", "purchase"]
+        out = (funnel(rd.from_pandas(df).repartition(5), steps)
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        exp = self._reference(df, steps)
+        pd.testing.assert_frame_equal(
+            out.astype({"stages": np.int64}), exp.astype(
+                {"stages": np.int64, "first_us": np.int64,
+                 "last_us": np.int64}))
+
+    def test_no_step1_users_and_empty_steps(self):
+        from whoiswho_ray.stages.windows import funnel
+
+        df = pd.DataFrame({
+            "user_id": [1, 1], "event_id": [0, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "event_type": ["click", "purchase"],
+        })
+        out = funnel(rd.from_pandas(df), ["view", "click"]).to_pandas()
+        assert len(out) == 0
+        with pytest.raises(ValueError, match="at least one step"):
+            funnel(rd.from_pandas(df), [])

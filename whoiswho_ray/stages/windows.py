@@ -224,3 +224,78 @@ def sessionize(
         .map_groups(lambda g: per_batch(g.drop(columns=["__bucket"])),
                     batch_format="pandas")
     )
+
+def funnel(
+    ds: "ray.data.Dataset",
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> "ray.data.Dataset":
+    """Sequential funnel (MATCH_RECOGNIZE-lite): for each user, how far
+    they progress through ``steps`` IN ORDER — step k must occur strictly
+    after the matched step k-1 event under the engine-wide ``(ts, id)``
+    ordering, and the match is greedy-earliest (each step matches its
+    FIRST eligible event, the standard funnel semantics). Returns one row
+    per user who completed step 1: ``(user, stages, first_us, last_us)``
+    with ``stages`` = number of steps completed and ``last_us`` the
+    timestamp of the deepest matched step.
+
+    Scale shape: one hash-bucket shuffle on the user key; inside each
+    bucket the kernel is per-STEP vectorized (filter to the step's
+    events, map the user's cursor in, lexicographic ``(ts, id)``
+    first-per-user via one sort + drop_duplicates) — no per-user Python
+    loop. len(steps) passes over the bucket, each a few pandas C kernels.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    from whoiswho_ray.stages.agg import group_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        base = pd.DataFrame({
+            "u": g[user_col].to_numpy(),
+            "t": ts_us,
+            "i": g[id_col].to_numpy(),
+            "y": g[type_col].to_numpy(),
+        })
+        cur: pd.DataFrame | None = None  # index: user; cols t, i
+        stages = None
+        first = None
+        for k, step in enumerate(steps):
+            sub = base[base["y"] == step]
+            if cur is not None:
+                ct = sub["u"].map(cur["t"])
+                ci = sub["u"].map(cur["i"])
+                ok = ct.notna() & ((sub["t"] > ct)
+                                   | ((sub["t"] == ct) & (sub["i"] > ci)))
+                sub = sub[ok.to_numpy()]
+            hit = (sub.sort_values(["u", "t", "i"], kind="stable")
+                   .drop_duplicates("u").set_index("u")[["t", "i"]])
+            if k == 0:
+                stages = pd.Series(np.int64(1), index=hit.index)
+                first = hit["t"].copy()
+                last = hit["t"].copy()
+            else:
+                stages.loc[hit.index] = np.int64(k + 1)
+                last.loc[hit.index] = hit["t"]
+            cur = hit
+            if len(hit) == 0:
+                break
+        if stages is None or len(stages) == 0:
+            return pd.DataFrame({
+                user_col: pd.Series([], dtype=base["u"].dtype),
+                "stages": pd.Series([], dtype=np.int64),
+                "first_us": pd.Series([], dtype=np.int64),
+                "last_us": pd.Series([], dtype=np.int64),
+            })
+        return pd.DataFrame({
+            user_col: stages.index.to_numpy(),
+            "stages": stages.to_numpy(np.int64),
+            "first_us": first.to_numpy(np.int64),
+            "last_us": last.to_numpy(np.int64),
+        })
+
+    return group_apply(ds, user_col, kernel, batch_format="pandas",
+                       whole_bucket=True)
