@@ -189,3 +189,64 @@ class TestFunnel:
         assert len(out) == 0
         with pytest.raises(ValueError, match="at least one step"):
             funnel(rd.from_pandas(df), [])
+
+
+class TestSaltedJoin:
+    @pytest.fixture(scope="class")
+    def skewed(self):
+        rng = np.random.RandomState(21)
+        # one key owns half the left side
+        keys = np.where(rng.rand(4000) < 0.5, 7,
+                        rng.randint(0, 200, 4000)).astype(np.int64)
+        left = pd.DataFrame({"k": keys, "x": rng.randn(4000)})
+        right = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                              "y": np.arange(150, dtype=np.int64) * 10})
+        return left, right
+
+    def test_salted_equals_unsalted(self, skewed):
+        from whoiswho_ray.stages.joins import shuffle_hash_join
+
+        left, right = skewed
+        for how in ("inner", "left"):
+            exp = (shuffle_hash_join(rd.from_pandas(left).repartition(6),
+                                     rd.from_pandas(right), on="k", how=how)
+                   .to_pandas().sort_values(["k", "x"])
+                   .reset_index(drop=True))
+            got = (shuffle_hash_join(rd.from_pandas(left).repartition(6),
+                                     rd.from_pandas(right), on="k", how=how,
+                                     salt=4, hot_keys=[7])
+                   .to_pandas().sort_values(["k", "x"])
+                   .reset_index(drop=True))
+            assert "__salt" not in got.columns
+            pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+    def test_auto_detection_finds_hot_key(self, skewed):
+        from whoiswho_ray.stages.joins import detect_hot_keys, \
+            shuffle_hash_join
+
+        left, right = skewed
+        hot = detect_hot_keys(rd.from_pandas(left).repartition(6), "k",
+                              min_frac=0.1)
+        assert hot == [7]
+        # and auto-detected salting round-trips
+        got = (shuffle_hash_join(rd.from_pandas(left).repartition(6),
+                                 rd.from_pandas(right), on="k", salt=4)
+               .to_pandas())
+        assert len(got) == (left["k"] < 150).sum()
+
+    def test_salt_guards(self, skewed):
+        from whoiswho_ray.stages.joins import shuffle_hash_join
+
+        left, right = skewed
+        l2 = rd.from_pandas(left.assign(k2=left["k"]))
+        r2 = rd.from_pandas(right.assign(k2=right["k"]))
+        with pytest.raises(ValueError, match="single join key"):
+            shuffle_hash_join(l2, r2, on=["k", "k2"], salt=4)
+        with pytest.raises(ValueError, match="inner/left"):
+            shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                              on="k", how="right", salt=4)
+        # no hot keys -> plain join path, still correct
+        got = shuffle_hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k",
+            salt=4, hot_keys=[]).to_pandas()
+        assert len(got) == (left["k"] < 150).sum()

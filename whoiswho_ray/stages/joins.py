@@ -178,6 +178,34 @@ def broadcast_join(
                              concurrency=(1, 4))
 
 
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    key: str,
+    top: int = 16,
+    min_count: int | None = None,
+    min_frac: float = 0.01,
+) -> list:
+    """Approximate hot-key detection for skew handling: per-batch
+    ``value_counts`` top-``top`` partials (a key hot enough to skew a
+    shuffle is hot inside most batches), summed on the driver — at most
+    ``top × batches`` candidate rows ever concentrate, regardless of key
+    cardinality. Returns the candidate keys whose summed count reaches
+    ``min_count`` (default: ``min_frac`` of the dataset). Under-detection
+    is safe — a missed warm key just stays unsalted."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts().head(top)
+        return pd.DataFrame({key: vc.index.to_numpy(), "__c": vc.to_numpy()})
+
+    cands = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=131072).to_pandas()
+    if cands.empty:
+        return []
+    if min_count is None:
+        min_count = max(2, int(ds.count() * min_frac))
+    totals = cands.groupby(key, sort=False)["__c"].sum()
+    return totals[totals >= min_count].index.tolist()
+
+
 def shuffle_hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -185,6 +213,8 @@ def shuffle_hash_join(
     num_buckets: int = 16,
     how: str = "inner",
     project=None,
+    salt: int = 0,
+    hot_keys=None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join: bucket both sides on the key hash, union with
     a side tag (typed-null Arrow padding — see :func:`arrow_tagged_union`),
@@ -195,6 +225,15 @@ def shuffle_hash_join(
     projection/local-dedup into the join so the full joined rows never
     leave the bucket task. A downstream global pass (e.g. ``distinct``)
     then shuffles only the projected survivors.
+
+    ``salt`` > 1 enables SKEW-AWARE salting (single string key, inner/left
+    only): hot keys — ``hot_keys`` if given, else :func:`detect_hot_keys`
+    on the left side — have their LEFT rows spread across ``salt``
+    sub-partitions and their RIGHT rows replicated into every
+    sub-partition, so one hot key's work lands on ``salt`` bucket tasks
+    instead of one. Replication cost = |right hot rows| × salt — salt the
+    side that is large, broadcast-join if the right side is tiny anyway.
+    Output is identical to the unsalted join.
 
     Non-key column names must be disjoint between the sides: a shared
     payload name would silently occupy ONE physical column in the union
@@ -211,11 +250,54 @@ def shuffle_hash_join(
             f"shuffle_hash_join: non-key columns {sorted(overlap)} exist on "
             "both sides; rename one side before joining")
 
+    salted = False
+    if salt and salt > 1:
+        if len(keys) != 1:
+            raise ValueError("salt requires a single join key")
+        if how not in ("inner", "left"):
+            raise ValueError(
+                "salt supports inner/left joins (right/outer would need "
+                "LEFT-side replication instead)")
+        key = keys[0]
+        if hot_keys is None:
+            hot_keys = detect_hot_keys(left, key)
+        hot_list = list(hot_keys)
+        if hot_list:
+            salted = True
+            hot_ref = ray.put(set(hot_list))
+            n_salt = int(salt)
+
+            def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                s = np.zeros(len(df), dtype=np.int64)
+                hot = df[key].isin(ray.get(hot_ref)).to_numpy()
+                s[hot] = np.arange(int(hot.sum()), dtype=np.int64) % n_salt
+                df["__salt"] = s
+                return df
+
+            def explode_right(df: pd.DataFrame) -> pd.DataFrame:
+                hot = df[key].isin(ray.get(hot_ref)).to_numpy()
+                cold = df[~hot].copy()
+                cold["__salt"] = np.int64(0)
+                hot_rows = df[hot]
+                parts = [cold]
+                for sv in range(n_salt):
+                    rep = hot_rows.copy()
+                    rep["__salt"] = np.int64(sv)
+                    parts.append(rep)
+                return pd.concat(parts, ignore_index=True)
+
+            left = left.map_batches(salt_left, batch_format="pandas")
+            right = right.map_batches(explode_right, batch_format="pandas")
+            keys = keys + ["__salt"]
+
     u, lcols, rcols = arrow_tagged_union(left, right, keys, keys, num_buckets)
 
     def merge_bucket(g: pa.Table) -> pd.DataFrame:
         l, r = split_sides(g, lcols, rcols)
         m = l.to_pandas().merge(r.to_pandas(), on=keys, how=how)
+        if salted:
+            m = m.drop(columns=["__salt"])
         return project(m) if project is not None else m
 
     return u.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
