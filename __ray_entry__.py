@@ -1965,15 +1965,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # most important rows-only (the near-dup pair) at the front of the tail.
     return {
         "q1_pricing_summary": q1_pricing_summary,
-        "q_segment_revenue": q_segment_revenue,
-        "q_supplier_volume": q_supplier_volume,
+        # r4 second-half additions, rotated into the graded window (the 7
+        # r3-graded stalwarts they displace — segment_revenue,
+        # supplier_volume, events_user_stats, doc_decontaminate,
+        # events_hll_users, doc_top_tokens, doc_weighted_sample — keep
+        # their green r3 driver rows and move to the oracled tail)
+        "q_doc_pack": q_doc_pack,
+        "q_events_lag_delta": q_events_lag_delta,
+        "q_events_moving_sum": q_events_moving_sum,
+        "q_events_quantile_sketch": q_events_quantile_sketch,
+        "q_doc_cms": q_doc_cms,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_events_funnel": q_events_funnel,
         "q_events_sessions": q_events_sessions,
-        "q_events_user_stats": q_events_user_stats,
         "q_events_asof": q_events_asof,
-        "q_doc_decontaminate": q_doc_decontaminate,
-        "q_events_hll_users": q_events_hll_users,
-        "q_doc_top_tokens": q_doc_top_tokens,
-        "q_doc_weighted_sample": q_doc_weighted_sample,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
         "q_doc_search_pruned": q_doc_search_pruned,
@@ -2024,15 +2029,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality/line_dedup/repetition/winnow/chunks/redact_pii ~ the
         # graded doc kernels); verified locally by tools/check_oracles.py
         "q_orders_by_month": q_orders_by_month,
-        # round-4 second-half additions (oracled; tail = verified by
-        # tools/check_oracles.py until a future rotation grades them)
-        "q_doc_pack": q_doc_pack,
-        "q_events_lag_delta": q_events_lag_delta,
-        "q_events_moving_sum": q_events_moving_sum,
-        "q_events_quantile_sketch": q_events_quantile_sketch,
-        "q_doc_cms": q_doc_cms,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_events_funnel": q_events_funnel,
+        # oracled tail (past the driver's ~50-slot cap; every entry below
+        # has a green r3 driver row and/or a tools/check_oracles.py run)
+        "q_segment_revenue": q_segment_revenue,
+        "q_supplier_volume": q_supplier_volume,
+        "q_events_user_stats": q_events_user_stats,
+        "q_doc_decontaminate": q_doc_decontaminate,
+        "q_events_hll_users": q_events_hll_users,
+        "q_doc_top_tokens": q_doc_top_tokens,
+        "q_doc_weighted_sample": q_doc_weighted_sample,
         "q_doc_token_stats": q_doc_token_stats,
         "q_events_tumbling": q_events_tumbling,
         "q_events_quantiles": q_events_quantiles,
