@@ -1885,6 +1885,20 @@ def q_events_funnel(sf_dir: str):
     return funnel(ds, ["view", "click", "purchase"])
 
 
+def q_doc_simjoin_tables(sf_dir: str):
+    """Two-table token-Jaccard similarity join (cross-corpus dedup /
+    alignment): en documents x non-en documents at tau=0.8. Exact —
+    token-posting candidates have perfect recall at max_df=None; fused
+    one-attach+one-regroup verify join."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import text_similarity_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    left = ds.filter(expr="lang == 'en'")
+    right = ds.filter(expr="lang != 'en'")
+    return text_similarity_join(left, right, threshold=0.8)
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -1977,7 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_cms": q_doc_cms,
         "q_rollup_revenue": q_rollup_revenue,
         "q_events_funnel": q_events_funnel,
-        "q_events_sessions": q_events_sessions,
+        "q_doc_simjoin_tables": q_doc_simjoin_tables,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -2033,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # has a green r3 driver row and/or a tools/check_oracles.py run)
         "q_segment_revenue": q_segment_revenue,
         "q_supplier_volume": q_supplier_volume,
+        "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
         "q_doc_decontaminate": q_doc_decontaminate,
         "q_events_hll_users": q_events_hll_users,
@@ -2884,6 +2899,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q_doc_simjoin_tables": """
+            WITH tokL AS (
+                SELECT doc_id, unnest(list_distinct(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+                FROM documents WHERE lang = 'en'
+            ), tokR AS (
+                SELECT doc_id, unnest(list_distinct(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+                FROM documents WHERE lang <> 'en'
+            ), szL AS (SELECT doc_id, count(*) AS n FROM tokL GROUP BY 1),
+            szR AS (SELECT doc_id, count(*) AS n FROM tokR GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS key_l, b.doc_id AS key_r, count(*) AS i
+                FROM tokL a JOIN tokR b ON a.tok = b.tok
+                GROUP BY 1, 2
+            )
+            SELECT i.key_l, i.key_r,
+                   CAST(i.i AS DOUBLE) / (l.n + r.n - i.i) AS jacc
+            FROM inter i
+            JOIN szL l ON i.key_l = l.doc_id
+            JOIN szR r ON i.key_r = r.doc_id
+            WHERE CAST(i.i AS DOUBLE) / (l.n + r.n - i.i) >= 0.8
         """,
         "q_events_funnel": """
             WITH e AS (

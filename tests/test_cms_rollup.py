@@ -250,3 +250,77 @@ class TestSaltedJoin:
             rd.from_pandas(left), rd.from_pandas(right), on="k",
             salt=4, hot_keys=[]).to_pandas()
         assert len(got) == (left["k"] < 150).sum()
+
+
+class TestTextSimilarityJoin:
+    def _brute(self, left, right, tau):
+        import re as _re
+
+        def toks(s):
+            return set(t for t in _re.split(r"[^a-z0-9]+", (s or "").lower())
+                       if t)
+        rows = []
+        for _, a in left.iterrows():
+            ta = toks(a["text"])
+            for _, b in right.iterrows():
+                tb = toks(b["text"])
+                u = len(ta | tb)
+                j = len(ta & tb) / u if u else 0.0
+                if j >= tau:
+                    rows.append((a["doc_id"], b["doc_id"], j))
+        return (pd.DataFrame(rows, columns=["key_l", "key_r", "jacc"])
+                .sort_values(["key_l", "key_r"]).reset_index(drop=True))
+
+    @pytest.fixture(scope="class")
+    def corpora(self):
+        rng = np.random.RandomState(17)
+        vocab = [f"w{i}" for i in range(60)]
+        def mk(n, start):
+            return pd.DataFrame({
+                "doc_id": np.arange(start, start + n, dtype=np.int64),
+                "text": [" ".join(rng.choice(vocab, size=8))
+                         for _ in range(n)] + [],
+            })
+        left, right = mk(80, 0), mk(70, 1000)
+        # plant exact and near matches + degenerate docs
+        right.loc[0, "text"] = left.loc[0, "text"]
+        right.loc[1, "text"] = left.loc[1, "text"] + " extraword"
+        left.loc[2, "text"] = ""
+        right.loc[2, "text"] = None
+        return left, right
+
+    def test_matches_bruteforce(self, corpora):
+        from whoiswho_ray.stages.dedup import text_similarity_join
+
+        left, right = corpora
+        tau = 0.5
+        out = (text_similarity_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3), threshold=tau)
+            .to_pandas().sort_values(["key_l", "key_r"])
+            .reset_index(drop=True))
+        exp = self._brute(left, right, tau)
+        assert len(exp) >= 2  # planted matches present
+        pd.testing.assert_frame_equal(out, exp)
+        assert out["key_l"].dtype == np.int64  # native key types survive
+
+    def test_max_df_drops_hot_only_candidates(self):
+        from whoiswho_ray.stages.dedup import text_similarity_join
+
+        # "common" is in every doc; pair (1, 10) shares ONLY the hot token
+        left = pd.DataFrame({"doc_id": [1, 2],
+                             "text": ["common aa bb", "common cc dd"]})
+        right = pd.DataFrame({"doc_id": [10, 11],
+                              "text": ["common xx yy", "common cc dd"]})
+        full = text_similarity_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            threshold=0.15).to_pandas()
+        capped = text_similarity_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            threshold=0.15, max_df=3).to_pandas()
+        assert (1, 10) in set(zip(full["key_l"], full["key_r"]))
+        got = set(zip(capped["key_l"], capped["key_r"]))
+        # pairs sharing a sub-cap token survive with their FULL jaccard
+        assert (2, 11) in got and (1, 10) not in got
+        j = capped.set_index(["key_l", "key_r"]).loc[(2, 11), "jacc"]
+        assert j == 1.0  # jaccard still counts the hot token

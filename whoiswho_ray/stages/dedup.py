@@ -1030,3 +1030,138 @@ def embedding_simjoin(
                          "cos": pa.array(cs[ok_np])})
 
     return _verify_candidates_fused(cand, sides, "key", "vec", verify_cos, nb)
+
+def text_similarity_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Two-TABLE distinct-token Jaccard similarity join (the cross-corpus
+    analog of :func:`ngram_jaccard_pairs`): returns ``(key_l, key_r,
+    jacc)`` for every left×right pair with token-set Jaccard ≥
+    ``threshold``. EXACT when ``max_df is None``: a matching pair shares
+    ≥ 1 token, so token-posting candidates have perfect recall and the
+    fused verify join computes the true Jaccard.
+
+    Scale shape: both corpora tokenize through the vectorized
+    ``_token_id_rows`` front-end into ONE shared key namespace (keys are
+    side-tagged strings, decoded back to their native types on output);
+    candidates come from one token-bucketed shuffle with a vectorized
+    cross-side enumeration per token segment; pairs dedup globally
+    BEFORE the payload-carrying verify (:func:`_global_dedup_pairs`),
+    and verification is the same one-attach + one-regroup fused join the
+    near-dup family uses — nothing corpus-sized touches the driver.
+
+    ``max_df``: drop tokens appearing in more than ``max_df`` documents
+    (across both sides) from CANDIDATE GENERATION only — the Jaccard is
+    still computed over all tokens. At web scale stop-word postings
+    otherwise enumerate |L|×|R| pairs; with the cap, recall is exact for
+    every pair sharing at least one sub-cap token (the
+    ``index_build(max_df=…)`` contract, SQL-replayable the same way).
+    """
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
+
+    nb = num_buckets or _cc_num_buckets()
+    ltype = dict(zip(left.schema().names, left.schema().types))[key_col]
+    rtype = dict(zip(right.schema().names, right.schema().types))[key_col]
+
+    def tok_side(tag: str):
+        def f(t: pa.Table) -> pa.Table:
+            row_of, ids, nrows = _token_id_rows(t.column(text_col))
+            key = pc.binary_join_element_wise(
+                pa.array([tag] * nrows, pa.string()),
+                pc.cast(t.column(key_col), pa.string()), "")
+            return pa.table({"key": key,
+                             "tok_ids": _tok_list_array(row_of, ids, nrows)})
+        return f
+
+    toks_l = left.map_batches(tok_side("L"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    toks_r = right.map_batches(tok_side("R"), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    toks = toks_l.union(toks_r).materialize()
+
+    def explode(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            vals, lens = _flat(t.column("tok_ids"))
+            key = t.column("key").combine_chunks() if isinstance(
+                t.column("key"), pa.ChunkedArray) else t.column("key")
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+            return pa.table({
+                "tok": pa.array(vals, pa.int64()),
+                "key": key.take(pa.array(idx, pa.int64())),
+                "side": pa.array(np.full(vals.size, side, np.int8)),
+            })
+        return f
+
+    postings = toks_l.map_batches(explode(0), batch_format="pyarrow",
+                                  zero_copy_batch=True).union(
+        toks_r.map_batches(explode(1), batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["tok", "side", "key"], kind="stable")
+        tok = df["tok"].to_numpy()
+        side = df["side"].to_numpy().astype(np.int64)
+        keys = df["key"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1], True])
+        seg = np.arange(bounds.size - 1)
+        starts, m = bounds[:-1], np.diff(bounds)
+        seg_of = np.repeat(seg, m)
+        n_r = np.bincount(seg_of, weights=side,
+                          minlength=seg.size).astype(np.int64)
+        n_l = m - n_r
+        live = (n_l > 0) & (n_r > 0)
+        if max_df is not None:
+            live &= m <= max_df
+        if not live.any():
+            return pd.DataFrame({"key_a": np.empty(0, object),
+                                 "key_b": np.empty(0, object)})
+        sl, nl, nr = starts[live], n_l[live], n_r[live]
+        sq = nl * nr
+        off2 = np.zeros(sq.size + 1, np.int64)
+        np.cumsum(sq, out=off2[1:])
+        t = np.arange(int(off2[-1]), dtype=np.int64)
+        gi = np.searchsorted(off2, t, side="right") - 1
+        local = t - off2[gi]
+        i = local // nr[gi]
+        j = local % nr[gi]
+        return pd.DataFrame({
+            "key_a": keys[sl[gi] + i],
+            "key_b": keys[sl[gi] + nl[gi] + j],
+        }).drop_duplicates()
+
+    cand = _bucket_by(postings, "tok", nb).groupby("__bucket").map_groups(
+        cand_kernel, batch_format="pandas")
+    cand = _global_dedup_pairs(_local_dedup(cand), nb)
+
+    def verify_jacc(ka: pa.Array, kb: pa.Array,
+                    va: pa.Array, vb: pa.Array) -> pa.Table:
+        n = len(ka)
+        if n == 0:
+            return pa.table({"key_l": pa.array([], ltype),
+                             "key_r": pa.array([], rtype),
+                             "jacc": pa.array([], pa.float64())})
+        fa, la = _flat(va)
+        fb, lb = _flat(vb)
+        inter, _ = _intersections(n, fa, la, fb, lb)
+        union = la + lb - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ok_np = jacc >= threshold
+        ok = pa.array(ok_np)
+        return pa.table({
+            "key_l": pc.cast(pc.utf8_slice_codeunits(
+                pc.cast(ka.filter(ok), pa.string()), 1), ltype),
+            "key_r": pc.cast(pc.utf8_slice_codeunits(
+                pc.cast(kb.filter(ok), pa.string()), 1), rtype),
+            "jacc": pa.array(jacc[ok_np]),
+        })
+
+    return _verify_candidates_fused(cand, toks, "key", "tok_ids",
+                                    verify_jacc, nb)
