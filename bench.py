@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q_graph_pagerank",
     "q_knn_cosine",
     "q_embed_kmeans",
+    "q_doc_pack",
+    "q_events_funnel",
+    "q_doc_simjoin_tables",
     "rnd_assign",
     "ind_detect",
 ]
