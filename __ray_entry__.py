@@ -1902,6 +1902,39 @@ def q_doc_simjoin_tables(sf_dir: str):
     return text_similarity_join(left, right, threshold=0.8)
 
 
+def q_events_hll_by_type(sf_dir: str):
+    """Grouped HLL: per-event_type distinct-user register tables — the
+    bounded-key (groups x 2^12) grouped-max partial pattern; register
+    table oracle-EXACT, estimate approximate."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.sketch import hll_registers_grouped
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_registers_grouped(ds, "event_type", "user_id")
+
+
+def q_pivot_revenue(sf_dir: str):
+    """SQL PIVOT (crosstab): order revenue cents by priority x status —
+    one distributed (index, columns)-grain pass, driver-sized reshape."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import pivot
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(df):
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "o_orderstatus": df["o_orderstatus"],
+            "cents": _cents(df["o_totalprice"]),
+        })
+
+    return pivot(ds.map_batches(prep, batch_format="pandas"),
+                 index="o_orderpriority", columns="o_orderstatus",
+                 values="cents", op="sum")
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -1995,6 +2028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_events_funnel": q_events_funnel,
         "q_doc_simjoin_tables": q_doc_simjoin_tables,
+        "q_events_hll_by_type": q_events_hll_by_type,
+        "q_pivot_revenue": q_pivot_revenue,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -2003,7 +2038,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_doc_ngram_pairs": q_doc_ngram_pairs,
-        "q_doc_langid": q_doc_langid,
         "q_doc_surprisal": q_doc_surprisal,
         "q_knn_cosine": q_knn_cosine,
         "q_graph_pagerank": q_graph_pagerank,
@@ -2012,7 +2046,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_communities": q_graph_communities,
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
-        "q_clean_names": q_clean_names,
         "q_cap_per_group": q_cap_per_group,
         "q_kfold_assign": q_kfold_assign,
         # rotated INTO the graded window this round (VERDICT r3 #2):
@@ -2049,6 +2082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled tail (past the driver's ~50-slot cap; every entry below
         # has a green r3 driver row and/or a tools/check_oracles.py run)
         "q_segment_revenue": q_segment_revenue,
+        "q_doc_langid": q_doc_langid,
+        "q_clean_names": q_clean_names,
         "q_supplier_volume": q_supplier_volume,
         "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
@@ -2754,6 +2789,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 2000.0)
             GROUP BY l_suppkey
+        """,
+        "q_events_hll_by_type": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+                FROM events
+            ),
+            r AS (
+                SELECT event_type,
+                       CAST(hv >> 52 AS BIGINT) AS register,
+                       CAST(hv & 4294967295 AS BIGINT) AS low32
+                FROM h
+            )
+            SELECT event_type, register,
+                   max(CASE WHEN low32 = 0 THEN 33
+                            ELSE 32 - CAST(floor(log2(low32)) AS BIGINT)
+                       END) AS max_rank
+            FROM r GROUP BY 1, 2
+        """,
+        "q_pivot_revenue": f"""
+            WITH o AS (
+                SELECT o_orderpriority, o_orderstatus,
+                       {cents.format(x='o_totalprice')} AS cents
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN cents
+                                 ELSE 0 END) AS BIGINT) AS "F",
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN cents
+                                 ELSE 0 END) AS BIGINT) AS "O",
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN cents
+                                 ELSE 0 END) AS BIGINT) AS "P"
+            FROM o GROUP BY 1
         """,
         "q_events_hll_users": """
             WITH h AS (

@@ -324,3 +324,71 @@ class TestTextSimilarityJoin:
         assert (2, 11) in got and (1, 10) not in got
         j = capped.set_index(["key_l", "key_r"]).loc[(2, 11), "jacc"]
         assert j == 1.0  # jaccard still counts the hot token
+
+
+class TestGroupedHll:
+    def test_single_group_matches_ungrouped(self):
+        from whoiswho_ray.stages.sketch import (hll_estimate, hll_registers,
+                                                hll_registers_grouped)
+
+        rng = np.random.RandomState(23)
+        df = pd.DataFrame({"g": "only", "v": rng.randint(0, 5000, 20000)})
+        ds = rd.from_pandas(df).repartition(5)
+        grouped = hll_registers_grouped(ds, "g", "v")
+        flat = (hll_registers(ds, "v")
+                .sort_values("register").reset_index(drop=True))
+        got = (grouped[["register", "max_rank"]]
+               .sort_values("register").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, flat)
+
+    def test_per_group_estimates(self):
+        from whoiswho_ray.stages.sketch import (hll_estimate,
+                                                hll_registers_grouped)
+
+        rng = np.random.RandomState(29)
+        frames = []
+        truth = {"a": 300, "b": 3000, "c": 30}
+        for g, n in truth.items():
+            frames.append(pd.DataFrame({
+                "g": g, "v": rng.choice(n * 10, size=n, replace=False)}))
+        df = pd.concat(frames, ignore_index=True).sample(
+            frac=1.0, random_state=1)
+        regs = hll_registers_grouped(rd.from_pandas(df).repartition(7),
+                                     "g", "v")
+        for g, n in truth.items():
+            sub = regs[regs["g"] == g].rename(columns={})
+            est = hll_estimate(sub[["register", "max_rank"]])
+            assert abs(est - n) / n < 0.1, (g, est, n)
+
+
+class TestPivot:
+    def test_matches_pandas_pivot_table(self):
+        from whoiswho_ray.stages.agg import pivot
+
+        rng = np.random.RandomState(31)
+        df = pd.DataFrame({
+            "pri": rng.choice(["hi", "lo", "mid"], 400),
+            "status": rng.choice(["F", "O"], 400),
+            "cents": rng.randint(0, 1000, 400).astype(np.int64),
+        })
+        # remove one combination to exercise the fill
+        df = df[~((df["pri"] == "hi") & (df["status"] == "F"))]
+        out = pivot(rd.from_pandas(df).repartition(4), "pri", "status",
+                    "cents", op="sum")
+        exp = (df.pivot_table(index="pri", columns="status",
+                              values="cents", aggfunc="sum", fill_value=0)
+               .astype(np.int64).reset_index()
+               .sort_values("pri", ignore_index=True))
+        exp.columns = [str(c) for c in exp.columns]
+        exp.columns.name = None
+        out.columns.name = None
+        pd.testing.assert_frame_equal(out, exp[out.columns.tolist()])
+        assert out.loc[out["pri"] == "hi", "F"].iloc[0] == 0
+
+    def test_mean_rejected(self):
+        from whoiswho_ray.stages.agg import pivot
+
+        ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "b": ["y"],
+                                          "v": [1.0]}))
+        with pytest.raises(ValueError, match="distributive"):
+            pivot(ds, "a", "b", "v", op="mean")

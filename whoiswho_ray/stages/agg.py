@@ -557,3 +557,36 @@ def rollup(
     out["level"] = out["level"].astype(np.int64)
     return out.sort_values(["level"] + keys, kind="stable",
                            ignore_index=True)
+
+def pivot(
+    ds: "ray.data.Dataset",
+    index: str,
+    columns: str,
+    values: str,
+    op: str = "sum",
+    fill: int = 0,
+) -> pd.DataFrame:
+    """Crosstab (SQL PIVOT via conditional aggregation): one row per
+    ``index`` value, one column per distinct ``columns`` value (sorted,
+    stringified), cells = ``op`` of ``values`` over the (index, column)
+    group, missing combinations = ``fill``. Distributive ops only.
+
+    Scale shape: ONE distributed partial pass at the (index, columns)
+    grain (:func:`grouped_agg`); the reshape runs on the driver over the
+    already-aggregated result — |index| × |columns| cells, the
+    human-scale contract pivot implies (a million-column pivot is a
+    modeling error, not a scale problem)."""
+    if op not in ("sum", "count", "min", "max"):
+        raise ValueError(f"pivot supports distributive ops only, got {op!r}")
+    # NB: grouped_agg strips "__"-prefixed columns in its finish step
+    finest = grouped_agg(ds, [index, columns], {"_pv": (values, op)})
+    if len(finest) == 0:
+        return pd.DataFrame({index: pd.Series([], dtype=object)})
+    wide = finest.pivot(index=index, columns=columns, values="_pv")
+    wide = wide.reindex(sorted(wide.columns), axis=1)
+    if op in ("sum", "count"):
+        wide = wide.fillna(fill)
+        if finest["_pv"].dtype.kind not in "fc":
+            wide = wide.astype(np.int64)
+    wide.columns = [str(c) for c in wide.columns]
+    return wide.reset_index().sort_values(index, ignore_index=True)

@@ -1081,11 +1081,14 @@ def text_similarity_join(
                              "tok_ids": _tok_list_array(row_of, ids, nrows)})
         return f
 
+    # materialize each side's token table ONCE — both the posting pass
+    # and the verify side table re-consume it (unmaterialized lineage
+    # would re-run the read + tokenization per consumer)
     toks_l = left.map_batches(tok_side("L"), batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
     toks_r = right.map_batches(tok_side("R"), batch_format="pyarrow",
-                               zero_copy_batch=True)
-    toks = toks_l.union(toks_r).materialize()
+                               zero_copy_batch=True).materialize()
+    toks = toks_l.union(toks_r)
 
     def explode(side: int):
         def f(t: pa.Table) -> pa.Table:

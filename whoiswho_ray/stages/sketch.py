@@ -245,3 +245,36 @@ def cms_query(
             for r in range(d)]
         est[i] = dense[cells].min()
     return est
+
+def hll_registers_grouped(
+    ds: "ray.data.Dataset", group_col: str, col: str, b: int = 12
+) -> pd.DataFrame:
+    """Per-GROUP HLL register tables (approximate distinct-count per
+    group): ``(group, register, max_rank)`` rows — the grouped analog of
+    :func:`hll_registers`. The key space stays bounded (groups × 2^b), so
+    the same partial-combine pattern applies: each batch folds to at most
+    |batch groups| × 2^b rows via one lexsort segment-max (no per-group
+    Python), and the grouped max over partials is exact. Estimate a
+    group's cardinality by passing its rows to :func:`hll_estimate`."""
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({group_col: df[group_col].iloc[0:0],
+                                 "register": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        reg, rank = _registers_of(
+            _md5_hash64(df[col].to_numpy()), b)
+        g = df[group_col].to_numpy()
+        # in-batch combine: max rank per (group, register) via one lexsort
+        order = np.lexsort((rank, reg, g))
+        gs, rs, ks = g[order], reg[order], rank[order]
+        last = np.r_[(gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1]), True]
+        return pd.DataFrame({group_col: gs[last], "register": rs[last],
+                             "rank": ks[last]})
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=131072)
+    out = grouped_agg(partials, [group_col, "register"],
+                      {"max_rank": ("rank", "max")})
+    return out.sort_values([group_col, "register"], ignore_index=True)
