@@ -1935,6 +1935,23 @@ def q_pivot_revenue(sf_dir: str):
                  values="cents", op="sum")
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Anti join (SQL NOT EXISTS): customers with no 'P'-status order via
+    the partitioned shuffle_semi_join(anti=True) — set membership per
+    co-grouped bucket, left payload rides as typed-null Arrow columns."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import shuffle_semi_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderstatus"])
+    keys = orders.filter(expr="o_orderstatus == 'P'").map_batches(
+        lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return shuffle_semi_join(cust, keys, on="c_custkey", anti=True)
+
+
 def q_negative_samples(sf_dir: str):
     """O6: seeded per-block negative sampling over derived records — the
     md5-permutation draw is SQL-expressible, so this has an exact oracle."""
@@ -2047,7 +2064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
         "q_cap_per_group": q_cap_per_group,
-        "q_kfold_assign": q_kfold_assign,
+        "q_customers_no_orders": q_customers_no_orders,
         # rotated INTO the graded window this round (VERDICT r3 #2):
         # oracled in r3 but past the driver's ~50-slot cap — graded rows
         # on record complete the §2 operator coverage across r3+r4
@@ -2084,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_revenue": q_segment_revenue,
         "q_doc_langid": q_doc_langid,
         "q_clean_names": q_clean_names,
+        "q_kfold_assign": q_kfold_assign,
         "q_supplier_volume": q_supplier_volume,
         "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
@@ -2789,6 +2807,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 2000.0)
             GROUP BY l_suppkey
+        """,
+        "q_customers_no_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'P')
         """,
         "q_events_hll_by_type": """
             WITH h AS (
