@@ -392,3 +392,17 @@ class TestPivot:
                                           "v": [1.0]}))
         with pytest.raises(ValueError, match="distributive"):
             pivot(ds, "a", "b", "v", op="mean")
+
+
+class TestRollupFloatSums:
+    def test_float_sums_not_truncated(self):
+        from whoiswho_ray.stages.agg import rollup
+
+        df = pd.DataFrame({"g": ["a", "a", "b"],
+                           "v": [0.25, 0.5, 1.75]})
+        out = rollup(rd.from_pandas(df), ["g"],
+                     {"total": ("v", "sum"), "n": (None, "count")})
+        tot = out[out["level"] == 0].iloc[0]
+        assert tot["total"] == pytest.approx(2.5)
+        assert out["total"].dtype.kind == "f"
+        assert out["n"].dtype == np.int64

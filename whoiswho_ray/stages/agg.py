@@ -552,7 +552,10 @@ def rollup(
     out = pd.concat(frames, ignore_index=True)
     out = out[keys + ["level"] + list(spec)]
     for col, (_s, op) in spec.items():
-        if op in ("sum", "count") and not out[col].isna().any():
+        # normalize INTEGER sums/counts back to int64 (concat can widen);
+        # float-valued sums keep their dtype — casting would truncate
+        if (op in ("sum", "count") and out[col].dtype.kind in "iu"
+                or op == "count" and not out[col].isna().any()):
             out[col] = out[col].astype(np.int64)
     out["level"] = out["level"].astype(np.int64)
     return out.sort_values(["level"] + keys, kind="stable",
