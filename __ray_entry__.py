@@ -1935,6 +1935,29 @@ def q_pivot_revenue(sf_dir: str):
                  values="cents", op="sum")
 
 
+def q_corr_lineitem(sf_dir: str):
+    """Streaming Pearson correlation (quantity vs whole-dollar price):
+    six exact int64 partial sums per batch -> one float expression on the
+    driver, bit-identical to the SQL replay (whole dollars keep sum(y^2)
+    well inside int64 through sf10; correlation is scale-invariant)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import correlation
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def prep(df):
+        return pd.DataFrame({
+            "q": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64),
+            "d": np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                          ).astype(np.int64),
+        })
+
+    return correlation(ds.map_batches(prep, batch_format="pandas"),
+                       "q", "d")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join (SQL NOT EXISTS): customers with no 'P'-status order via
     the partitioned shuffle_semi_join(anti=True) — set membership per
@@ -2063,7 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_communities": q_graph_communities,
         "q_embed_kmeans": q_embed_kmeans,
         "q_embedding_dups": q_embedding_dups,
-        "q_cap_per_group": q_cap_per_group,
+        "q_corr_lineitem": q_corr_lineitem,
         "q_customers_no_orders": q_customers_no_orders,
         # rotated INTO the graded window this round (VERDICT r3 #2):
         # oracled in r3 but past the driver's ~50-slot cap — graded rows
@@ -2102,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_langid": q_doc_langid,
         "q_clean_names": q_clean_names,
         "q_kfold_assign": q_kfold_assign,
+        "q_cap_per_group": q_cap_per_group,
         "q_supplier_volume": q_supplier_volume,
         "q_events_sessions": q_events_sessions,
         "q_events_user_stats": q_events_user_stats,
@@ -2807,6 +2831,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 2000.0)
             GROUP BY l_suppkey
+        """,
+        "q_corr_lineitem": """
+            WITH b AS (
+                SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                       CAST(floor(l_extendedprice) AS BIGINT) AS d
+                FROM lineitem
+            ), s AS (
+                SELECT count(*) AS n,
+                       sum(q) AS sx, sum(d) AS sy, sum(q * d) AS sxy,
+                       sum(q * q) AS sxx, sum(d * d) AS syy
+                FROM b
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS corr
+            FROM s
         """,
         "q_customers_no_orders": """
             SELECT c_custkey, c_mktsegment FROM customer c

@@ -406,3 +406,25 @@ class TestRollupFloatSums:
         assert tot["total"] == pytest.approx(2.5)
         assert out["total"].dtype.kind == "f"
         assert out["n"].dtype == np.int64
+
+
+class TestCorrelation:
+    def test_matches_numpy_and_sharding_invariant(self):
+        from whoiswho_ray.stages.agg import correlation
+
+        rng = np.random.RandomState(37)
+        x = rng.randint(0, 100, 5000).astype(np.int64)
+        y = (3 * x + rng.randint(0, 200, 5000)).astype(np.int64)
+        df = pd.DataFrame({"x": x, "y": y})
+        a = correlation(rd.from_pandas(df).repartition(3), "x", "y")
+        b = correlation(rd.from_pandas(df).repartition(13), "x", "y")
+        assert a["corr"].iloc[0] == b["corr"].iloc[0]  # bit-identical
+        assert a["n"].iloc[0] == 5000
+        assert abs(a["corr"].iloc[0] - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+    def test_zero_variance_is_nan(self):
+        from whoiswho_ray.stages.agg import correlation
+
+        df = pd.DataFrame({"x": [1, 1, 1], "y": [2, 3, 4]})
+        out = correlation(rd.from_pandas(df), "x", "y")
+        assert np.isnan(out["corr"].iloc[0])

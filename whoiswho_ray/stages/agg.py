@@ -593,3 +593,34 @@ def pivot(
             wide = wide.astype(np.int64)
     wide.columns = [str(c) for c in wide.columns]
     return wide.reset_index().sort_values(index, ignore_index=True)
+
+def correlation(
+    ds: "ray.data.Dataset", x: str, y: str
+) -> pd.DataFrame:
+    """Pearson correlation of two INTEGER columns as one streaming pass:
+    per-batch partial sums (n, Σx, Σy, Σxy, Σx², Σy²) — six int64 scalars
+    per batch, summed on the driver — then ONE float expression
+    ``(nΣxy − ΣxΣy) / (sqrt(nΣx²−Σx²)·sqrt(nΣy²−Σy²))`` over the exact
+    integer totals. Because every engine computes the same expression
+    from the same integers (cast to double first — the raw products
+    overflow int64 at scale), the result is bit-identical to a SQL
+    replay. Returns one row ``(n, corr)``; corr is NULL-free only when
+    both columns vary (zero variance → NaN, matching SQL corr)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].to_numpy(np.int64)
+        yv = df[y].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(xv.size)],
+            "sx": [xv.sum()], "sy": [yv.sum()],
+            "sxy": [(xv * yv).sum()],
+            "sxx": [(xv * xv).sum()], "syy": [(yv * yv).sum()],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=131072).to_pandas()
+    n, sx, sy = float(p["n"].sum()), float(p["sx"].sum()), float(p["sy"].sum())
+    sxy, sxx, syy = (float(p["sxy"].sum()), float(p["sxx"].sum()),
+                     float(p["syy"].sum()))
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / denom if denom > 0 else float("nan")
+    return pd.DataFrame({"n": [np.int64(n)], "corr": [corr]})
