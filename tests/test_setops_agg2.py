@@ -1,0 +1,147 @@
+"""Round-4 third-batch operators: SQL set operations (INTERSECT/EXCEPT),
+per-group mode, grouped string_agg, equi-width histogram, and NTILE.
+
+Reference parity notes: these generalize the reference's id-set bookkeeping
+(e.g. whoiswho/dataset splits that subtract assigned pid sets from candidate
+pools) into first-class distributed relational operators.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from whoiswho_ray.stages.agg import (
+    histogram,
+    mode_per_group,
+    ntile,
+    string_agg_grouped,
+)
+from whoiswho_ray.stages.joins import set_op
+
+
+def _pdset(df):
+    return set(map(tuple, df.itertuples(index=False)))
+
+
+class TestSetOp:
+    def test_intersect_matches_pandas(self):
+        rng = np.random.RandomState(3)
+        l = pd.DataFrame({"k": rng.randint(0, 50, 300)})
+        r = pd.DataFrame({"k": rng.randint(25, 75, 300)})
+        out = set_op(rd.from_pandas(l).repartition(7),
+                     rd.from_pandas(r).repartition(5), "k").to_pandas()
+        exp = set(l["k"]) & set(r["k"])
+        assert set(out["k"]) == exp
+        assert len(out) == len(exp)  # distinct semantics
+
+    def test_except_matches_pandas(self):
+        l = pd.DataFrame({"k": np.arange(40, dtype=np.int64) % 20})
+        r = pd.DataFrame({"k": np.arange(5, 15, dtype=np.int64)})
+        out = set_op(rd.from_pandas(l).repartition(4),
+                     rd.from_pandas(r), "k", op="except").to_pandas()
+        assert set(out["k"]) == set(range(5)) | set(range(15, 20))
+
+    def test_multi_column_tuple_semantics(self):
+        l = pd.DataFrame({"a": [1, 1, 2, 2], "b": ["x", "y", "x", "y"]})
+        r = pd.DataFrame({"a": [1, 2], "b": ["y", "x"]})
+        out = set_op(rd.from_pandas(l), rd.from_pandas(r),
+                     ["a", "b"]).to_pandas()
+        assert _pdset(out) == {(1, "y"), (2, "x")}
+
+    def test_empty_filtered_side(self):
+        # Regression: a side whose upstream filter leaves EVERY block empty
+        # used to crash schema introspection (Dataset.schema() -> None).
+        l = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype=np.int64)}))
+        r = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype=np.int64)}))
+        r = r.filter(expr="k > 1000")
+        out = set_op(l, r, "k", op="except").to_pandas()
+        assert set(out["k"]) == set(range(10))
+
+    def test_bad_op_raises(self):
+        l = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError):
+            set_op(l, l, "k", op="union")
+
+
+class TestModePerGroup:
+    def test_mode_with_tie_break(self):
+        df = pd.DataFrame({
+            "g": [1, 1, 1, 2, 2, 2, 2, 3],
+            "v": ["b", "a", "b", "z", "y", "z", "y", "q"],
+        })
+        out = mode_per_group(rd.from_pandas(df).repartition(3), "g", "v",
+                             out="m").to_pandas().sort_values("g")
+        # g=2 ties (z:2, y:2) -> lexicographically smallest wins
+        assert list(out["m"]) == ["b", "y", "q"]
+
+    def test_counts_merge_across_batches(self):
+        # Per-batch partials must SUM before the argmax: value 7 is the
+        # global mode but never the within-batch mode.
+        g = np.zeros(90, dtype=np.int64)
+        v = np.array(([1] * 4 + [2] * 4 + [7] * 6 + [3] * 4 + [4] * 12) * 3)
+        df = pd.DataFrame({"g": g, "v": v[:90]})
+        out = mode_per_group(rd.from_pandas(df).repartition(9), "g", "v")
+        res = out.to_pandas()
+        exp = df.groupby("g")["v"].agg(
+            lambda s: s.value_counts().sort_index().idxmax())
+        assert res["mode_val"].iloc[0] == exp.iloc[0]
+
+
+class TestStringAggGrouped:
+    def test_ordered_join_distinct_and_nulls(self):
+        df = pd.DataFrame({
+            "g": ["a", "a", "a", "b", "b"],
+            "v": ["z", "x", "z", None, "k"],
+        })
+        out = string_agg_grouped(rd.from_pandas(df).repartition(2), "g", "v",
+                                 sep=",", distinct=True,
+                                 out="s").to_pandas().sort_values("g")
+        assert list(out["s"]) == ["x,z", "k"]
+
+    def test_non_distinct_keeps_duplicates(self):
+        df = pd.DataFrame({"g": [1, 1, 1], "v": ["b", "a", "b"]})
+        out = string_agg_grouped(rd.from_pandas(df), "g", "v").to_pandas()
+        assert out["agg_list"].iloc[0] == "a,b,b"
+
+
+class TestHistogram:
+    def test_boundaries_exact(self):
+        # lo=0 hi=10 nbins=5: edges at 0,2,4,6,8,10; -1 below, 5 at/above.
+        vals = np.array([-3, 0, 1, 2, 9, 10, 11], dtype=np.int64)
+        out = histogram(rd.from_pandas(pd.DataFrame({"x": vals})),
+                        "x", lo=0, hi=10, nbins=5)
+        got = dict(zip(out["bucket"], out["n"]))
+        assert got == {-1: 1, 0: 2, 1: 1, 4: 1, 5: 2}
+
+    def test_partition_invariant(self):
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame({"x": rng.randint(-5, 60, 5000)})
+        a = histogram(rd.from_pandas(df).repartition(2), "x", 1, 51, 10)
+        b = histogram(rd.from_pandas(df).repartition(23), "x", 1, 51, 10)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n"].sum() == 5000
+
+    def test_bad_args(self):
+        ds = rd.from_pandas(pd.DataFrame({"x": [1]}))
+        with pytest.raises(ValueError):
+            histogram(ds, "x", 5, 5, 3)
+
+
+class TestNtile:
+    @pytest.mark.parametrize("n,total", [(7, 100), (4, 8), (3, 10), (5, 3)])
+    def test_matches_sql_fill_rule(self, n, total):
+        rng = np.random.RandomState(n)
+        df = pd.DataFrame({"id": np.arange(total, dtype=np.int64),
+                           "v": rng.permutation(total).astype(np.int64)})
+        out = ntile(rd.from_pandas(df).repartition(3), ["v", "id"], n,
+                    tile_col="t").to_pandas().sort_values("v")
+        # SQL NTILE: first total%n tiles get total//n+1 rows, rest total//n
+        q, rem = divmod(total, n)
+        exp = np.concatenate(
+            [np.full(q + 1 if i < rem else q, i + 1, np.int64)
+             for i in range(n)])[:total]
+        np.testing.assert_array_equal(out["t"].to_numpy(), exp)
+        # ranks follow the sort order, so tiles are monotone in v
+        assert (np.diff(out["t"].to_numpy()) >= 0).all()

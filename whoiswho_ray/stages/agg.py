@@ -624,3 +624,156 @@ def correlation(
     denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
     corr = (n * sxy - sx * sy) / denom if denom > 0 else float("nan")
     return pd.DataFrame({"n": [np.int64(n)], "corr": [corr]})
+
+
+def mode_per_group(
+    ds: "ray.data.Dataset",
+    keys: str | list[str],
+    col: str,
+    out: str = "mode_val",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group MODE (most frequent value of ``col``; ties broken by the
+    smallest value — the deterministic tie-break SQL expresses as
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY count(*) DESC, col)``).
+
+    Scale shape: one per-batch ``groupby(keys+[col]).size()`` partial (the
+    moving rows are bounded by batch-distinct (key, value) pairs, not raw
+    rows), then ONE bucketed shuffle on the KEY hash — all of a key's
+    values co-locate — and a vectorized combine inside each bucket task:
+    sum the partial counts, sort by (keys, count desc, value asc), keep
+    the first row per key. No driver materialization.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    nb = num_buckets or _num_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [col], sort=False, dropna=False).size()
+        p = g.rename("__cnt").reset_index()
+        h = np.zeros(len(p), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in keys:
+                h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                    p[k], index=False).to_numpy().astype(np.uint64)
+        p["__bucket"] = (h % np.uint64(nb)).astype(np.int64)
+        return p
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop(columns=["__bucket"])
+        tot = df.groupby(keys + [col], sort=False, dropna=False)["__cnt"].sum(
+        ).reset_index()
+        tot = tot.sort_values(
+            keys + ["__cnt", col], ascending=[True] * len(keys) + [False, True],
+            kind="stable")
+        best = tot.drop_duplicates(subset=keys, keep="first")
+        return best.drop(columns=["__cnt"]).rename(columns={col: out})
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=131072)
+    return partials.groupby("__bucket").map_groups(combine,
+                                                   batch_format="pandas")
+
+
+def string_agg_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    sep: str = ",",
+    distinct: bool = False,
+    out: str = "agg_list",
+) -> "ray.data.Dataset":
+    """Per-group ordered string aggregation — SQL
+    ``string_agg([DISTINCT] col, sep ORDER BY col)``.
+
+    One bucketed shuffle via :func:`group_apply` (whole-bucket mode: the
+    bucket task sorts once by (key, col) and runs a single vectorized
+    ``groupby(key).agg(join)`` across all of its keys). Values join in
+    ascending ``col`` order, so the output is deterministic regardless of
+    input partitioning; duplicate values within a key are kept unless
+    ``distinct``. Rows with NULL ``col`` are skipped, matching SQL
+    string_agg.
+    """
+    proj = ds.select_columns([key, col])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[col].notna()]
+        if distinct:
+            df = df.drop_duplicates(subset=[key, col])
+        df = df.sort_values([key, col], kind="stable")
+        g = df.groupby(key, sort=False)[col].agg(
+            lambda s: sep.join(s.astype(str)))
+        return g.rename(out).reset_index()
+
+    return group_apply(proj, key, per_bucket, batch_format="pandas",
+                       whole_bucket=True)
+
+
+def histogram(
+    ds: "ray.data.Dataset", col: str, lo: int, hi: int, nbins: int
+) -> pd.DataFrame:
+    """Equi-width integer histogram of ``col`` over ``[lo, hi)``: bucket
+    ``b = (x - lo) * nbins // (hi - lo)`` for in-range values, ``-1``
+    below, ``nbins`` at-or-above — all integer arithmetic, so a SQL
+    replay with the same ``//`` expression is exact. One streaming pass:
+    per-batch ``np.bincount`` partials (nbins+2 int64 counters per batch),
+    summed on the driver. Returns ``(bucket, n)`` rows for non-empty
+    buckets only, matching a SQL GROUP BY.
+    """
+    width = int(hi) - int(lo)
+    if width <= 0 or nbins <= 0:
+        raise ValueError("histogram: need hi > lo and nbins > 0")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy(np.int64)
+        b = (x - np.int64(lo)) * np.int64(nbins) // np.int64(width)
+        b = np.where(x < lo, np.int64(-1), np.where(x >= hi, np.int64(nbins), b))
+        counts = np.bincount(b + 1, minlength=nbins + 2).astype(np.int64)
+        return pd.DataFrame({"__b": np.arange(-1, nbins + 1, dtype=np.int64),
+                             "n": counts})
+
+    p = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas", batch_size=131072).to_pandas()
+    tot = p.groupby("__b", sort=True)["n"].sum().reset_index()
+    tot = tot[tot["n"] > 0].rename(columns={"__b": "bucket"})
+    return tot.reset_index(drop=True)
+
+
+def _ntile_of_rank(rank0: np.ndarray, total: int, n: int) -> np.ndarray:
+    """SQL NTILE bucket (1-based) for 0-based global ranks: the first
+    ``total % n`` tiles get ``total // n + 1`` rows, the rest ``total // n``."""
+    q, rem = divmod(int(total), int(n))
+    cutoff = rem * (q + 1)
+    small = np.maximum(rank0 - cutoff, 0)
+    big = np.minimum(rank0, cutoff)
+    tile = np.where(rank0 < cutoff, big // max(q + 1, 1),
+                    rem + small // max(q, 1))
+    return (tile + 1).astype(np.int64)
+
+
+def ntile(
+    ds: "ray.data.Dataset",
+    sort_cols: list[str],
+    n: int,
+    tile_col: str = "tile",
+) -> "ray.data.Dataset":
+    """SQL ``NTILE(n) OVER (ORDER BY sort_cols)``: assign each row to one
+    of ``n`` equal-as-possible tiles of the global sort order.
+
+    ``sort_cols`` must be a TOTAL order (include a unique tie-break column)
+    or tile membership at tile boundaries is partition-dependent. One
+    distributed sort, then :func:`with_global_rank`'s per-block offset
+    tasks (no second shuffle, no driver rows) and a vectorized rank→tile
+    map using the exact NTILE fill rule.
+    """
+    s = ds.sort(sort_cols).materialize()
+    total = s.count()
+    ranked = with_global_rank(s, rank_col="__rank")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[tile_col] = _ntile_of_rank(
+            df["__rank"].to_numpy(np.int64), total, n)
+        return df.drop(columns=["__rank"])
+
+    return ranked.map_batches(assign, batch_format="pandas",
+                              batch_size=131072)

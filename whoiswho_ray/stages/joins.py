@@ -355,6 +355,65 @@ def shuffle_semi_join(
                                             batch_format="pyarrow")
 
 
+def set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    cols: str | list[str],
+    op: str = "intersect",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over the
+    given column tuple.
+
+    Scale shape: each side projects to ``cols`` and locally dedups per
+    batch BEFORE the shuffle (so at most ``batches x bucket-distinct``
+    rows move, not the raw row count), then one bucketed exchange and a
+    vectorized pandas merge inside each bucket task emits the bucket's
+    answer. Null key tuples compare equal (pandas merge matches NaN keys),
+    matching SQL set-operation semantics where ``NULL INTERSECT NULL``
+    yields a row. Output: the distinct ``cols`` rows of the result.
+
+    Both sides are projected to the SAME column tuple, so the tag/bucket
+    columns are attached in the dedup pass itself — no schema
+    introspection (``Dataset.schema()`` returns None when a side's
+    filters leave every block empty) and no null padding needed.
+    """
+    import pyarrow as pa
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_op: op must be intersect|except, got {op!r}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def side_prep(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            d = pa.Table.from_pandas(
+                t.select(cols).to_pandas().drop_duplicates(),
+                preserve_index=False)
+            b = (_key_hash(d, cols) % np.uint64(num_buckets)).astype(np.int64)
+            d = d.append_column("__bucket", pa.array(b, pa.int64()))
+            return d.append_column(
+                "__side", pa.array(np.full(d.num_rows, tag, np.int8)))
+        return f
+
+    lp = left.select_columns(cols).map_batches(
+        side_prep(0), batch_format="pyarrow", batch_size=131072)
+    rp = right.select_columns(cols).map_batches(
+        side_prep(1), batch_format="pyarrow", batch_size=131072)
+    u = lp.union(rp)
+
+    def bucket(g: pa.Table) -> pd.DataFrame:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        base = g.drop_columns(["__bucket", "__side"])
+        ldf = base.filter(pa.array(side == 0)).to_pandas().drop_duplicates()
+        rdf = base.filter(pa.array(side == 1)).to_pandas().drop_duplicates()
+        if op == "intersect":
+            return ldf.merge(rdf, on=cols, how="inner")
+        m = ldf.merge(rdf, on=cols, how="left", indicator=True)
+        return m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+
+    return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
+
+
 def bloom_semi_join(
     large: "ray.data.Dataset",
     keys: "ray.data.Dataset",
