@@ -13,7 +13,10 @@ import pytest
 import ray.data as rd
 
 from whoiswho_ray.stages.agg import (
+    cube,
+    dense_rank_grouped,
     histogram,
+    melt,
     mode_per_group,
     ntile,
     string_agg_grouped,
@@ -127,6 +130,71 @@ class TestHistogram:
         ds = rd.from_pandas(pd.DataFrame({"x": [1]}))
         with pytest.raises(ValueError):
             histogram(ds, "x", 5, 5, 3)
+
+
+class TestCube:
+    def test_all_grouping_sets(self):
+        df = pd.DataFrame({
+            "a": ["x", "x", "y"], "b": ["p", "q", "p"],
+            "v": np.array([1, 2, 4], dtype=np.int64),
+        })
+        out = cube(rd.from_pandas(df).repartition(2), ["a", "b"],
+                   {"s": ("v", "sum"), "n": (None, "count")})
+        assert len(out) == 3 + 2 + 2 + 1  # finest + by-a + by-b + total
+        grand = out[out["grouping"] == 3]
+        assert (grand["s"].iloc[0], grand["n"].iloc[0]) == (7, 3)
+        by_b = out[(out["grouping"] == 2) & (out["b"] == "p")]
+        assert by_b["s"].iloc[0] == 5 and by_b["a"].iloc[0] == "ALL"
+        # GROUPING_ID bit order: first key is the most significant bit
+        by_a = out[(out["grouping"] == 1) & (out["a"] == "x")]
+        assert by_a["s"].iloc[0] == 3 and by_a["b"].iloc[0] == "ALL"
+
+    def test_rejects_non_distributive(self):
+        ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "v": [1]}))
+        with pytest.raises(ValueError):
+            cube(ds, ["a"], {"m": ("v", "mean")})
+
+
+class TestMelt:
+    def test_round_trips_values(self):
+        df = pd.DataFrame({"id": np.arange(5, dtype=np.int64),
+                           "p": np.arange(5) * 1.5,
+                           "q": np.arange(5) * -2.0})
+        out = melt(rd.from_pandas(df).repartition(2), ["id"], ["p", "q"],
+                   var_name="var", value_name="val").to_pandas()
+        assert len(out) == 10
+        wide = out.pivot(index="id", columns="var", values="val")
+        np.testing.assert_array_equal(wide["p"].to_numpy(),
+                                      df["p"].to_numpy())
+        np.testing.assert_array_equal(wide["q"].to_numpy(),
+                                      df["q"].to_numpy())
+
+    def test_needs_value_cols(self):
+        ds = rd.from_pandas(pd.DataFrame({"id": [1]}))
+        with pytest.raises(ValueError):
+            melt(ds, ["id"], [])
+
+
+class TestDenseRank:
+    def test_ties_share_rank_no_gaps(self):
+        df = pd.DataFrame({
+            "g": [1, 1, 1, 1, 2, 2],
+            "id": np.arange(6, dtype=np.int64),
+            "v": [10.0, 10.0, 30.0, 20.0, 5.0, 5.0],
+        })
+        out = dense_rank_grouped(rd.from_pandas(df).repartition(3),
+                                 "g", "v").to_pandas()
+        got = out.set_index("id")["dense_rank"]
+        exp = df.set_index("id").groupby("g")["v"].rank(method="dense")
+        np.testing.assert_array_equal(
+            got.sort_index().to_numpy(),
+            exp.sort_index().to_numpy().astype(np.int64))
+
+    def test_adjacent_keys_same_value(self):
+        # equal order values across DIFFERENT keys must both restart at 1
+        df = pd.DataFrame({"g": ["a", "b"], "id": [0, 1], "v": [7.0, 7.0]})
+        out = dense_rank_grouped(rd.from_pandas(df), "g", "v").to_pandas()
+        assert set(out["dense_rank"]) == {1}
 
 
 class TestNtile:

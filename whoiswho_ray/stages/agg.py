@@ -561,6 +561,136 @@ def rollup(
     return out.sort_values(["level"] + keys, kind="stable",
                            ignore_index=True)
 
+def cube(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(keys...)`` for DISTRIBUTIVE aggregates — every
+    SUBSET of the keys (2^k grouping sets), vs :func:`rollup`'s k+1
+    prefixes. Rolled-up key columns carry ``total_label`` (keys are
+    stringified so the sentinel types cleanly); ``grouping`` is the SQL
+    GROUPING_ID bitmask — bit ``k-1-i`` set means ``keys[i]`` is rolled
+    up, so 0 = finest grain and ``2^k - 1`` = grand total.
+
+    Scale shape: identical to :func:`rollup` — ONE distributed
+    partial-combine pass at the finest grain; every other grouping set
+    re-aggregates the finest RESULT (|finest groups| rows, already
+    driver-sized by the grouped_agg('driver') contract), so the cube
+    costs one shuffle-free pass regardless of 2^k output levels.
+    """
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    for out, (_src, op) in spec.items():
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"cube supports distributive ops only, got {op!r} for"
+                f" {out!r} (decompose mean into sum + count)")
+    k = len(keys)
+    finest = grouped_agg(ds, keys, spec, final="driver")
+    re_op = {out: ("sum" if op == "count" else op)
+             for out, (_s, op) in spec.items()}
+    frames = []
+    for mask in range(2 ** k):
+        kept = [keys[i] for i in range(k) if not (mask >> (k - 1 - i)) & 1]
+        if not mask:
+            f = finest.copy()
+        elif kept:
+            f = (finest.groupby(kept, sort=False, dropna=False)
+                 .agg(re_op).reset_index())
+        else:
+            f = pd.DataFrame({out: [finest[out].agg(op)]
+                              for out, op in re_op.items()})
+        for key in keys:
+            f[key] = f[key].astype(str) if key in kept else total_label
+        f["grouping"] = np.int64(mask)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out = out[keys + ["grouping"] + list(spec)]
+    for col, (_s, op) in spec.items():
+        if (op in ("sum", "count") and out[col].dtype.kind in "iu"
+                or op == "count" and not out[col].isna().any()):
+            out[col] = out[col].astype(np.int64)
+    out["grouping"] = out["grouping"].astype(np.int64)
+    return out.sort_values(["grouping"] + keys, kind="stable",
+                           ignore_index=True)
+
+
+def melt(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "ray.data.Dataset":
+    """UNPIVOT (wide → long; the inverse of :func:`pivot`): one output
+    row per (input row, value column), tagged with the source column
+    name. All ``value_cols`` are cast to float64 — SQL UNPIVOT requires
+    a common value type — and the cast is the ONLY arithmetic, so values
+    pass through bit-exactly.
+
+    Scale shape: zero-shuffle — a stateless per-batch Arrow kernel
+    (len(value_cols) column selects + one concat, no row loop); output
+    rows = input rows × len(value_cols), streamed with backpressure.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not value_cols:
+        raise ValueError("melt needs at least one value column")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {ic: t.column(ic) for ic in id_cols}
+            cols[var_name] = pa.array([c] * n, pa.string())
+            cols[value_name] = pc.cast(t.column(c), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+
+
+def dense_rank_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    out: str = "dense_rank",
+    ascending: bool = True,
+) -> "ray.data.Dataset":
+    """``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col)``:
+    per-group rank where TIED values share a rank and ranks have no gaps
+    (equality-based, so no unique tie-break column is needed — unlike
+    :func:`ntile`/row_number the output is well-defined under ties).
+
+    Scale shape: one hash-bucket shuffle on the key
+    (:func:`group_apply` whole-bucket mode), then ONE vectorized pass per
+    bucket: sort by (key, order_col), a shift-compare step mask, and a
+    cumsum that restarts at key boundaries. No per-key Python loop.
+    """
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="stable",
+                          ascending=[True, ascending]).reset_index(drop=True)
+        if not len(g):
+            g[out] = pd.Series([], dtype=np.int64)
+            return g
+        new_key = ~g[key].eq(g[key].shift()).to_numpy()
+        new_val = ~g[order_col].eq(g[order_col].shift()).to_numpy()
+        step = (new_key | new_val).astype(np.int64)
+        cs = np.cumsum(step)
+        start = np.maximum.accumulate(np.where(new_key, cs, 0))
+        g = g.copy()
+        g[out] = cs - start + 1
+        return g
+
+    return group_apply(ds, key, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
 def pivot(
     ds: "ray.data.Dataset",
     index: str,
