@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q_doc_pack",
     "q_events_funnel",
     "q_doc_simjoin_tables",
+    "q_custkeys_intersect",
+    "q_orders_ntile",
+    "q_lineitem_melt",
     "rnd_assign",
     "ind_detect",
 ]

@@ -386,9 +386,9 @@ def set_op(
 
     def side_prep(tag: int):
         def f(t: pa.Table) -> pa.Table:
-            d = pa.Table.from_pandas(
-                t.select(cols).to_pandas().drop_duplicates(),
-                preserve_index=False)
+            # local distinct in Arrow C++ (group_by with no aggregates),
+            # no pandas round-trip on the pre-shuffle hot path
+            d = t.select(cols).group_by(cols).aggregate([])
             b = (_key_hash(d, cols) % np.uint64(num_buckets)).astype(np.int64)
             d = d.append_column("__bucket", pa.array(b, pa.int64()))
             return d.append_column(
