@@ -304,6 +304,35 @@ class TestTextSimilarityJoin:
         pd.testing.assert_frame_equal(out, exp)
         assert out["key_l"].dtype == np.int64  # native key types survive
 
+    @pytest.mark.parametrize("tau", [0.3, 0.6, 0.8, 0.95])
+    def test_prefix_filter_exact_on_template_corpus(self, tau):
+        """The df-ordered prefix filter (exact path) must keep recall
+        EXACT at every threshold — verified against brute force on the
+        regime it targets: a template-homogeneous corpus where most
+        tokens are shared boilerplate and only a few vary."""
+        from whoiswho_ray.stages.dedup import text_similarity_join
+
+        rng = np.random.RandomState(31)
+        template = "alpha beta gamma delta epsilon zeta eta theta"
+        rare = [f"r{i}" for i in range(12)]
+
+        def mk(n, start):
+            return pd.DataFrame({
+                "doc_id": np.arange(start, start + n, dtype=np.int64),
+                "text": [template + " " + " ".join(
+                    rng.choice(rare, size=rng.randint(0, 4), replace=False))
+                    for _ in range(n)],
+            })
+        left, right = mk(40, 0), mk(40, 500)
+        out = (text_similarity_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(4), threshold=tau)
+            .to_pandas().sort_values(["key_l", "key_r"])
+            .reset_index(drop=True))
+        exp = self._brute(left, right, tau)
+        assert len(exp) > 0
+        pd.testing.assert_frame_equal(out, exp)
+
     def test_max_df_drops_hot_only_candidates(self):
         from whoiswho_ray.stages.dedup import text_similarity_join
 

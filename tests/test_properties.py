@@ -91,3 +91,48 @@ class TestTextNormProperties:
         # a key is pure alnum (no dot), so re-keying is strictly idempotent
         assert k == normalize_block_key(k)
         assert all(c.isalnum() for c in k)
+
+
+class TestNtileFillRuleProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 500), st.integers(1, 20))
+    def test_matches_sql_ntile_definition(self, total, n):
+        """The vectorized rank→tile map must equal the SQL definition
+        (first total%n tiles get total//n + 1 rows, the rest total//n)
+        for every (total, n) — including n > total and total == 0."""
+        from whoiswho_ray.stages.agg import _ntile_of_rank
+
+        ranks = np.arange(total, dtype=np.int64)
+        got = _ntile_of_rank(ranks, total, n)
+        q, rem = divmod(total, n)
+        exp = np.concatenate(
+            [np.full(q + 1 if i < rem else q, i + 1, np.int64)
+             for i in range(n)] or [np.empty(0, np.int64)])[:total]
+        assert np.array_equal(got, exp)
+        if total:
+            # tiles are 1..min(n, total), monotone, sizes differ by ≤1
+            assert got[0] == 1 and got[-1] == min(n, total)
+            sizes = np.bincount(got)[1:]
+            assert sizes.max() - sizes.min() <= 1
+
+
+class TestHistogramBucketProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), max_size=80),
+           st.integers(-50, 50), st.integers(1, 100), st.integers(1, 12))
+    def test_bucket_math_matches_sql_floor_div(self, xs, lo, width, nbins):
+        """The per-batch bucket expression must equal the SQL `//` replay
+        row by row: b = (x - lo) * nbins // width clamped to [-1, nbins]."""
+        hi = lo + width
+        x = np.array(xs, dtype=np.int64)
+        b = (x - np.int64(lo)) * np.int64(nbins) // np.int64(width)
+        b = np.where(x < lo, np.int64(-1),
+                     np.where(x >= hi, np.int64(nbins), b))
+        for xi, bi in zip(xs, b.tolist()):
+            if xi < lo:
+                assert bi == -1
+            elif xi >= hi:
+                assert bi == nbins
+            else:
+                assert bi == (xi - lo) * nbins // width
+                assert 0 <= bi < nbins

@@ -1090,12 +1090,60 @@ def text_similarity_join(
                                zero_copy_batch=True).materialize()
     toks = toks_l.union(toks_r)
 
+    # Prefix filtering (Chaudhuri, Ganti & Kaushik, ICDE'06; Bayardo, Ma
+    # & Srikant, WWW'07): under any global token order, a pair with
+    # J >= tau must share a token inside each side's first
+    # |x| - ceil(tau*|x|) + 1 tokens, so only those PREFIX tokens need to
+    # become candidate postings — recall stays EXACT (verify still runs
+    # over full token sets). Ordering by ascending document frequency
+    # puts template/stop tokens last, so they vanish from candidate
+    # generation — this is what prevents the |L|x|R| posting blowup on
+    # template-homogeneous corpora. The (df, tok) rank table is
+    # vocab-bounded and broadcast once (the idf/surprisal pattern).
+    # Exact path only: combining prefixes with the max_df cap would
+    # weaken max_df's documented "shares one sub-cap token" recall
+    # contract, so the capped path keeps full postings.
+    rank_ref = None
+    if max_df is None:
+        def df_partial(t: pa.Table) -> pa.Table:
+            vals, _ = _flat(t.column("tok_ids"))
+            u, c = np.unique(vals, return_counts=True)
+            return pa.table({"tok": pa.array(u, pa.int64()),
+                             "df": pa.array(c, pa.int64())})
+
+        dfp = toks.map_batches(df_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        dfg = dfp.groupby("tok", sort=False)["df"].sum().reset_index()
+        dfg = dfg.sort_values(["df", "tok"], kind="stable")
+        tok_vals = dfg["tok"].to_numpy(np.int64)
+        o = np.argsort(tok_vals, kind="stable")
+        rank_ref = ray.put((tok_vals[o],
+                            np.arange(tok_vals.size, dtype=np.int64)[o]))
+
     def explode(side: int):
         def f(t: pa.Table) -> pa.Table:
             vals, lens = _flat(t.column("tok_ids"))
             key = t.column("key").combine_chunks() if isinstance(
                 t.column("key"), pa.ChunkedArray) else t.column("key")
-            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+            nrows = t.num_rows
+            idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            if rank_ref is not None and vals.size:
+                keys_sorted, ranks_sorted = ray.get(rank_ref)
+                r = ranks_sorted[np.searchsorted(keys_sorted, vals)]
+                order = np.lexsort((r, idx))
+                starts = np.zeros(nrows + 1, np.int64)
+                np.cumsum(lens, out=starts[1:])
+                pos = (np.arange(vals.size, dtype=np.int64)
+                       - np.repeat(starts[:-1], lens))
+                # ceil guarded against float overshoot (0.8*5 ->
+                # 4.0000000000000002): an overshoot would SHORTEN the
+                # prefix and break exact recall; the epsilon can only
+                # lengthen it (always safe)
+                pl = lens - np.ceil(
+                    threshold * lens - 1e-9).astype(np.int64) + 1
+                keep = pos < np.repeat(pl, lens)
+                sel = order[keep]
+                vals, idx = vals[sel], idx[sel]
             return pa.table({
                 "tok": pa.array(vals, pa.int64()),
                 "key": key.take(pa.array(idx, pa.int64())),
