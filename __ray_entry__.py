@@ -155,7 +155,7 @@ def q_supplier_volume(sf_dir: str):
     sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).map_batches(
         lambda df: df.rename(columns={"s_suppkey": "l_suppkey"}), batch_format="pandas"
     )
-    joined = shuffle_hash_join(li, sup, on="l_suppkey", num_buckets=8)
+    joined = shuffle_hash_join(li, sup, on="l_suppkey", num_buckets=32)
     # unbounded key cardinality (one row per supplier): distributed final
     return grouped_agg(joined, "s_name", {
         "sum_qty": ("l_quantity", "sum"),

@@ -158,24 +158,41 @@ def split_sides(t, lcols: list[str], rcols: list[str]):
     return l, r
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref, cap: int = 4):
+    """Per-worker-process cache for broadcast objects: Ray reuses worker
+    processes across tasks, so a task-pool map deserializes each
+    broadcast ONCE per worker (the actor-pool benefit) without paying
+    actor-pool startup or its concurrency cap. Bounded to ``cap``
+    entries so long sessions don't accumulate dead broadcasts."""
+    key = ref.hex()
+    v = _BROADCAST_CACHE.pop(key, None)
+    if v is None:
+        v = ray.get(ref)
+    _BROADCAST_CACHE[key] = v
+    while len(_BROADCAST_CACHE) > cap:
+        _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+    return v
+
+
 def broadcast_join(
     large: "ray.data.Dataset",
     small: pd.DataFrame,
     on: str | list[str],
     how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Hash-lookup join against a broadcast small side."""
+    """Hash-lookup join against a broadcast small side (``ray.put`` once,
+    read per worker via the process-level cache — never re-shipped per
+    batch)."""
     small_ref = ray.put(small)
 
-    class Merger:
-        def __init__(self):
-            self.small = ray.get(small_ref)
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_cached_get(small_ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return large.map_batches(Merger, batch_format="pandas", batch_size=8192,
-                             concurrency=(1, 4))
+    return large.map_batches(merge, batch_format="pandas",
+                             batch_size=65536)
 
 
 def detect_hot_keys(
