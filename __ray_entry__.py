@@ -2223,6 +2223,24 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_embedding_unnest(sf_dir: str):
+    """UNNEST WITH ORDINALITY: explode the embeddings list<float> column
+    to (vec_id, pos, val) rows — zero-shuffle Arrow offset arithmetic
+    (stages/agg.py unnest); float32→float64 widening is exact on both
+    engines."""
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import unnest
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = unnest(emb, ["vec_id"], "embedding")
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("val"), "val",
+                               pc.cast(t.column("val"), pa.float64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver checks queries in dict order (observed cap
     # ~50 per round) — every oracled query first, rows-only entries last,
@@ -2305,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
+        "q_embedding_unnest": q_embedding_unnest,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -2989,6 +3008,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice)
                         AS BIGINT) AS dense_rank
             FROM orders
+        """,
+        "q_embedding_unnest": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
         """,
         "q_union_keys": """
             SELECT DISTINCT key FROM (

@@ -175,6 +175,33 @@ class TestMelt:
             melt(ds, ["id"], [])
 
 
+class TestUnnest:
+    def test_jagged_lists_with_positions(self):
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.agg import unnest
+
+        t = pa.table({
+            "id": pa.array([10, 11, 12], pa.int64()),
+            "xs": pa.array([[1.5, 2.5], [], [7.0, 8.0, 9.0]],
+                           pa.list_(pa.float64())),
+        })
+        out = unnest(rd.from_arrow(t), ["id"], "xs").to_pandas()
+        assert list(out["id"]) == [10, 10, 12, 12, 12]
+        assert list(out["pos"]) == [0, 1, 0, 1, 2]
+        assert list(out["val"]) == [1.5, 2.5, 7.0, 8.0, 9.0]
+
+    def test_null_list_rejected(self):
+        import pyarrow as pa
+
+        from whoiswho_ray.stages.agg import unnest
+
+        t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "xs": pa.array([[1.0], None], pa.list_(pa.float64()))})
+        with pytest.raises(Exception, match="NULL lists"):
+            unnest(rd.from_arrow(t), ["id"], "xs").materialize()
+
+
 class TestDenseRank:
     def test_ties_share_rank_no_gaps(self):
         df = pd.DataFrame({

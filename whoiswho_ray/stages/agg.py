@@ -655,6 +655,55 @@ def melt(
         batch_size=65536)
 
 
+def unnest(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    list_col: str,
+    pos_col: str = "pos",
+    value_name: str = "val",
+) -> "ray.data.Dataset":
+    """Explode an Arrow list column to one row per element with its
+    0-based position — SQL ``UNNEST ... WITH ORDINALITY`` (the list-column
+    counterpart of :func:`melt`; the embeddings/multimodal tables carry
+    ``list<float>`` payloads this makes relational).
+
+    Scale shape: zero-shuffle — a stateless per-batch Arrow kernel
+    (offset arithmetic + one ``flatten`` + one ``take``, no Python row
+    loop); output rows = sum of list lengths, streamed with
+    backpressure. Null lists are rejected loudly (no silent row drops —
+    SQL UNNEST drops them, so the caller should filter first).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError(
+                f"unnest: {list_col!r} contains NULL lists — filter them "
+                "first (SQL UNNEST silently drops them; we refuse to "
+                "guess)")
+        n = t.num_rows
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        total = int(lens.sum())
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
+        take = pa.array(idx, pa.int64())
+        cols = {c: t.column(c).take(take) for c in id_cols}
+        cols[pos_col] = pa.array(pos, pa.int64())
+        cols[value_name] = col.flatten()
+        return pa.table(cols)
+
+    return ds.select_columns(id_cols + [list_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+
+
 def dense_rank_grouped(
     ds: "ray.data.Dataset",
     key: str,
