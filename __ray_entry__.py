@@ -2223,6 +2223,31 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_corr_by_flag(sf_dir: str):
+    """Per-group streaming Pearson correlation (quantity vs whole-dollar
+    price per returnflag): six exact int64 partial sums per batch-distinct
+    key, key-bounded driver combine, the global operator's float
+    expression per key (stages/agg.py grouped_correlation) — bit-identical
+    to the SQL replay over the same integer sums."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_correlation
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(df):
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "q": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64),
+            "d": np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                          ).astype(np.int64),
+        })
+
+    return grouped_correlation(ds.map_batches(prep, batch_format="pandas"),
+                               "l_returnflag", "q", "d")
+
+
 def q_embedding_unnest(sf_dir: str):
     """UNNEST WITH ORDINALITY: explode the embeddings list<float> column
     to (vec_id, pos, val) rows — zero-shuffle Arrow offset arithmetic
@@ -2324,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
         "q_embedding_unnest": q_embedding_unnest,
+        "q_corr_by_flag": q_corr_by_flag,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3015,6 +3041,28 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_corr_by_flag": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                       CAST(floor(l_extendedprice) AS BIGINT) AS d
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(q) AS sx, sum(d) AS sy, sum(q * d) AS sxy,
+                       sum(q * q) AS sxx, sum(d * d) AS syy
+                FROM b GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS corr
+            FROM s
         """,
         "q_union_keys": """
             SELECT DISTINCT key FROM (

@@ -175,6 +175,43 @@ class TestMelt:
             melt(ds, ["id"], [])
 
 
+class TestGroupedCorrelation:
+    def test_matches_numpy_per_group(self):
+        from whoiswho_ray.stages.agg import grouped_correlation
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "g": rng.randint(0, 4, 600),
+            "x": rng.randint(0, 100, 600).astype(np.int64),
+        })
+        df["y"] = (df["x"] * 3 + rng.randint(0, 50, 600)).astype(np.int64)
+        out = grouped_correlation(rd.from_pandas(df).repartition(7),
+                                  "g", "x", "y").set_index("g")
+        for g, sub in df.groupby("g"):
+            exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert abs(out.loc[g, "corr"] - exp) < 1e-12
+            assert out.loc[g, "n"] == len(sub)
+
+    def test_bit_identical_across_shardings(self):
+        from whoiswho_ray.stages.agg import grouped_correlation
+
+        rng = np.random.RandomState(6)
+        df = pd.DataFrame({"g": rng.randint(0, 3, 500),
+                           "x": rng.randint(0, 40, 500).astype(np.int64),
+                           "y": rng.randint(0, 40, 500).astype(np.int64)})
+        a = grouped_correlation(rd.from_pandas(df).repartition(2), "g", "x", "y")
+        b = grouped_correlation(rd.from_pandas(df).repartition(19), "g", "x", "y")
+        pd.testing.assert_frame_equal(a, b)  # exact — integer partials
+
+    def test_zero_variance_is_nan(self):
+        from whoiswho_ray.stages.agg import grouped_correlation
+
+        df = pd.DataFrame({"g": [1, 1, 1], "x": [7, 7, 7],
+                           "y": [1, 2, 3]})
+        out = grouped_correlation(rd.from_pandas(df), "g", "x", "y")
+        assert np.isnan(out["corr"].iloc[0])
+
+
 class TestUnnest:
     def test_jagged_lists_with_positions(self):
         import pyarrow as pa

@@ -805,6 +805,42 @@ def correlation(
     return pd.DataFrame({"n": [np.int64(n)], "corr": [corr]})
 
 
+def grouped_correlation(
+    ds: "ray.data.Dataset", key: str, x: str, y: str
+) -> pd.DataFrame:
+    """Per-group Pearson correlation of two INTEGER columns — the grouped
+    form of :func:`correlation`: six int64 partial sums per batch-distinct
+    key (the partials are distributive, so the moving rows are bounded by
+    batch-distinct keys, not raw rows), one key-bounded driver combine
+    (one row per key), then the SAME float expression as the global
+    operator evaluated per key — bit-identical to a SQL replay that
+    computes the expression from the same integer sums. Returns
+    ``(key, n, corr)`` sorted by key; zero-variance groups get NaN,
+    matching SQL ``corr``."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].to_numpy(np.int64)
+        yv = df[y].to_numpy(np.int64)
+        t = pd.DataFrame({key: df[key].to_numpy(),
+                          "n": np.ones(len(df), np.int64),
+                          "sx": xv, "sy": yv, "sxy": xv * yv,
+                          "sxx": xv * xv, "syy": yv * yv})
+        return t.groupby(key, sort=False, as_index=False).sum()
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=131072).to_pandas()
+    tot = p.groupby(key, sort=True, as_index=False).sum()
+    n = tot["n"].to_numpy(np.float64)
+    sx, sy = tot["sx"].to_numpy(np.float64), tot["sy"].to_numpy(np.float64)
+    sxy = tot["sxy"].to_numpy(np.float64)
+    sxx, syy = tot["sxx"].to_numpy(np.float64), tot["syy"].to_numpy(np.float64)
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    corr = np.where(denom > 0,
+                    (n * sxy - sx * sy) / np.where(denom > 0, denom, 1.0),
+                    np.nan)
+    return pd.DataFrame({key: tot[key], "n": tot["n"].astype(np.int64),
+                         "corr": corr})
+
+
 def mode_per_group(
     ds: "ray.data.Dataset",
     keys: str | list[str],
