@@ -2223,6 +2223,20 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_events_quantiles_cont(sf_dir: str):
+    """EXACT interpolated quantiles (SQL percentile_cont): same one-sort
+    + rank-pluck shape as q_events_quantiles, but BOTH bracketing ranks
+    pluck and one float64 interpolation expression on the driver — the
+    oracle replays the identical expression over the same two ranked
+    values (engine-independent, no quantile_cont internals assumed)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import exact_quantiles_cont
+
+    return exact_quantiles_cont(
+        read_table(sf_dir, "events", columns=["value"]), "value",
+        [0.25, 0.5, 0.9])
+
+
 def q_corr_by_flag(sf_dir: str):
     """Per-group streaming Pearson correlation (quantity vs whole-dollar
     price per returnflag): six exact int64 partial sums per batch-distinct
@@ -2350,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_dense_rank": q_orders_dense_rank,
         "q_embedding_unnest": q_embedding_unnest,
         "q_corr_by_flag": q_corr_by_flag,
+        "q_events_quantiles_cont": q_events_quantiles_cont,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3041,6 +3056,28 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_events_quantiles_cont": """
+            WITH v AS (
+                SELECT CAST(value AS DOUBLE) AS x FROM events
+                WHERE value IS NOT NULL
+            ), r AS (
+                SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v
+            ), n AS (SELECT count(*) AS n FROM v),
+            -- CAST q to DOUBLE: a bare VALUES (0.9) is DECIMAL in DuckDB
+            -- and decimal q*(n-1) rounds differently from the engine's
+            -- float64 product
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES (0.25), (0.5), (0.9)) t(q))
+            SELECT qs.q AS q,
+                   lo.x + (hi.x - lo.x)
+                        * (qs.q * (n.n - 1) - floor(qs.q * (n.n - 1)))
+                       AS value
+            FROM qs
+            CROSS JOIN n
+            JOIN r lo ON lo.rk = CAST(floor(qs.q * (n.n - 1)) AS BIGINT)
+            JOIN r hi ON hi.rk = CAST(ceil(qs.q * (n.n - 1)) AS BIGINT)
+            ORDER BY q
         """,
         "q_corr_by_flag": """
             WITH b AS (

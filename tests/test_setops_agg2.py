@@ -175,6 +175,27 @@ class TestMelt:
             melt(ds, ["id"], [])
 
 
+class TestQuantilesCont:
+    def test_matches_numpy_linear(self):
+        from whoiswho_ray.stages.agg import exact_quantiles_cont
+
+        rng = np.random.RandomState(8)
+        v = rng.rand(1001) * 100
+        df = pd.DataFrame({"v": v})
+        qs = [0.0, 0.25, 0.5, 0.77, 1.0]
+        out = exact_quantiles_cont(rd.from_pandas(df).repartition(9),
+                                   "v", qs)
+        exp = np.quantile(v, qs)  # numpy default = linear interpolation
+        np.testing.assert_allclose(out["value"].to_numpy(), exp, rtol=1e-12)
+
+    def test_nulls_excluded_and_single_row(self):
+        from whoiswho_ray.stages.agg import exact_quantiles_cont
+
+        df = pd.DataFrame({"v": [np.nan, 5.0, np.nan]})
+        out = exact_quantiles_cont(rd.from_pandas(df), "v", [0.3, 0.9])
+        assert list(out["value"]) == [5.0, 5.0]
+
+
 class TestGroupedCorrelation:
     def test_matches_numpy_per_group(self):
         from whoiswho_ray.stages.agg import grouped_correlation

@@ -306,6 +306,66 @@ def exact_quantiles(
                          "value": [hits[idx_of[q]] for q in qs]})
 
 
+def exact_quantiles_cont(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """EXACT interpolated quantiles (SQL ``percentile_cont`` / DuckDB
+    ``quantile_cont``): ``pos = q*(n-1)``; value = ``v[floor(pos)] +
+    (v[ceil(pos)] - v[floor(pos)]) * (pos - floor(pos))``.
+
+    Same one-sort + rank-pluck scale shape as :func:`exact_quantiles` —
+    BOTH bracketing ranks per q are plucked in-task (≤ 2·len(qs) rows to
+    the driver), and the interpolation is one float64 expression over
+    the plucked values. A SQL replay computing the same expression from
+    the same two ranked values is bit-identical, independent of any
+    engine's internal quantile_cont formulation.
+    """
+    import math
+
+    import pyarrow as pa
+
+    s = _drop_null_values(ds, value_col).sort(value_col).materialize()
+    n = s.count()
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": np.nan})
+    pos_of = {q: float(q) * float(n - 1) for q in qs}
+    brackets = {q: (int(math.floor(p)), int(math.ceil(p)))
+                for q, p in pos_of.items()}
+    targets = np.unique(np.fromiter(
+        (i for pair in brackets.values() for i in pair), np.int64))
+    targets_ref = ray.put(targets)
+
+    class Pick:
+        def __init__(self):
+            self.targets = ray.get(targets_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("rank").to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, self.targets)
+            import pyarrow.compute as pc
+            return pa.table({
+                "rank": pa.array(ids[mask]),
+                "value": pc.cast(
+                    t.column(value_col).filter(pa.array(mask)),
+                    pa.float64()),
+            })
+
+    hits = (with_global_rank(s, "rank")
+            .map_batches(Pick, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4))
+            .to_pandas().set_index("rank")["value"])
+    vals = []
+    for q in qs:
+        lo_i, hi_i = brackets[q]
+        lo, hi = float(hits[lo_i]), float(hits[hi_i])
+        p = pos_of[q]
+        vals.append(lo + (hi - lo) * (p - math.floor(p)))
+    return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": vals})
+
+
 def with_global_rank(
     s: "ray.data.Dataset", rank_col: str = "rank"
 ) -> "ray.data.Dataset":
