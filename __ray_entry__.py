@@ -2223,6 +2223,32 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_quantity_zscore(sf_dir: str):
+    """Per-group z-score standardization (feature engineering at scale):
+    z of l_quantity within each returnflag — one distributive moments
+    pass, broadcast key table, stateless vectorized standardize; the
+    data rows never shuffle (stages/agg.py zscore_grouped)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import zscore_grouped
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_quantity"])
+
+    def prep(df):
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_linenumber": df["l_linenumber"],
+            "l_returnflag": df["l_returnflag"],
+            "q": df["l_quantity"].astype(np.int64),
+        })
+
+    out = zscore_grouped(ds.map_batches(prep, batch_format="pandas"),
+                         "l_returnflag", "q")
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_returnflag", "z"])
+
+
 def q_events_quantiles_cont(sf_dir: str):
     """EXACT interpolated quantiles (SQL percentile_cont): same one-sort
     + rank-pluck shape as q_events_quantiles, but BOTH bracketing ranks
@@ -2365,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_unnest": q_embedding_unnest,
         "q_corr_by_flag": q_corr_by_flag,
         "q_events_quantiles_cont": q_events_quantiles_cont,
+        "q_quantity_zscore": q_quantity_zscore,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3056,6 +3083,24 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_quantity_zscore": """
+            WITH b AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS q
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(q) AS sx, sum(q * q) AS sxx
+                FROM b GROUP BY l_returnflag
+            )
+            SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+                   (CAST(s.n AS DOUBLE) * CAST(b.q AS DOUBLE)
+                    - CAST(s.sx AS DOUBLE))
+                   / sqrt(CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                          - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                       AS z
+            FROM b JOIN s USING (l_returnflag)
         """,
         "q_events_quantiles_cont": """
             WITH v AS (

@@ -175,6 +175,29 @@ class TestMelt:
             melt(ds, ["id"], [])
 
 
+class TestZscoreGrouped:
+    def test_matches_pandas_population_std(self):
+        from whoiswho_ray.stages.agg import zscore_grouped
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({"g": rng.randint(0, 5, 400),
+                           "x": rng.randint(0, 60, 400).astype(np.int64),
+                           "rid": np.arange(400, dtype=np.int64)})
+        out = (zscore_grouped(rd.from_pandas(df).repartition(6), "g", "x")
+               .to_pandas().sort_values("rid").reset_index(drop=True))
+        mu = df.groupby("g")["x"].transform("mean")
+        sd = df.groupby("g")["x"].transform(lambda s: s.std(ddof=0))
+        exp = ((df["x"] - mu) / sd).to_numpy()
+        np.testing.assert_allclose(out["z"].to_numpy(), exp, rtol=1e-10)
+
+    def test_zero_variance_group_is_nan(self):
+        from whoiswho_ray.stages.agg import zscore_grouped
+
+        df = pd.DataFrame({"g": [1, 1], "x": np.array([4, 4], np.int64)})
+        out = zscore_grouped(rd.from_pandas(df), "g", "x").to_pandas()
+        assert out["z"].isna().all()
+
+
 class TestQuantilesCont:
     def test_matches_numpy_linear(self):
         from whoiswho_ray.stages.agg import exact_quantiles_cont

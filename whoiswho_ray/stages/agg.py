@@ -865,6 +865,56 @@ def correlation(
     return pd.DataFrame({"n": [np.int64(n)], "corr": [corr]})
 
 
+def zscore_grouped(
+    ds: "ray.data.Dataset", key: str, x: str, out: str = "z"
+) -> "ray.data.Dataset":
+    """Per-group z-score standardization of an INTEGER column: append
+    ``z = (x - mean_g) / std_g`` (population std, matching SQL
+    ``stddev_pop``; zero-variance groups get NULL-propagating NaN).
+
+    Scale shape: one partial pass collects per-batch-distinct-key int64
+    moment sums (n, Σx, Σx²) — distributive, driver-combined into one
+    row per key — then the key table broadcasts (``ray.put`` once, read
+    via the per-worker cache) and a stateless map standardizes every row
+    vectorized; no shuffle ever moves the data rows. The float
+    expression is pinned so a SQL replay over the same integer sums is
+    bit-identical: ``z = (n*x - sx) / sqrt(n*sxx - sx*sx)`` — which is
+    algebraically exactly ``(x - mean) / stddev_pop`` (multiply
+    numerator and denominator by n).
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].to_numpy(np.int64)
+        t = pd.DataFrame({key: df[key].to_numpy(),
+                          "n": np.ones(len(df), np.int64),
+                          "sx": xv, "sxx": xv * xv})
+        return t.groupby(key, sort=False, as_index=False).sum()
+
+    p = ds.select_columns([key, x]).map_batches(
+        partial, batch_format="pandas", batch_size=131072).to_pandas()
+    tot = p.groupby(key, sort=True, as_index=False).sum()
+    moments_ref = ray.put(tot.set_index(key))
+
+    def standardize(df: pd.DataFrame) -> pd.DataFrame:
+        from whoiswho_ray.stages.joins import _cached_get
+        m = _cached_get(moments_ref)
+        g = m.loc[df[key]]
+        n = g["n"].to_numpy(np.float64)
+        sx = g["sx"].to_numpy(np.float64)
+        sxx = g["sxx"].to_numpy(np.float64)
+        xv = df[x].to_numpy(np.int64).astype(np.float64)
+        denom = np.sqrt(n * sxx - sx * sx)
+        df = df.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            df[out] = np.where(denom > 0,
+                               (n * xv - sx)
+                               / np.where(denom > 0, denom, 1.0),
+                               np.nan)
+        return df
+
+    return ds.map_batches(standardize, batch_format="pandas",
+                          batch_size=131072)
+
+
 def grouped_correlation(
     ds: "ray.data.Dataset", key: str, x: str, y: str
 ) -> pd.DataFrame:
