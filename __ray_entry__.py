@@ -2223,6 +2223,33 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_orders_price_band(sf_dir: str):
+    """Band join (|x_l − x_r| ≤ δ row pairs): orders whose totals are
+    within 100 cents of each other — grid-cell partitioning with
+    3-cell neighbor replication, per-cell vectorized searchsorted
+    enumeration (stages/joins.py band_join); self-join cut to
+    key_l < key_r."""
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import band_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["o_orderkey"].astype(np.int64),
+                             "c": _cents(df["o_totalprice"])})
+
+    o = orders.map_batches(prep, batch_format="pandas")
+    # self-join: band_join suffixes colliding names to k_l/k_r, c_l/c_r
+    pairs = band_join(o, o, key_l="k", key_r="k", x_l="c", x_r="c",
+                      delta=100)
+    return pairs.map_batches(
+        lambda t: t.filter(pc.less(t.column("k_l"), t.column("k_r"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_quantity_zscore(sf_dir: str):
     """Per-group z-score standardization (feature engineering at scale):
     z of l_quantity within each returnflag — one distributive moments
@@ -2392,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr_by_flag": q_corr_by_flag,
         "q_events_quantiles_cont": q_events_quantiles_cont,
         "q_quantity_zscore": q_quantity_zscore,
+        "q_orders_price_band": q_orders_price_band,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3083,6 +3111,16 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_orders_price_band": """
+            WITH c AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                FROM orders
+            )
+            SELECT a.k AS k_l, b.k AS k_r, a.c AS c_l, b.c AS c_r
+            FROM c a JOIN c b
+              ON a.k < b.k AND abs(a.c - b.c) <= 100
         """,
         "q_quantity_zscore": """
             WITH b AS (

@@ -68,6 +68,63 @@ class TestSetOp:
             set_op(l, l, "k", op="union")
 
 
+class TestBandJoin:
+    def _brute(self, l, r, delta):
+        rows = [(a.kl, b.kr, a.x, b.y)
+                for a in l.itertuples() for b in r.itertuples()
+                if abs(a.x - b.y) <= delta]
+        return sorted(rows)
+
+    def test_matches_bruteforce_incl_negatives(self):
+        from whoiswho_ray.stages.joins import band_join
+
+        rng = np.random.RandomState(13)
+        l = pd.DataFrame({"kl": np.arange(120, dtype=np.int64),
+                          "x": rng.randint(-500, 500, 120).astype(np.int64)})
+        r = pd.DataFrame({"kr": np.arange(1000, 1090, dtype=np.int64),
+                          "y": rng.randint(-500, 500, 90).astype(np.int64)})
+        out = band_join(rd.from_pandas(l).repartition(5),
+                        rd.from_pandas(r).repartition(3),
+                        key_l="kl", key_r="kr", x_l="x", x_r="y",
+                        delta=7).to_pandas()
+        got = sorted(map(tuple, out[["kl", "kr", "x", "y"]]
+                         .itertuples(index=False)))
+        exp = self._brute(l, r, 7)
+        assert got == exp and len(exp) > 0
+        # each qualifying pair appears EXACTLY once (no replica dupes)
+        assert len(got) == len(set((a, b) for a, b, _, _ in got))
+
+    def test_delta_zero_is_equality_join(self):
+        from whoiswho_ray.stages.joins import band_join
+
+        l = pd.DataFrame({"kl": np.array([1, 2], np.int64),
+                          "x": np.array([10, 20], np.int64)})
+        r = pd.DataFrame({"kr": np.array([8, 9], np.int64),
+                          "y": np.array([10, 21], np.int64)})
+        out = band_join(rd.from_pandas(l), rd.from_pandas(r),
+                        "kl", "kr", "x", "y", delta=0).to_pandas()
+        assert list(map(tuple, out.itertuples(index=False))) == [(1, 8, 10, 10)]
+
+    def test_self_join_suffixes_colliding_names(self):
+        from whoiswho_ray.stages.joins import band_join
+
+        df = pd.DataFrame({"k": np.array([1, 2, 3], np.int64),
+                           "c": np.array([100, 105, 300], np.int64)})
+        ds = rd.from_pandas(df)
+        out = band_join(ds, ds, "k", "k", "c", "c", delta=10).to_pandas()
+        assert set(out.columns) == {"k_l", "k_r", "c_l", "c_r"}
+        cut = out[out["k_l"] < out["k_r"]]
+        assert set(map(tuple, cut[["k_l", "k_r"]].itertuples(index=False))) \
+            == {(1, 2)}
+
+    def test_rejects_negative_delta(self):
+        from whoiswho_ray.stages.joins import band_join
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1], "x": [1]}))
+        with pytest.raises(ValueError):
+            band_join(ds, ds, "k", "k", "x", "x", delta=-1)
+
+
 class TestModePerGroup:
     def test_mode_with_tie_break(self):
         df = pd.DataFrame({

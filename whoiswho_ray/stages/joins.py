@@ -431,6 +431,112 @@ def set_op(
     return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
 
 
+def band_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_l: str,
+    key_r: str,
+    x_l: str,
+    x_r: str,
+    delta: int,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Band (interval-distance) join: all pairs with
+    ``|left.x_l - right.x_r| <= delta`` over INTEGER value columns —
+    the row-pair counterpart of the range-interval AGGREGATE join
+    (``asof.range_agg_join``), e.g. near-duplicate prices, timestamps
+    within a tolerance, sensor alignment.
+
+    Scale shape: grid-cell partitioning — each side's value maps to cell
+    ``x // delta``; any qualifying pair's cells differ by at most 1, so
+    LEFT rows replicate into cells ``{c-1, c, c+1}`` (3× one side, never
+    a cross product) and RIGHT rows post once, meeting in the right's
+    own cell (each pair meets EXACTLY once — no output dedup needed).
+    One cell-hash bucketed exchange; inside each bucket task one
+    vectorized pass per cell segment: rights sorted by value, each left
+    binary-searches its ``[x-delta, x+delta]`` window (the searchsorted
+    bounds ARE the verify) and pairs enumerate with the repeat/offset
+    trick. Output: ``(key_l, key_r, x_l, x_r)``.
+    """
+    import pyarrow as pa
+
+    if delta < 0:
+        raise ValueError("band_join: delta must be >= 0")
+    step = max(int(delta), 1)  # delta=0 -> exact-value join, cell = x
+    # output column names; suffix on collision (self-joins)
+    okl, okr = (key_l, key_r) if key_l != key_r else (f"{key_l}_l",
+                                                      f"{key_r}_r")
+    oxl, oxr = (x_l, x_r) if x_l != x_r else (f"{x_l}_l", f"{x_r}_r")
+
+    def side_prep(side: int, key: str, x: str, replicate: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            xv = t.column(x).to_numpy(zero_copy_only=False).astype(np.int64)
+            cell = xv // np.int64(step)
+            if replicate:
+                k = np.tile(k, 3)
+                xv = np.tile(xv, 3)
+                cell = np.concatenate([cell - 1, cell, cell + 1])
+            b = (cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({
+                "key": pa.array(k), "x": pa.array(xv, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+                "__side": pa.array(np.full(xv.size, side, np.int8)),
+            })
+        return f
+
+    lp = left.select_columns([key_l, x_l]).map_batches(
+        side_prep(0, key_l, x_l, True), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=131072)
+    rp = right.select_columns([key_r, x_r]).map_batches(
+        side_prep(1, key_r, x_r, False), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=131072)
+    u = lp.union(rp)
+
+    def bucket(g: pa.Table) -> pd.DataFrame:
+        df = g.sort_by([("cell", "ascending"), ("__side", "ascending"),
+                        ("x", "ascending")])
+        cell = df.column("cell").to_numpy(zero_copy_only=False)
+        side = df.column("__side").to_numpy(zero_copy_only=False)
+        xs = df.column("x").to_numpy(zero_copy_only=False)
+        keys = df.column("key").to_numpy(zero_copy_only=False)
+        empty = pd.DataFrame({okl: np.empty(0, keys.dtype),
+                              okr: np.empty(0, keys.dtype),
+                              oxl: np.empty(0, np.int64),
+                              oxr: np.empty(0, np.int64)})
+        bounds = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1], True])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sd = side[s:e]
+            nl = int((sd == 0).sum())
+            if nl == 0 or nl == e - s:
+                continue
+            lx, lk = xs[s:s + nl], keys[s:s + nl]
+            rx, rk = xs[s + nl:e], keys[s + nl:e]
+            lo = np.searchsorted(rx, lx - np.int64(delta), side="left")
+            hi = np.searchsorted(rx, lx + np.int64(delta), side="right")
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            lo, cnt = lo[keep], cnt[keep]
+            off = np.zeros(cnt.size + 1, np.int64)
+            np.cumsum(cnt, out=off[1:])
+            t = np.arange(int(off[-1]), dtype=np.int64)
+            gi = np.searchsorted(off, t, side="right") - 1
+            j = lo[gi] + (t - off[gi])
+            li = np.flatnonzero(keep)[gi]
+            outs.append(pd.DataFrame({
+                okl: lk[li], okr: rk[j],
+                oxl: lx[li], oxr: rx[j],
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
+
+
 def bloom_semi_join(
     large: "ray.data.Dataset",
     keys: "ray.data.Dataset",
