@@ -2223,6 +2223,21 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_customer_best_order(sf_dir: str):
+    """SQL max_by / arg_max with pinned ties: each customer's
+    highest-price order (ties → smallest orderkey) — distributive
+    per-batch winners + one key-bucket shuffle (stages/agg.py
+    arg_extreme_grouped); the float price is compared, never computed
+    on."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import arg_extreme_grouped
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice", "o_orderkey"])
+    return arg_extreme_grouped(orders, "o_custkey", "o_totalprice",
+                               ["o_orderkey"], mode="max")
+
+
 def q_orders_price_band(sf_dir: str):
     """Band join (|x_l − x_r| ≤ δ row pairs): orders whose totals are
     within 100 cents of each other — grid-cell partitioning with
@@ -2420,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_quantiles_cont": q_events_quantiles_cont,
         "q_quantity_zscore": q_quantity_zscore,
         "q_orders_price_band": q_orders_price_band,
+        "q_customer_best_order": q_customer_best_order,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3111,6 +3127,15 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_customer_best_order": """
+            SELECT o_custkey, o_totalprice, o_orderkey FROM (
+                SELECT o_custkey, o_totalprice, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) t WHERE rn = 1
         """,
         "q_orders_price_band": """
             WITH c AS (

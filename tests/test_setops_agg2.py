@@ -149,6 +149,40 @@ class TestModePerGroup:
         assert res["mode_val"].iloc[0] == exp.iloc[0]
 
 
+class TestArgExtremeGrouped:
+    def test_max_with_tie_break_across_batches(self):
+        from whoiswho_ray.stages.agg import arg_extreme_grouped
+
+        # g=1's max (9.0) appears twice in DIFFERENT partitions —
+        # the smallest id must win globally, not per batch
+        df = pd.DataFrame({
+            "g": [1, 1, 1, 2, 2],
+            "v": [9.0, 3.0, 9.0, 5.0, 5.0],
+            "id": np.array([40, 10, 20, 8, 7], np.int64),
+        })
+        out = (arg_extreme_grouped(rd.from_pandas(df).repartition(5),
+                                   "g", "v", ["id"])
+               .to_pandas().sort_values("g"))
+        assert list(out["id"]) == [20, 7]
+        assert list(out["v"]) == [9.0, 5.0]
+
+    def test_min_mode(self):
+        from whoiswho_ray.stages.agg import arg_extreme_grouped
+
+        df = pd.DataFrame({"g": [1, 1], "v": [2.0, -4.0],
+                           "id": np.array([1, 2], np.int64)})
+        out = arg_extreme_grouped(rd.from_pandas(df), "g", "v", ["id"],
+                                  mode="min").to_pandas()
+        assert list(out["id"]) == [2]
+
+    def test_bad_mode(self):
+        from whoiswho_ray.stages.agg import arg_extreme_grouped
+
+        ds = rd.from_pandas(pd.DataFrame({"g": [1], "v": [1.0], "id": [1]}))
+        with pytest.raises(ValueError):
+            arg_extreme_grouped(ds, "g", "v", ["id"], mode="median")
+
+
 class TestStringAggGrouped:
     def test_ordered_join_distinct_and_nulls(self):
         df = pd.DataFrame({

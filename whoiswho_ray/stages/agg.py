@@ -999,6 +999,42 @@ def mode_per_group(
                                                    batch_format="pandas")
 
 
+def arg_extreme_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    by: str,
+    cols: list[str],
+    mode: str = "max",
+) -> "ray.data.Dataset":
+    """SQL ``max_by`` / ``arg_max`` (or min) with a DETERMINISTIC
+    tie-break: per key, the whole row (``key``, ``by``, ``cols``) whose
+    ``by`` is extreme; ties broken by the smallest ``cols`` tuple — the
+    order SQL expresses as ``ROW_NUMBER() OVER (PARTITION BY key ORDER
+    BY by DESC|ASC, cols...) = 1`` (bare SQL max_by leaves ties
+    engine-defined; we pin them).
+
+    Scale shape: the extreme is DISTRIBUTIVE — each batch keeps one
+    winner per batch-distinct key (one vectorized sort +
+    drop_duplicates), so at most batch-distinct-keys rows move; one
+    key-hash bucketed shuffle re-runs the same kernel per bucket for the
+    global winner. No driver materialization.
+    """
+    if mode not in ("max", "min"):
+        raise ValueError(f"arg_extreme_grouped: mode must be max|min, "
+                         f"got {mode!r}")
+    proj = ds.select_columns([key, by] + cols)
+    asc = [True, mode == "min"] + [True] * len(cols)
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, by] + cols, ascending=asc, kind="stable")
+        return df.drop_duplicates(subset=[key], keep="first")
+
+    partials = proj.map_batches(winners, batch_format="pandas",
+                                batch_size=131072)
+    return group_apply(partials, key, winners, batch_format="pandas",
+                       whole_bucket=True)
+
+
 def string_agg_grouped(
     ds: "ray.data.Dataset",
     key: str,
