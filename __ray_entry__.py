@@ -2223,6 +2223,19 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_events_type_quantiles_cont(sf_dir: str):
+    """Per-group interpolated quantiles (percentile_cont per event_type):
+    one group_apply whole-bucket lexsort, vectorized per-key position
+    pluck + pinned float64 interpolation (stages/agg.py
+    grouped_quantiles_cont) — bit-identical to the SQL replay over the
+    same per-key ranked values."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_quantiles_cont
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_cont(ev, "event_type", "value", [0.5, 0.9])
+
+
 def q_customer_best_order(sf_dir: str):
     """SQL max_by / arg_max with pinned ties: each customer's
     highest-price order (ties → smallest orderkey) — distributive
@@ -2436,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantity_zscore": q_quantity_zscore,
         "q_orders_price_band": q_orders_price_band,
         "q_customer_best_order": q_customer_best_order,
+        "q_events_type_quantiles_cont": q_events_type_quantiles_cont,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3127,6 +3141,28 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_events_type_quantiles_cont": """
+            WITH v AS (
+                SELECT event_type AS k, CAST(value AS DOUBLE) AS x
+                FROM events WHERE value IS NOT NULL
+            ), r AS (
+                SELECT k, x,
+                       row_number() OVER (PARTITION BY k ORDER BY x) - 1
+                           AS rk
+                FROM v
+            ), n AS (SELECT k, count(*) AS n FROM v GROUP BY k),
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES (0.5), (0.9)) t(q))
+            SELECT n.k AS event_type, qs.q AS q,
+                   lo.x + (hi.x - lo.x)
+                        * (qs.q * (n.n - 1) - floor(qs.q * (n.n - 1)))
+                       AS value
+            FROM n CROSS JOIN qs
+            JOIN r lo ON lo.k = n.k
+                     AND lo.rk = CAST(floor(qs.q * (n.n - 1)) AS BIGINT)
+            JOIN r hi ON hi.k = n.k
+                     AND hi.rk = CAST(ceil(qs.q * (n.n - 1)) AS BIGINT)
         """,
         "q_customer_best_order": """
             SELECT o_custkey, o_totalprice, o_orderkey FROM (

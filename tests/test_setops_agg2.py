@@ -266,6 +266,29 @@ class TestMelt:
             melt(ds, ["id"], [])
 
 
+class TestGroupedQuantilesCont:
+    def test_matches_numpy_per_group(self):
+        from whoiswho_ray.stages.agg import grouped_quantiles_cont
+
+        rng = np.random.RandomState(12)
+        df = pd.DataFrame({"g": rng.randint(0, 4, 500),
+                           "v": rng.rand(500) * 10})
+        out = grouped_quantiles_cont(
+            rd.from_pandas(df).repartition(6), "g", "v",
+            [0.25, 0.5, 0.9]).to_pandas()
+        for (g, q), sub in out.groupby(["g", "q"]):
+            exp = np.quantile(df[df["g"] == g]["v"].to_numpy(), q)
+            assert abs(sub["value"].iloc[0] - exp) < 1e-12
+
+    def test_single_value_group(self):
+        from whoiswho_ray.stages.agg import grouped_quantiles_cont
+
+        df = pd.DataFrame({"g": ["a"], "v": [3.5]})
+        out = grouped_quantiles_cont(rd.from_pandas(df), "g", "v",
+                                     [0.1, 0.9]).to_pandas()
+        assert list(out["value"]) == [3.5, 3.5]
+
+
 class TestZscoreGrouped:
     def test_matches_pandas_population_std(self):
         from whoiswho_ray.stages.agg import zscore_grouped

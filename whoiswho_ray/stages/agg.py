@@ -510,6 +510,61 @@ def grouped_quantiles(
                        num_buckets=num_buckets, whole_bucket=True)
 
 
+def grouped_quantiles_cont(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    qs: list[float],
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT per-key INTERPOLATED quantiles (``percentile_cont`` per
+    group): within each key's sorted values, ``pos = q·(n-1)``,
+    ``value = v[floor(pos)] + (v[ceil(pos)] - v[floor(pos)]) ·
+    (pos - floor(pos))``.
+
+    Same bounded-bucket shape as :func:`grouped_quantiles` (one
+    ``group_apply`` whole-bucket lexsort, per-key positions plucked
+    vectorized); the interpolation expression is pinned in float64 so a
+    SQL replay computing it from the same two per-key ranked values is
+    bit-identical. NULL/NaN values are excluded first; values emerge as
+    float64.
+    """
+    import pyarrow as pa
+
+    qs = list(qs)
+    ds = _drop_null_values(ds.select_columns([key, value_col]), value_col)
+
+    def bucket_q(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.column(key).type),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, keys))
+        sk, sv = keys[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        starts, n = bounds[:-1], np.diff(bounds)
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            pos = float(q) * (n - 1).astype(np.float64)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            vlo, vhi = sv[starts + lo], sv[starts + hi]
+            out_k.append(sk[starts])
+            out_q.append(np.full(starts.size, float(q)))
+            out_v.append(vlo + (vhi - vlo) * (pos - np.floor(pos)))
+        return pa.table({
+            key: pa.array(np.concatenate(out_k), t.column(key).type),
+            "q": pa.array(np.concatenate(out_q), pa.float64()),
+            "value": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    return group_apply(ds, key, bucket_q, batch_format="pyarrow",
+                       num_buckets=num_buckets, whole_bucket=True)
+
+
 def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> pd.DataFrame:
     """Per-column data profile — the data-engineering staple (n, nulls,
     exact distinct count, lexicographic min/max as strings) over a
