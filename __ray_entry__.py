@@ -2223,6 +2223,31 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_events_running_sum(sf_dir: str):
+    """Per-user cumulative sum — SUM(cents) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING): one key-bucket
+    shuffle, one vectorized cumsum-minus-segment-offset kernel per
+    bucket (stages/windows.py grouped_running_sum); integer cents so the
+    oracle is exact regardless of accumulation order."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import grouped_running_sum
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "event_id": df["event_id"].astype(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            "cents": _cents(df["value"]),
+        })
+
+    r = grouped_running_sum(ev.map_batches(prep, batch_format="pandas"),
+                            "user_id", "cents", ["ts_us", "event_id"])
+    return r.select_columns(["user_id", "event_id", "running_sum"])
+
+
 def q_events_type_quantiles_cont(sf_dir: str):
     """Per-group interpolated quantiles (percentile_cont per event_type):
     one group_apply whole-bucket lexsort, vectorized per-key position
@@ -2450,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_price_band": q_orders_price_band,
         "q_customer_best_order": q_customer_best_order,
         "q_events_type_quantiles_cont": q_events_type_quantiles_cont,
+        "q_events_running_sum": q_events_running_sum,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3141,6 +3167,15 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_events_running_sum": """
+            SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS running_sum
+            FROM events
         """,
         "q_events_type_quantiles_cont": """
             WITH v AS (

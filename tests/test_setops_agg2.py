@@ -266,6 +266,33 @@ class TestMelt:
             melt(ds, ["id"], [])
 
 
+class TestGroupedRunningSum:
+    def test_matches_pandas_cumsum_with_negatives(self):
+        from whoiswho_ray.stages.windows import grouped_running_sum
+
+        rng = np.random.RandomState(14)
+        df = pd.DataFrame({
+            "g": rng.randint(0, 5, 300),
+            "o": np.arange(300, dtype=np.int64),
+            # negatives exercise the non-monotone-cumsum offset path
+            "v": rng.randint(-50, 50, 300).astype(np.int64),
+        })
+        out = (grouped_running_sum(rd.from_pandas(df).repartition(7),
+                                   "g", "v", ["o"])
+               .to_pandas().sort_values("o").reset_index(drop=True))
+        exp = df.sort_values("o").groupby("g")["v"].cumsum().to_numpy()
+        np.testing.assert_array_equal(out["running_sum"].to_numpy(), exp)
+
+    def test_first_row_per_key_is_own_value(self):
+        from whoiswho_ray.stages.windows import grouped_running_sum
+
+        df = pd.DataFrame({"g": ["a", "b"], "o": np.array([0, 1], np.int64),
+                           "v": np.array([-7, 9], np.int64)})
+        out = grouped_running_sum(rd.from_pandas(df), "g", "v",
+                                  ["o"]).to_pandas().sort_values("o")
+        assert list(out["running_sum"]) == [-7, 9]
+
+
 class TestGroupedQuantilesCont:
     def test_matches_numpy_per_group(self):
         from whoiswho_ray.stages.agg import grouped_quantiles_cont

@@ -175,6 +175,52 @@ def moving_sum(
                        whole_bucket=True)
 
 
+def grouped_running_sum(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    order_cols: list[str],
+    out: str = "running_sum",
+) -> "ray.data.Dataset":
+    """Per-key cumulative sum — SQL ``SUM(val) OVER (PARTITION BY key
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` over an INTEGER
+    value column (exact, no float accumulation order to disagree on).
+
+    ``order_cols`` must totally order rows within a key (include a
+    unique tie-break) or the prefix at tied positions is
+    partition-dependent. One key-hash bucket shuffle
+    (:func:`whoiswho_ray.stages.agg.group_apply` whole-bucket mode),
+    then ONE vectorized pass per bucket: sort by (key, order_cols),
+    global cumsum, minus each key's segment-start offset — no per-key
+    Python. The global counterpart (no key) is
+    ``agg.with_running_total``.
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols,
+                          kind="stable").reset_index(drop=True)
+        v = g[val].to_numpy(np.int64)
+        if not len(g):
+            g[out] = pd.Series([], dtype=np.int64)
+            return g
+        cs = np.cumsum(v)
+        new_key = ~g[key].eq(g[key].shift()).to_numpy()
+        # offset = cumsum BEFORE each key's first row. Propagate the key
+        # START INDEX forward (indices are monotone, so
+        # maximum.accumulate is safe even when v — and thus cs — goes
+        # negative) and gather the prefix there.
+        start_idx = np.maximum.accumulate(
+            np.where(new_key, np.arange(len(g), dtype=np.int64), 0))
+        offset = (cs - v)[start_idx]
+        g = g.copy()
+        g[out] = cs - offset
+        return g
+
+    return group_apply(ds, key, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     ts_col: str = "ts",
