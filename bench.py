@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_custkeys_intersect",
     "q_orders_ntile",
     "q_lineitem_melt",
+    "q_orders_price_band",
     "rnd_assign",
     "ind_detect",
 ]
