@@ -496,43 +496,45 @@ def band_join(
     u = lp.union(rp)
 
     def bucket(g: pa.Table) -> pd.DataFrame:
-        df = g.sort_by([("cell", "ascending"), ("__side", "ascending"),
-                        ("x", "ascending")])
-        cell = df.column("cell").to_numpy(zero_copy_only=False)
-        side = df.column("__side").to_numpy(zero_copy_only=False)
-        xs = df.column("x").to_numpy(zero_copy_only=False)
-        keys = df.column("key").to_numpy(zero_copy_only=False)
+        # cell = x // step is MONOTONE in x, so the bucket's rights
+        # sorted by x are also grouped by cell with contiguous value
+        # ranges [c*step, (c+1)*step). Each left replica's per-cell
+        # match window is therefore its [x-delta, x+delta] band clamped
+        # to the target cell's value range — ONE vectorized searchsorted
+        # over the whole bucket, no per-cell Python loop.
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        xs = g.column("x").to_numpy(zero_copy_only=False)
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        lx, lk, lcell = xs[lm], keys[lm], cell[lm]
+        rx, rk = xs[~lm], keys[~lm]
         empty = pd.DataFrame({okl: np.empty(0, keys.dtype),
                               okr: np.empty(0, keys.dtype),
                               oxl: np.empty(0, np.int64),
                               oxr: np.empty(0, np.int64)})
-        bounds = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1], True])
-        outs = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            sd = side[s:e]
-            nl = int((sd == 0).sum())
-            if nl == 0 or nl == e - s:
-                continue
-            lx, lk = xs[s:s + nl], keys[s:s + nl]
-            rx, rk = xs[s + nl:e], keys[s + nl:e]
-            lo = np.searchsorted(rx, lx - np.int64(delta), side="left")
-            hi = np.searchsorted(rx, lx + np.int64(delta), side="right")
-            cnt = hi - lo
-            keep = cnt > 0
-            if not keep.any():
-                continue
-            lo, cnt = lo[keep], cnt[keep]
-            off = np.zeros(cnt.size + 1, np.int64)
-            np.cumsum(cnt, out=off[1:])
-            t = np.arange(int(off[-1]), dtype=np.int64)
-            gi = np.searchsorted(off, t, side="right") - 1
-            j = lo[gi] + (t - off[gi])
-            li = np.flatnonzero(keep)[gi]
-            outs.append(pd.DataFrame({
-                okl: lk[li], okr: rk[j],
-                oxl: lx[li], oxr: rx[j],
-            }))
-        return pd.concat(outs, ignore_index=True) if outs else empty
+        if lx.size == 0 or rx.size == 0:
+            return empty
+        ro = np.argsort(rx, kind="stable")
+        rx, rk = rx[ro], rk[ro]
+        st = np.int64(step)
+        lo_v = np.maximum(lx - np.int64(delta), lcell * st)
+        hi_v = np.minimum(lx + np.int64(delta), (lcell + 1) * st - 1)
+        lo = np.searchsorted(rx, lo_v, side="left")
+        hi = np.searchsorted(rx, hi_v, side="right")
+        cnt = np.maximum(hi - lo, 0)
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        lo, cnt = lo[keep], cnt[keep]
+        off = np.zeros(cnt.size + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        t = np.arange(int(off[-1]), dtype=np.int64)
+        gi = np.searchsorted(off, t, side="right") - 1
+        j = lo[gi] + (t - off[gi])
+        li = np.flatnonzero(keep)[gi]
+        return pd.DataFrame({okl: lk[li], okr: rk[j],
+                             oxl: lx[li], oxr: rx[j]})
 
     return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
 
