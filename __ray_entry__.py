@@ -2223,6 +2223,27 @@ def q_orders_dense_rank(sf_dir: str):
     return r.select_columns(["o_custkey", "o_orderkey", "dense_rank"])
 
 
+def q_doc_bm25(sf_dir: str):
+    """BM25-ranked retrieval over the persistent inverted index
+    (stages/text_analysis.py bm25_search — Lucene idf variant,
+    partition-pruned posting reads, one streaming doclens pass against
+    broadcast candidates). Graded output is (rank, doc_id) only: ln()
+    differs by 1 ulp between libm implementations, so scores are not
+    hash-comparable; min_rank_margin=1e-9 raises LOUDLY if any adjacent
+    top-k gap is ulp-scale instead of letting ranks silently flip."""
+    import tempfile
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import bm25_search, index_build
+
+    idx = tempfile.mkdtemp(prefix="bm25idx_", dir="/tmp")
+    index_build(read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+                idx, num_buckets=16)
+    out = bm25_search(idx, ["scan", "window", "column"], topk=10,
+                      min_rank_margin=1e-9)
+    return out[["rank", "doc_id"]]
+
+
 def q_events_running_sum(sf_dir: str):
     """Per-user cumulative sum — SUM(cents) OVER (PARTITION BY user
     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING): one key-bucket
@@ -2476,6 +2497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_best_order": q_customer_best_order,
         "q_events_type_quantiles_cont": q_events_type_quantiles_cont,
         "q_events_running_sum": q_events_running_sum,
+        "q_doc_bm25": q_doc_bm25,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3167,6 +3189,60 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_doc_bm25": """
+            WITH tok AS (
+                SELECT doc_id, t.token
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS t(token)
+                WHERE t.token <> ''
+            ),
+            dl AS (
+                SELECT d.doc_id, count(tok.token) AS dl
+                FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+                GROUP BY d.doc_id
+            ),
+            n AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ('scan', 'window', 'column')
+                GROUP BY doc_id, token
+            ),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            st AS (
+                SELECT tf.doc_id, tf.token,
+                       ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+                                 + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+                       * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75
+                                   + 0.75 * CAST(dl.dl AS DOUBLE)
+                                     / (CAST(n.s AS DOUBLE)
+                                        / CAST(n.n AS DOUBLE)))) AS sc
+                FROM tf
+                JOIN dfq ON tf.token = dfq.token
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN n
+            ),
+            -- terms added in SORTED order as explicit scalar adds (no
+            -- float SUM aggregate whose order the engine may choose)
+            final AS (
+                SELECT doc_id,
+                       COALESCE(max(CASE WHEN token = 'column'
+                                         THEN sc END), 0)
+                     + COALESCE(max(CASE WHEN token = 'scan'
+                                         THEN sc END), 0)
+                     + COALESCE(max(CASE WHEN token = 'window'
+                                         THEN sc END), 0) AS score
+                FROM st GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id
+            FROM final
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
         """,
         "q_events_running_sum": """
             SELECT user_id, CAST(event_id AS BIGINT) AS event_id,

@@ -834,6 +834,80 @@ class TestInvertedIndex:
         assert dict(zip(idx["token"], idx["df"])) == {"x": 1, "y": 2}
 
 
+class TestBm25Search:
+    @pytest.fixture(scope="class")
+    def index_dir(self, tmp_path_factory):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import index_build
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "scan scan scan column",          # high tf for scan
+                "scan column window",
+                "column column",
+                "window window window window",
+                "scan",
+                "the quick brown fox",
+                "",                                # dl = 0
+                "scan window scan window column",
+            ],
+        })
+        d = str(tmp_path_factory.mktemp("bm25"))
+        index_build(rd.from_pandas(docs).repartition(3), d, num_buckets=4)
+        return d, docs
+
+    def _reference_bm25(self, docs, terms, k1=1.2, b=0.75):
+        import re
+
+        toks = {r.doc_id: [t for t in re.split(r"[^a-z0-9]+",
+                                               r.text.lower()) if t]
+                for r in docs.itertuples()}
+        n = len(docs)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        scores = {}
+        for t in sorted(set(terms)):
+            df = sum(1 for v in toks.values() if t in v)
+            if df == 0:
+                continue
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, v in toks.items():
+                tf = v.count(t)
+                if tf:
+                    dl = len(v)
+                    scores[d] = scores.get(d, 0.0) + idf * (
+                        tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return sorted(scores, key=lambda d: (-scores[d], d))
+
+    def test_matches_reference_ranking(self, index_dir):
+        from whoiswho_ray.stages.text_analysis import bm25_search
+
+        d, docs = index_dir
+        out = bm25_search(d, ["scan", "window"], topk=5)
+        exp = self._reference_bm25(docs, ["scan", "window"])[:5]
+        assert list(out["doc_id"]) == exp
+        assert list(out["rank"]) == list(range(1, len(exp) + 1))
+        # scores strictly non-increasing
+        assert (np.diff(out["score"].to_numpy()) <= 0).all()
+
+    def test_unknown_and_empty_terms(self, index_dir):
+        from whoiswho_ray.stages.text_analysis import bm25_search
+
+        d, _ = index_dir
+        assert len(bm25_search(d, ["zzzznotaword"], topk=5)) == 0
+        assert len(bm25_search(d, [], topk=5)) == 0
+
+    def test_margin_guard_raises_on_ulp_ties(self, index_dir):
+        from whoiswho_ray.stages.text_analysis import bm25_search
+
+        d, _ = index_dir
+        # an absurd margin makes every non-tie gap "too small" — the
+        # guard must raise rather than return ulp-dependent ranks
+        with pytest.raises(ValueError, match="min_rank_margin"):
+            bm25_search(d, ["scan", "window"], topk=2, min_rank_margin=10.0)
+
+
 class TestPersistentInvertedIndex:
     """index_build / index_search: hive-partitioned posting storage with a
     df cap (VERDICT r2 #1) — bounded rows, partition-pruned reads,

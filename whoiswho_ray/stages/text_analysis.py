@@ -559,21 +559,32 @@ def _index_pairs(id_col: str, text_col: str):
         row = np.repeat(np.arange(t.num_rows), np.diff(offsets))
         keep = flat != ""
         flat, row = flat[keep], row[keep]
-        # distinct (token, doc) pairs
-        uniq = pd.DataFrame({"token": flat, "__id": ids[row]}).drop_duplicates()
+        # distinct (token, doc) pairs + the within-doc term frequency
+        # (tf rides along for BM25; df remains the count of pair rows)
+        uniq = (pd.DataFrame({"token": flat, "__id": ids[row]})
+                .groupby(["token", "__id"], sort=False)
+                .size().rename("tf").reset_index())
         return pa.table({"token": pa.array(uniq["token"].to_numpy(), pa.string()),
-                         "__id": pa.array(uniq["__id"].to_numpy())})
+                         "__id": pa.array(uniq["__id"].to_numpy()),
+                         "tf": pa.array(uniq["tf"].to_numpy(np.int64),
+                                        pa.int64())})
 
     return pairs
 
 
 def _posting(g: pa.Table) -> pa.Table:
-    ids = np.unique(g.column("__id").to_numpy(zero_copy_only=False))
-    return pa.table({
+    ids = g.column("__id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")  # ids are pair-distinct
+    ids = ids[order]
+    out = {
         "token": g.column("token").slice(0, 1),
         "postings": pa.array([ids.tolist()]),
         "df": pa.array([ids.size], pa.int64()),
-    })
+    }
+    if "tf" in g.column_names:  # tf list aligned with the sorted postings
+        tf = g.column("tf").to_numpy(zero_copy_only=False)[order]
+        out["tfs"] = pa.array([tf.tolist()])
+    return pa.table(out)
 
 
 def _drop_hot_tokens(exploded: "ray.data.Dataset", max_df: int):
@@ -708,12 +719,167 @@ def index_build(
     data_dir = os.path.join(index_dir, "data")
     index.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         data_dir, partition_cols=["bucket"])
+
+    # document lengths (total non-empty tokens, duplicates included) —
+    # the BM25 dl; one extra streaming pass, written beside the postings
+    def doclen(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        row = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        nonempty = np.bincount(row[flat != ""],
+                               minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t.column(id_col),
+                         "dl": pa.array(nonempty, pa.int64())})
+
+    import ray.data as rd
+
+    doclens_dir = os.path.join(index_dir, "doclens")
+    ds.select_columns([id_col, text_col]).map_batches(
+        doclen, batch_format="pyarrow",
+        zero_copy_batch=True).write_parquet(doclens_dir)
+    # totals from the WRITTEN files (re-consuming the lineage would
+    # re-run the tokenization); two int64 partials per block
+    totals = rd.read_parquet(doclens_dir, columns=["dl"]).map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))],
+                                 "s": [df["dl"].sum()]}),
+        batch_format="pandas").to_pandas()
     meta = {"num_buckets": num_buckets, "max_df": max_df,
             "dropped_tokens": int(dropped_n),
-            "id_col": id_col, "text_col": text_col}
+            "id_col": id_col, "text_col": text_col,
+            "n_docs": int(totals["n"].sum()),
+            "sum_dl": int(totals["s"].sum())}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def bm25_search(
+    index_dir: str,
+    terms: list[str],
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_type=None,
+    min_rank_margin: float = 0.0,
+) -> pd.DataFrame:
+    """BM25-ranked DISJUNCTIVE retrieval over an :func:`index_build`
+    index (Robertson & Walker; the Lucene idf variant):
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf_t = ln(1 + (N−df+0.5)/(df+0.5))``. Returns the top-``topk``
+    docs as ``(rank, doc_id, score)`` ordered by (score desc, doc_id
+    asc).
+
+    Scale shape: partition-pruned posting reads (only the query terms'
+    buckets, ≤ len(terms) rows, each df-bounded when the index was built
+    with ``max_df`` — BM25 over an uncapped stop word is a corpus scan
+    and should be capped at build time); candidate doc lengths fetched
+    with ONE streaming pass over ``doclens/`` against a broadcast
+    candidate-id set (no shuffle); scoring is a driver-side float64 pass
+    over the bounded candidate set, terms accumulated in sorted-term
+    order so the expression is deterministic.
+
+    ``min_rank_margin``: if > 0, raise unless the relative score gap at
+    the topk boundary exceeds it — makes rank-only comparisons against
+    another engine loud instead of silently ulp-dependent (ln differs by
+    1 ulp between libm implementations).
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    avgdl = float(sum_dl) / float(n_docs)
+    tset = sorted(set(terms))
+    empty = pd.DataFrame({
+        "rank": pd.Series([], dtype=np.int64),
+        "doc_id": pd.Series([], dtype="int64" if id_type is None
+                            else id_type),
+        "score": pd.Series([], dtype=np.float64)})
+    dropped_path = os.path.join(index_dir, "dropped.parquet")
+    if os.path.exists(dropped_path):
+        dropped = set(pq.read_table(
+            dropped_path,
+            filters=[("token", "in", tset)]).column("token").to_pylist())
+        tset = [t for t in tset if t not in dropped]
+    if not tset:
+        return empty
+
+    data_dir = os.path.join(index_dir, "data")
+    want = set(_token_bucket(tset, meta["num_buckets"]).tolist())
+    paths = [os.path.join(data_dir, f"bucket={bk}", f)
+             for bk in sorted(want)
+             if os.path.isdir(os.path.join(data_dir, f"bucket={bk}"))
+             for f in sorted(os.listdir(os.path.join(data_dir,
+                                                     f"bucket={bk}")))
+             if f.endswith(".parquet")]
+    if not paths:
+        return empty
+    rows = (rd.read_parquet(paths, columns=["token", "postings", "tfs",
+                                            "df"])
+            .map_batches(lambda df: df[df["token"].isin(tset)],
+                         batch_format="pandas").to_pandas())
+    if not len(rows):
+        return empty
+    rows = rows.set_index("token")
+
+    # candidate union + per-term tf aligned by searchsorted
+    post = {t: np.asarray(rows.loc[t, "postings"]) for t in rows.index}
+    tfs = {t: np.asarray(rows.loc[t, "tfs"], dtype=np.int64)
+           for t in rows.index}
+    cand = np.unique(np.concatenate(list(post.values())))
+
+    # ONE streaming pass over doclens against the broadcast candidates
+    cand_ref = ray.put(cand)
+
+    def pick_dl(df: pd.DataFrame) -> pd.DataFrame:
+        from whoiswho_ray.stages.joins import _cached_get
+        c = _cached_get(cand_ref)
+        return df[df["doc_id"].isin(c)]
+
+    dl_df = (rd.read_parquet(os.path.join(index_dir, "doclens"))
+             .map_batches(pick_dl, batch_format="pandas")
+             .to_pandas().set_index("doc_id"))
+    dl = dl_df.loc[cand, "dl"].to_numpy(np.float64)
+
+    scores = np.zeros(cand.size, np.float64)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    for t in sorted(post):  # deterministic accumulation order
+        df_t = float(len(post[t]))
+        idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+        pos = np.searchsorted(cand, post[t])
+        tf = tfs[t].astype(np.float64)
+        scores[pos] += idf * (tf * (k1 + 1.0)) / (tf + norm[pos])
+
+    order = np.lexsort((cand, -scores))
+    top = order[:topk]
+    if min_rank_margin > 0:
+        # every adjacent gap among top k+1 must be an EXACT tie (broken
+        # by doc_id identically in any engine) or exceed the margin —
+        # otherwise a 1-ulp ln() difference could reorder ranks
+        edge = scores[order[:min(topk + 1, order.size)]]
+        gaps = edge[:-1] - edge[1:]
+        bad = (gaps > 0) & (gaps <= min_rank_margin
+                            * np.maximum(np.abs(edge[:-1]), 1e-300))
+        if bad.any():
+            raise ValueError(
+                f"bm25_search: {int(bad.sum())} adjacent top-k score "
+                f"gap(s) below min_rank_margin (min "
+                f"{gaps[bad].min():.3e}) — rank comparison would be "
+                f"ulp-dependent; choose different terms/topk")
+    return pd.DataFrame({
+        "rank": np.arange(1, top.size + 1, dtype=np.int64),
+        "doc_id": cand[top],
+        "score": scores[top]})
 
 
 def _intersect_smallest_first(required_n: int, id_type=None):
