@@ -2244,6 +2244,23 @@ def q_doc_bm25(sf_dir: str):
     return out[["rank", "doc_id"]]
 
 
+def q_doc_phrase(sf_dir: str):
+    """Exact phrase search over a POSITIONAL inverted index
+    (stages/text_analysis.py phrase_search): documents containing
+    "window fast query" as consecutive tokens. The adjacency check is a
+    single np.intersect1d chain over composite doc·M+pos keys — no
+    per-doc loop; integer output, exact 3-way self-join SQL replay."""
+    import tempfile
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import index_build, phrase_search
+
+    idx = tempfile.mkdtemp(prefix="phraseidx_", dir="/tmp")
+    index_build(read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+                idx, num_buckets=16, positions=True)
+    return phrase_search(idx, ["window", "fast", "query"])
+
+
 def q_events_running_sum(sf_dir: str):
     """Per-user cumulative sum — SUM(cents) OVER (PARTITION BY user
     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING): one key-bucket
@@ -2498,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_type_quantiles_cont": q_events_type_quantiles_cont,
         "q_events_running_sum": q_events_running_sum,
         "q_doc_bm25": q_doc_bm25,
+        "q_doc_phrase": q_doc_phrase,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3189,6 +3207,25 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_doc_phrase": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token,
+                       generate_subscripts(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''), 1) - 1 AS pos
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id
+            FROM tok a
+            JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            WHERE a.token = 'window' AND b.token = 'fast'
+              AND c.token = 'query'
+            ORDER BY a.doc_id
         """,
         "q_doc_bm25": """
             WITH tok AS (

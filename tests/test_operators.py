@@ -908,6 +908,83 @@ class TestBm25Search:
             bm25_search(d, ["scan", "window"], topk=2, min_rank_margin=10.0)
 
 
+class TestPhraseSearch:
+    @pytest.fixture(scope="class")
+    def pos_index(self, tmp_path_factory):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import index_build
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox",
+                "quick brown, fox jumps",     # punctuation splits tokens
+                "brown quick fox",            # wrong order
+                "fox quick brown quick brown tail",  # repeats
+                "quick  brown",               # double space
+                "",
+            ],
+        })
+        d = str(tmp_path_factory.mktemp("phrase"))
+        index_build(rd.from_pandas(docs).repartition(2), d, num_buckets=4,
+                    positions=True)
+        return d, docs
+
+    def _brute(self, docs, phrase):
+        import re
+
+        hits = []
+        for r in docs.itertuples():
+            toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+            if any(toks[i:i + len(phrase)] == phrase
+                   for i in range(len(toks))):
+                hits.append(r.doc_id)
+        return sorted(hits)
+
+    @pytest.mark.parametrize("phrase", [
+        ["quick", "brown"],
+        ["quick", "brown", "fox"],
+        ["brown", "fox"],
+        ["brown", "quick", "brown"],   # overlapping repeat
+        ["fox", "tail"],               # non-adjacent -> no match
+        ["nosuchword"],
+    ])
+    def test_matches_bruteforce(self, pos_index, phrase):
+        from whoiswho_ray.stages.text_analysis import phrase_search
+
+        d, docs = pos_index
+        got = list(phrase_search(d, phrase)["doc_id"])
+        assert got == self._brute(docs, phrase)
+
+    def test_requires_positional_index(self, tmp_path):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import (index_build,
+                                                       phrase_search)
+
+        docs = pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+        d = str(tmp_path / "nopos")
+        index_build(rd.from_pandas(docs), d, num_buckets=2)
+        with pytest.raises(ValueError, match="positions=True"):
+            phrase_search(d, ["a", "b"])
+
+    def test_dropped_phrase_term_raises(self, tmp_path):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import (index_build,
+                                                       phrase_search)
+
+        docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                             "text": ["hot rare1 x", "hot rare2 x",
+                                      "hot rare3 x", "hot rare4 x"]})
+        d = str(tmp_path / "capped")
+        index_build(rd.from_pandas(docs), d, num_buckets=2, max_df=2,
+                    positions=True)
+        with pytest.raises(ValueError, match="dropped at build time"):
+            phrase_search(d, ["hot", "rare1"])
+
+
 class TestPersistentInvertedIndex:
     """index_build / index_search: hive-partitioned posting storage with a
     df cap (VERDICT r2 #1) — bounded rows, partition-pruned reads,

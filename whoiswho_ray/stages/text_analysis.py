@@ -540,12 +540,15 @@ def redact_pii(
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _index_pairs(id_col: str, text_col: str):
+def _index_pairs(id_col: str, text_col: str, positions: bool = False):
     """Per-batch (token, __id) explode: lower → split /[^a-z0-9]+/ → drop
-    empties → distinct per document. One Arrow split + numpy dedup, no
+    empties → distinct per document. One Arrow split + numpy kernels, no
     row loop. Each document lives in exactly one input row, so per-batch
     distinct (token, __id) pairs are globally distinct — a plain count of
-    pair rows per token IS the document frequency."""
+    pair rows per token IS the document frequency. With
+    ``positions=True`` each pair also carries the token's 0-based
+    within-document position list (over the non-empty token sequence) —
+    the positional-index payload for phrase search."""
 
     def pairs(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -559,15 +562,41 @@ def _index_pairs(id_col: str, text_col: str):
         row = np.repeat(np.arange(t.num_rows), np.diff(offsets))
         keep = flat != ""
         flat, row = flat[keep], row[keep]
-        # distinct (token, doc) pairs + the within-doc term frequency
-        # (tf rides along for BM25; df remains the count of pair rows)
-        uniq = (pd.DataFrame({"token": flat, "__id": ids[row]})
-                .groupby(["token", "__id"], sort=False)
-                .size().rename("tf").reset_index())
-        return pa.table({"token": pa.array(uniq["token"].to_numpy(), pa.string()),
-                         "__id": pa.array(uniq["__id"].to_numpy()),
-                         "tf": pa.array(uniq["tf"].to_numpy(np.int64),
-                                        pa.int64())})
+        if not positions:
+            # distinct (token, doc) pairs + within-doc term frequency
+            # (tf rides along for BM25; df = count of pair rows)
+            uniq = (pd.DataFrame({"token": flat, "__id": ids[row]})
+                    .groupby(["token", "__id"], sort=False)
+                    .size().rename("tf").reset_index())
+            return pa.table({
+                "token": pa.array(uniq["token"].to_numpy(), pa.string()),
+                "__id": pa.array(uniq["__id"].to_numpy()),
+                "tf": pa.array(uniq["tf"].to_numpy(np.int64), pa.int64())})
+        # position within the KEPT (non-empty) token sequence of the row
+        kept_per_row = np.bincount(row, minlength=t.num_rows) \
+            if row.size else np.zeros(t.num_rows, np.int64)
+        starts = np.zeros(t.num_rows + 1, np.int64)
+        np.cumsum(kept_per_row, out=starts[1:])
+        pos = (np.arange(row.size, dtype=np.int64)
+               - np.repeat(starts[:-1], kept_per_row))
+        # group (token, row): lexsort then list-array from boundaries
+        order = np.lexsort((pos, row, flat))
+        f_s, r_s, p_s = flat[order], row[order], pos[order]
+        if f_s.size:
+            new = np.r_[True, (f_s[1:] != f_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        else:
+            new = np.zeros(0, bool)
+        bounds = np.flatnonzero(np.r_[new, True])
+        g_start = bounds[:-1] if f_s.size else np.zeros(0, np.int64)
+        g_len = np.diff(bounds) if f_s.size else np.zeros(0, np.int64)
+        pos_lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(g_len)], pa.int32()),
+            pa.array(p_s, pa.int64()))
+        return pa.table({
+            "token": pa.array(f_s[g_start], pa.string()),
+            "__id": pa.array(ids[r_s[g_start]]),
+            "tf": pa.array(g_len, pa.int64()),
+            "positions": pos_lists})
 
     return pairs
 
@@ -584,6 +613,12 @@ def _posting(g: pa.Table) -> pa.Table:
     if "tf" in g.column_names:  # tf list aligned with the sorted postings
         tf = g.column("tf").to_numpy(zero_copy_only=False)[order]
         out["tfs"] = pa.array([tf.tolist()])
+    if "positions" in g.column_names:  # per-doc position lists, aligned
+        plists = g.column("positions")
+        if isinstance(plists, pa.ChunkedArray):
+            plists = plists.combine_chunks()
+        out["positions"] = pa.array(
+            [[plists[int(i)].as_py() for i in order]])
     return pa.table(out)
 
 
@@ -673,6 +708,7 @@ def index_build(
     text_col: str = "text",
     max_df: int | None = None,
     num_buckets: int = 32,
+    positions: bool = False,
 ) -> dict:
     """Persistent inverted index: hive-partitioned Parquet posting lists
     (``data/bucket=N/``) + ``dropped.parquet`` (over-cap tokens with
@@ -694,8 +730,8 @@ def index_build(
     os.makedirs(index_dir, exist_ok=True)
     dropped_n = 0
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _index_pairs(id_col, text_col), batch_format="pyarrow",
-        zero_copy_batch=True)
+        _index_pairs(id_col, text_col, positions=positions),
+        batch_format="pyarrow", zero_copy_batch=True)
     if max_df is not None:
         exploded, dropped = _drop_hot_tokens(exploded, max_df)
         dropped_n = len(dropped)
@@ -751,6 +787,7 @@ def index_build(
     meta = {"num_buckets": num_buckets, "max_df": max_df,
             "dropped_tokens": int(dropped_n),
             "id_col": id_col, "text_col": text_col,
+            "positions": bool(positions),
             "n_docs": int(totals["n"].sum()),
             "sum_dl": int(totals["s"].sum())}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
@@ -880,6 +917,103 @@ def bm25_search(
         "rank": np.arange(1, top.size + 1, dtype=np.int64),
         "doc_id": cand[top],
         "score": scores[top]})
+
+
+def phrase_search(
+    index_dir: str,
+    phrase: list[str],
+    id_type=None,
+) -> pd.DataFrame:
+    """Exact PHRASE search over a POSITIONAL :func:`index_build` index
+    (``positions=True``): documents containing the given tokens
+    consecutively, in order. Positions are 0-based over the non-empty
+    token sequence, so punctuation between words breaks a phrase exactly
+    as the tokenizer sees it.
+
+    Scale shape: partition-pruned posting reads (≤ len(phrase) rows);
+    the adjacency check is ONE vectorized ``np.intersect1d`` chain over
+    composite ``doc·M + pos`` keys (M > any document length, from the
+    index's own max dl) — a phrase start survives term i iff
+    ``start+i`` is in term i's position set, and the composite keys make
+    that a flat set intersection across ALL candidate docs at once, no
+    per-doc loop. Terms dropped at build time (max_df) make a phrase
+    unanswerable — that raises, loudly, rather than returning a
+    best-effort superset.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positions"):
+        raise ValueError("phrase_search needs an index built with "
+                         "positions=True")
+    empty = pd.DataFrame({"doc_id": pd.Series(
+        [], dtype="int64" if id_type is None else id_type)})
+    if not phrase:
+        return empty
+    dropped_path = os.path.join(index_dir, "dropped.parquet")
+    if os.path.exists(dropped_path):
+        dropped = set(pq.read_table(
+            dropped_path,
+            filters=[("token", "in", sorted(set(phrase)))]
+        ).column("token").to_pylist())
+        if dropped:
+            raise ValueError(
+                f"phrase_search: phrase terms {sorted(dropped)} were "
+                f"dropped at build time (max_df) — the phrase cannot be "
+                f"answered exactly from this index")
+
+    data_dir = os.path.join(index_dir, "data")
+    tset = sorted(set(phrase))
+    want = set(_token_bucket(tset, meta["num_buckets"]).tolist())
+    paths = [os.path.join(data_dir, f"bucket={bk}", f)
+             for bk in sorted(want)
+             if os.path.isdir(os.path.join(data_dir, f"bucket={bk}"))
+             for f in sorted(os.listdir(os.path.join(data_dir,
+                                                     f"bucket={bk}")))
+             if f.endswith(".parquet")]
+    if not paths:
+        return empty
+    rows = (rd.read_parquet(paths, columns=["token", "postings",
+                                            "positions"])
+            .map_batches(lambda df: df[df["token"].isin(tset)],
+                         batch_format="pandas").to_pandas())
+    if len(rows) == 0 or "token" not in rows.columns \
+            or set(rows["token"]) != set(tset):
+        return empty  # some phrase term absent from the corpus
+    rows = rows.set_index("token")
+
+    def flat_keys(term: str, m: np.int64) -> np.ndarray:
+        posts = np.asarray(rows.loc[term, "postings"], dtype=np.int64)
+        plists = rows.loc[term, "positions"]
+        lens = np.fromiter((len(x) for x in plists), np.int64,
+                           len(plists))
+        docs = np.repeat(posts, lens)
+        pos = (np.concatenate([np.asarray(x, np.int64) for x in plists])
+               if len(plists) else np.empty(0, np.int64))
+        return docs * m + pos
+
+    # M > max position anywhere: the index's own max dl bound
+    dl_max = int(rd.read_parquet(
+        os.path.join(index_dir, "doclens"), columns=["dl"]).max("dl")
+        or 0)
+    m = np.int64(dl_max + len(phrase) + 2)
+    cur = flat_keys(phrase[0], m)
+    for i, term in enumerate(phrase[1:], start=1):
+        if cur.size == 0:
+            return empty
+        cur = np.intersect1d(cur + 1, flat_keys(term, m),
+                             assume_unique=False)
+    if cur.size == 0:
+        return empty
+    docs = np.unique(cur // m)
+    col = pd.Series(np.sort(docs), dtype="int64" if id_type is None
+                    else id_type)
+    return pd.DataFrame({"doc_id": col})
 
 
 def _intersect_smallest_first(required_n: int, id_type=None):
