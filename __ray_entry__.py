@@ -2244,6 +2244,47 @@ def q_doc_bm25(sf_dir: str):
     return out[["rank", "doc_id"]]
 
 
+def q_orders_in_ship_window(sf_dir: str):
+    """Point-in-interval join (stages/joins.py interval_join): orders
+    whose date falls in each supplier's first-shipment window
+    [first_ship, first_ship + 3 days] — variable-width grid-cell
+    replication, one bucketed exchange, clamped searchsorted verify;
+    all-integer day arithmetic, exact BETWEEN replay."""
+    import ray.data as rd
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.joins import interval_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_shipdate"])
+
+    def prep_days(col: pd.Series) -> np.ndarray:
+        return ((pd.to_datetime(col) - pd.Timestamp("1990-01-01"))
+                .dt.days.to_numpy(np.int64))
+
+    def iv_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_suppkey": df["l_suppkey"].astype(np.int64),
+                             "d": prep_days(df["l_shipdate"])})
+
+    first = grouped_agg(li.map_batches(iv_prep, batch_format="pandas"),
+                        "l_suppkey", {"lo": ("d", "min")})
+    first = first.copy()
+    first["lo"] = first["lo"].astype(np.int64)
+    first["hi"] = first["lo"] + 3
+    iv = rd.from_pandas(first)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_orderdate"])
+
+    def pt_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].astype(np.int64),
+                             "d": prep_days(df["o_orderdate"])})
+
+    pts = orders.map_batches(pt_prep, batch_format="pandas")
+    return interval_join(iv, pts, key_i="l_suppkey", lo="lo", hi="hi",
+                         key_p="o_orderkey", x="d", step=4)
+
+
 def q_doc_phrase(sf_dir: str):
     """Exact phrase search over a POSITIONAL inverted index
     (stages/text_analysis.py phrase_search): documents containing
@@ -2516,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_running_sum": q_events_running_sum,
         "q_doc_bm25": q_doc_bm25,
         "q_doc_phrase": q_doc_phrase,
+        "q_orders_in_ship_window": q_orders_in_ship_window,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3207,6 +3249,21 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        """,
+        "q_orders_in_ship_window": """
+            WITH iv AS (
+                SELECT l_suppkey,
+                       CAST(min(datediff('day', DATE '1990-01-01',
+                                         l_shipdate)) AS BIGINT) AS lo
+                FROM lineitem GROUP BY l_suppkey
+            ), pt AS (
+                SELECT o_orderkey,
+                       CAST(datediff('day', DATE '1990-01-01',
+                                     o_orderdate) AS BIGINT) AS d
+                FROM orders
+            )
+            SELECT iv.l_suppkey, pt.o_orderkey, pt.d
+            FROM iv JOIN pt ON pt.d BETWEEN iv.lo AND iv.lo + 3
         """,
         "q_doc_phrase": """
             WITH tok AS (

@@ -125,6 +125,54 @@ class TestBandJoin:
             band_join(ds, ds, "k", "k", "x", "x", delta=-1)
 
 
+class TestIntervalJoin:
+    def _brute(self, iv, pt):
+        return sorted((a.ki, b.kp, b.x)
+                      for a in iv.itertuples() for b in pt.itertuples()
+                      if a.lo <= b.x <= a.hi)
+
+    @pytest.mark.parametrize("step", [1, 3, 10, 100])
+    def test_matches_bruteforce_variable_widths(self, step):
+        from whoiswho_ray.stages.joins import interval_join
+
+        rng = np.random.RandomState(21)
+        lo = rng.randint(-200, 200, 60).astype(np.int64)
+        iv = pd.DataFrame({"ki": np.arange(60, dtype=np.int64),
+                           "lo": lo,
+                           "hi": lo + rng.randint(0, 25, 60)})
+        pt = pd.DataFrame({"kp": np.arange(500, 590, dtype=np.int64),
+                           "x": rng.randint(-220, 220, 90).astype(np.int64)})
+        out = interval_join(rd.from_pandas(iv).repartition(4),
+                            rd.from_pandas(pt).repartition(3),
+                            "ki", "lo", "hi", "kp", "x",
+                            step=step).to_pandas()
+        got = sorted(map(tuple, out[["ki", "kp", "x"]]
+                         .itertuples(index=False)))
+        exp = self._brute(iv, pt)
+        assert got == exp and len(exp) > 0
+        # each qualifying pair appears exactly once despite replication
+        assert len(got) == len(set((a, b) for a, b, _ in got))
+
+    def test_inverted_and_point_intervals(self):
+        from whoiswho_ray.stages.joins import interval_join
+
+        iv = pd.DataFrame({"ki": np.array([1, 2], np.int64),
+                           "lo": np.array([5, 9], np.int64),
+                           "hi": np.array([5, 3], np.int64)})  # 2 inverted
+        pt = pd.DataFrame({"kp": np.array([7], np.int64),
+                           "x": np.array([5], np.int64)})
+        out = interval_join(rd.from_pandas(iv), rd.from_pandas(pt),
+                            "ki", "lo", "hi", "kp", "x", step=4).to_pandas()
+        assert list(map(tuple, out.itertuples(index=False))) == [(1, 7, 5)]
+
+    def test_rejects_bad_step(self):
+        from whoiswho_ray.stages.joins import interval_join
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1], "b": [2]}))
+        with pytest.raises(ValueError):
+            interval_join(ds, ds, "k", "a", "b", "k", "a", step=0)
+
+
 class TestModePerGroup:
     def test_mode_with_tie_break(self):
         df = pd.DataFrame({

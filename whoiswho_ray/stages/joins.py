@@ -539,6 +539,124 @@ def band_join(
     return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
 
 
+def interval_join(
+    intervals: "ray.data.Dataset",
+    points: "ray.data.Dataset",
+    key_i: str,
+    lo: str,
+    hi: str,
+    key_p: str,
+    x: str,
+    step: int,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Point-in-interval join: all (interval, point) pairs with
+    ``lo <= x <= hi`` over INTEGER columns — validity windows, session
+    membership, time-range containment.
+
+    Scale shape: the :func:`band_join` grid generalized to variable
+    widths — each interval replicates into the ``(hi-lo)//step + 1``
+    (+1 boundary) cells it overlaps, points post once at ``x // step``
+    and each qualifying pair meets EXACTLY once in the point's own cell.
+    Pick ``step`` near the typical interval width so replication stays
+    O(1); a single huge interval degrades to its width/step replicas
+    (skew is per-interval and visible, never a cross product). Inside
+    each bucket ONE vectorized pass: points sorted by value (cells are
+    monotone in x, so cell grouping is value-contiguous), every interval
+    replica binary-searches its clamped [lo, hi] window. Output:
+    ``(key_i, key_p, x)``.
+    """
+    import pyarrow as pa
+
+    if step <= 0:
+        raise ValueError("interval_join: step must be > 0")
+    st = np.int64(step)
+
+    def iv_prep(t: pa.Table) -> pa.Table:
+        k = t.column(key_i).to_numpy(zero_copy_only=False)
+        l = t.column(lo).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column(hi).to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = h >= l
+        k, l, h = k[ok], l[ok], h[ok]
+        c0, c1 = l // st, h // st
+        reps = (c1 - c0 + 1)
+        idx = np.repeat(np.arange(k.size, dtype=np.int64), reps)
+        starts = np.zeros(k.size + 1, np.int64)
+        np.cumsum(reps, out=starts[1:])
+        cell = (np.arange(int(starts[-1]), dtype=np.int64)
+                - np.repeat(starts[:-1], reps) + np.repeat(c0, reps))
+        b = (cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(k[idx]),
+            "lo": pa.array(l[idx], pa.int64()),
+            "hi": pa.array(h[idx], pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "__bucket": pa.array(b, pa.int64()),
+            "__side": pa.array(np.zeros(cell.size, np.int8)),
+        })
+
+    def pt_prep(t: pa.Table) -> pa.Table:
+        k = t.column(key_p).to_numpy(zero_copy_only=False)
+        xv = t.column(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = xv // st
+        b = (cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(k),
+            "lo": pa.array(xv, pa.int64()),   # point value rides in lo
+            "hi": pa.array(xv, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "__bucket": pa.array(b, pa.int64()),
+            "__side": pa.array(np.ones(cell.size, np.int8)),
+        })
+
+    ip = intervals.select_columns([key_i, lo, hi]).map_batches(
+        iv_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+    pp = points.select_columns([key_p, x]).map_batches(
+        pt_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+    u = ip.union(pp)
+    okp = key_p if key_p != key_i else f"{key_p}_p"
+    oxp = x
+
+    def bucket(g: pa.Table) -> pd.DataFrame:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        lo_a = g.column("lo").to_numpy(zero_copy_only=False)
+        hi_a = g.column("hi").to_numpy(zero_copy_only=False)
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        im = side == 0
+        ik, il, ih, ic = keys[im], lo_a[im], hi_a[im], cell[im]
+        pk, px = keys[~im], lo_a[~im]
+        empty = pd.DataFrame({key_i: np.empty(0, keys.dtype),
+                              okp: np.empty(0, keys.dtype),
+                              oxp: np.empty(0, np.int64)})
+        if ik.size == 0 or pk.size == 0:
+            return empty
+        po = np.argsort(px, kind="stable")
+        px, pk = px[po], pk[po]
+        lo_v = np.maximum(il, ic * st)
+        hi_v = np.minimum(ih, (ic + 1) * st - 1)
+        l_ = np.searchsorted(px, lo_v, side="left")
+        h_ = np.searchsorted(px, hi_v, side="right")
+        cnt = np.maximum(h_ - l_, 0)
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        l_, cnt = l_[keep], cnt[keep]
+        off = np.zeros(cnt.size + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        t = np.arange(int(off[-1]), dtype=np.int64)
+        gi = np.searchsorted(off, t, side="right") - 1
+        j = l_[gi] + (t - off[gi])
+        ii = np.flatnonzero(keep)[gi]
+        return pd.DataFrame({key_i: ik[ii], okp: pk[j], oxp: px[j]})
+
+    return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
+
+
 def bloom_semi_join(
     large: "ray.data.Dataset",
     keys: "ray.data.Dataset",
