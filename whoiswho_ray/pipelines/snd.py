@@ -89,6 +89,7 @@ def snd_cluster(
     cfg: SNDConfig | None = None,
     staged: bool = False,
     idf=None,
+    pre_partitioned: bool = False,
 ) -> "rd.Dataset":
     """Clustering tail of the pipeline for callers that already hold the
     normalized/vectorized records (e.g. the RND pipeline, which reuses
@@ -105,6 +106,19 @@ def snd_cluster(
         union = _node_rows(normalized).union(_edge_rows(edges))
         return cluster_blocks(union, cfg)
     from whoiswho_ray.stages.pairs import make_block_clusters, shuffle_partitions
+
+    if pre_partitioned:
+        # the caller repartitioned BEFORE materializing the normalized
+        # table (run_snd does), so the task-pool vectorize map feeds the
+        # sort directly — one fewer barrier on the flagship path
+        idf_w_ref = ray.put(np.asarray(idf.idf)) if idf is not None else None
+
+        def fused_pre(g):
+            w = _idf_w_cached(idf_w_ref) if idf_w_ref is not None else None
+            return make_block_clusters(g, cfg, idf_w=w)
+
+        return vectorized.groupby("block_key").map_groups(
+            fused_pre, batch_format="pyarrow")
 
     # ``idf``: required when ``vectorized`` was built with
     # ship_weights=False — the block kernel re-derives tfv_w from the
@@ -273,15 +287,22 @@ def run_snd(
         # (The checkpointed path gets the same effect from its parquet
         # stage boundary; at 100 TB use out_dir so the normalized table
         # lives in parquet, not the object store.)
-        from whoiswho_ray.stages.pairs import CLUSTER_SHUFFLE_COLUMNS
+        from whoiswho_ray.stages.pairs import (CLUSTER_SHUFFLE_COLUMNS,
+                                               shuffle_partitions)
 
+        # repartition to the shuffle width BEFORE the materialize: the
+        # barrier is absorbed into the (mandatory) normalize pass, the
+        # task-pool vectorize map preserves the block layout, and the
+        # blocking sort consumes it directly — vs. a separate repartition
+        # barrier between vectorize and the sort (VERDICT r4 #1)
         normalized = normalize_records(records, cfg).select_columns(
             [c for c in CLUSTER_SHUFFLE_COLUMNS
-             if c not in ("tfv_ids", "tfv_w")]).materialize()
+             if c not in ("tfv_ids", "tfv_w")]).repartition(
+                 shuffle_partitions()).materialize()
         idf = build_idf(normalized, cfg)
         vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS,
                         compact=True, ship_weights=False, sha_binary=True)
-        return snd_cluster(normalized, vec, cfg, idf=idf)
+        return snd_cluster(normalized, vec, cfg, idf=idf, pre_partitioned=True)
 
     # the format version guards stage schemas: resuming with checkpoints
     # written by an older engine layout recomputes instead of mixing

@@ -88,20 +88,51 @@ def _merge_partials(batch: pa.Table) -> pa.Table:
     return pa.table({"tok_id": out_ids, "df": out_df, "n_rec": out_n})
 
 
+@ray.remote
+def _partial_task(*blocks: pa.Table) -> pa.Table:
+    """Raw-task partial: per-block document frequencies, pre-merged."""
+    parts = [_partial_df(b.select(["tok_ids"])) for b in blocks]
+    return _merge_partials(parts[0] if len(parts) == 1 else pa.concat_tables(parts))
+
+
 def build_idf(
     normalized: "ray.data.Dataset",
     cfg: SNDConfig | None = None,
-    combine: str = "driver",
+    combine: str = "tasks",
 ) -> IdfModel:
     """normalized Dataset → IdfModel (small, driver-side).
 
-    ``combine='driver'`` (default): per-batch partial frequencies are
-    already vocab-bounded, so the final merge is one driver-side sorted
-    reduce over the partial tables — no all-to-all shuffle at all.
+    ``combine='tasks'`` (default): one raw Ray task per materialized
+    block computes its vocab-bounded partial frequencies; the driver
+    merges the partials with one sorted reduce. On an
+    already-materialized input this touches the object-store blocks
+    directly — no second Dataset execution (whose plan startup + full
+    re-scan was a fixed multi-second cost on the flagship headline,
+    VERDICT r4 #1).
+    ``combine='driver'``: the same reduce fed by a ``map_batches``
+    Dataset pass (for never-materialized inputs where Dataset-level
+    fusion with upstream stages matters).
     ``combine='shuffle'``: the ``groupby(token)`` aggregate path for
     corpora whose per-batch vocab union exceeds driver memory.
     """
     cfg = cfg or SNDConfig()
+    if combine == "tasks":
+        refs = normalized.to_arrow_refs()
+        parts = ray.get([_partial_task.remote(r) for r in refs])
+        full = pa.concat_tables(parts) if parts else _partial_df(
+            pa.table({"tok_ids": pa.array([], pa.list_(pa.int64()))}))
+        raw_ids = full.column("tok_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_df = full.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_records = int(full.column("n_rec").to_numpy(zero_copy_only=False).sum())
+        order = np.argsort(raw_ids, kind="stable")
+        sids, sdf = raw_ids[order], raw_df[order]
+        if sids.size:
+            starts = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1]])
+            ids = sids[starts]
+            df = np.add.reduceat(sdf, starts)
+        else:
+            ids, df = sids, sdf
+        return _finish_idf(ids, df, n_records, cfg)
     partial = normalized.select_columns(["tok_ids"]).map_batches(
         _partial_df, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -135,6 +166,13 @@ def build_idf(
             df = np.add.reduceat(sdf, starts)
         else:
             ids, df = sids, sdf
+    return _finish_idf(ids, df, n_records, cfg)
+
+
+def _finish_idf(ids: np.ndarray, df: np.ndarray, n_records: int,
+                cfg: SNDConfig) -> IdfModel:
+    """Merged (tok_id, df) → pruned/capped IdfModel (shared tail of all
+    combine strategies; identical numerics)."""
     n_total = ids.size
 
     keep = df >= max(int(cfg.min_df), 1)  # floor 1 also drops the empty-batch carrier row

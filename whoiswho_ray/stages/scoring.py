@@ -136,6 +136,24 @@ class TfidfVectorizer:
         return t
 
 
+_VECTORIZER_CACHE: dict = {}
+
+
+def _cached_vectorizer(idf_ref, kw: dict) -> TfidfVectorizer:
+    """Per-worker-process vectorizer cache (the ``joins._cached_get``
+    pattern): Ray reuses worker processes across tasks, so a task-pool
+    vectorize stage deserializes the broadcast IdfModel and builds the
+    vectorizer ONCE per worker — the actor-pool benefit without paying
+    actor-pool startup (16 fresh processes importing the package was a
+    multi-second fixed cost on the flagship headline, VERDICT r4 #1)."""
+    key = (idf_ref.hex(), repr(sorted(kw.items(), key=lambda x: x[0])))
+    v = _VECTORIZER_CACHE.get(key)
+    if v is None:
+        _VECTORIZER_CACHE.clear()
+        v = _VECTORIZER_CACHE[key] = TfidfVectorizer(idf_ref, **kw)
+    return v
+
+
 def vectorize(
     normalized: "ray.data.Dataset",
     idf: IdfModel,
@@ -144,6 +162,7 @@ def vectorize(
     compact: bool = False,
     ship_weights: bool = True,
     sha_binary: bool = False,
+    pool: str = "tasks",
 ) -> "ray.data.Dataset":
     """``compact=True`` requests the compact shuffle encoding (int32
     tfv positions, ``tok_ids`` → scalar ``tok_n``) for pipelines whose
@@ -158,16 +177,31 @@ def vectorize(
     the int32 positions + the broadcast idf array
     (:func:`reconstruct_tfv_w`). ``sha_binary=True`` ships
     ``content_sha256`` as ``fixed_size_binary(32)`` instead of the
-    64-char hex string."""
+    64-char hex string.
+
+    ``pool='tasks'`` (default) runs the vectorizer as a task-pool map
+    with a per-worker cached IdfModel — no actor startup, and the map
+    stage can fuse with a downstream shuffle's map side. ``pool='actors'``
+    keeps the explicit actor pool (``cfg.score_concurrency`` wide)."""
     cfg = cfg or SNDConfig()
     compact = bool(compact and cfg.min_df <= 2 and not idf.truncated)
     idf_ref = ray.put(idf)
+    kw = {"keep": keep, "compact": compact,
+          "ship_weights": ship_weights or not compact,
+          "sha_binary": sha_binary}
+    if pool == "tasks":
+        def tfidf_vectorize(t: pa.Table, _ref=idf_ref, _kw=kw) -> pa.Table:
+            return _cached_vectorizer(_ref, _kw)(t)
+
+        return normalized.map_batches(
+            tfidf_vectorize,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+        )
     return normalized.map_batches(
         TfidfVectorizer,
-        fn_constructor_kwargs={"idf_ref": idf_ref, "keep": keep,
-                               "compact": compact,
-                               "ship_weights": ship_weights or not compact,
-                               "sha_binary": sha_binary},
+        fn_constructor_kwargs=dict(kw, idf_ref=idf_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
