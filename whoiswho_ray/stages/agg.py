@@ -842,8 +842,16 @@ def dense_rank_grouped(
         if not len(g):
             g[out] = pd.Series([], dtype=np.int64)
             return g
-        new_key = ~g[key].eq(g[key].shift()).to_numpy()
-        new_val = ~g[order_col].eq(g[order_col].shift()).to_numpy()
+        # NULL-stable boundary masks: SQL PARTITION BY groups NULL keys
+        # together and ranking treats NULL order values as ties, but
+        # NaN.eq(NaN) is False — OR in the both-null case (ADVICE r4)
+        k, kp = g[key], g[key].shift()
+        v, vp = g[order_col], g[order_col].shift()
+        new_key = ~(k.eq(kp) | (k.isna() & kp.isna())).to_numpy()
+        new_val = ~(v.eq(vp) | (v.isna() & vp.isna())).to_numpy()
+        # shift() pads row 0 with NaN, which the both-null clause would
+        # read as a continuation when the first KEY is itself NULL
+        new_key[0] = new_val[0] = True
         step = (new_key | new_val).astype(np.int64)
         cs = np.cumsum(step)
         start = np.maximum.accumulate(np.where(new_key, cs, 0))
@@ -888,6 +896,61 @@ def pivot(
     wide.columns = [str(c) for c in wide.columns]
     return wide.reset_index().sort_values(index, ignore_index=True)
 
+def _moment_products(*cols: np.ndarray) -> np.ndarray:
+    """Elementwise product of int64 columns for moment partials, exact.
+
+    int64 silently wraps where the SQL oracle sums BIGINT into HUGEINT
+    (ADVICE r4): when the batch-sum bound ``n · Πmax|c|`` could exceed
+    int64, fall back to Python-int (object) products — exact at any
+    magnitude; the common small-magnitude path stays vectorized int64."""
+    import math
+
+    n = cols[0].size
+    if n:
+        bound = math.prod(int(np.abs(c).max()) for c in cols)
+        if bound and n > (2**63 - 1) // bound:
+            out = cols[0].astype(object)
+            for c in cols[1:]:
+                out = out * c.astype(object)
+            return out
+    out = cols[0]
+    for c in cols[1:]:
+        out = out * c
+    return out
+
+
+def _exact_sum_cols(p: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Promote partial-sum columns to Python ints before a driver-side
+    combine so the final reduce cannot wrap (exact, key-bounded rows)."""
+    p = p.copy()
+    for c in cols:
+        p[c] = p[c].map(int)
+    return p
+
+
+def _shrink_moments(p: pd.DataFrame, cols: list[str], what: str) -> pd.DataFrame:
+    """After an exact (possibly object-int) grouped partial sum, shrink
+    back to Arrow-transportable int64 — raising via :func:`_fit_int64`
+    if a group's exact sum genuinely cannot fit."""
+    for c in cols:
+        if p[c].dtype == object:
+            p[c] = p[c].map(lambda s: _fit_int64(s, what)).astype(np.int64)
+    return p
+
+
+def _fit_int64(s: int, what: str) -> int:
+    """Partial sums ship through Arrow blocks as int64; a batch whose
+    EXACT moment sum exceeds int64 cannot be transported losslessly —
+    raise with the contract bound instead of silently wrapping (the SQL
+    oracle sums BIGINT into HUGEINT and would stay exact, ADVICE r4)."""
+    if -(2**63) <= s < 2**63:
+        return int(s)
+    raise ValueError(
+        f"{what}: exact per-batch moment sum {s} exceeds int64 — rescale "
+        "the value column (contract bound: sum of |x·y| per 131072-row "
+        "batch must fit int64)")
+
+
 def correlation(
     ds: "ray.data.Dataset", x: str, y: str
 ) -> pd.DataFrame:
@@ -903,15 +966,16 @@ def correlation(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         xv = df[x].to_numpy(np.int64)
         yv = df[y].to_numpy(np.int64)
+        f = lambda *c: _fit_int64(int(_moment_products(*c).sum()), "correlation")
         return pd.DataFrame({
             "n": [np.int64(xv.size)],
-            "sx": [xv.sum()], "sy": [yv.sum()],
-            "sxy": [(xv * yv).sum()],
-            "sxx": [(xv * xv).sum()], "syy": [(yv * yv).sum()],
+            "sx": [f(xv)], "sy": [f(yv)],
+            "sxy": [f(xv, yv)], "sxx": [f(xv, xv)], "syy": [f(yv, yv)],
         })
 
     p = ds.map_batches(partial, batch_format="pandas",
                        batch_size=131072).to_pandas()
+    p = _exact_sum_cols(p, ["sx", "sy", "sxy", "sxx", "syy"])
     n, sx, sy = float(p["n"].sum()), float(p["sx"].sum()), float(p["sy"].sum())
     sxy, sxx, syy = (float(p["sxy"].sum()), float(p["sxx"].sum()),
                      float(p["syy"].sum()))
@@ -941,18 +1005,25 @@ def zscore_grouped(
         xv = df[x].to_numpy(np.int64)
         t = pd.DataFrame({key: df[key].to_numpy(),
                           "n": np.ones(len(df), np.int64),
-                          "sx": xv, "sxx": xv * xv})
-        return t.groupby(key, sort=False, as_index=False).sum()
+                          "sx": _moment_products(xv),
+                          "sxx": _moment_products(xv, xv)})
+        # dropna=False: NULL keys form one group (SQL GROUP BY), instead
+        # of silently vanishing and then KeyError-ing the lookup (ADVICE r4)
+        out = t.groupby(key, sort=False, as_index=False, dropna=False).sum()
+        return _shrink_moments(out, ["sx", "sxx"], "zscore_grouped")
 
     p = ds.select_columns([key, x]).map_batches(
         partial, batch_format="pandas", batch_size=131072).to_pandas()
-    tot = p.groupby(key, sort=True, as_index=False).sum()
-    moments_ref = ray.put(tot.set_index(key))
+    p = _exact_sum_cols(p, ["sx", "sxx"])  # driver combine cannot wrap
+    tot = p.groupby(key, sort=True, as_index=False, dropna=False).sum()
+    moments_ref = ray.put(tot)
 
     def standardize(df: pd.DataFrame) -> pd.DataFrame:
         from whoiswho_ray.stages.joins import _cached_get
         m = _cached_get(moments_ref)
-        g = m.loc[df[key]]
+        # left-merge instead of .loc: pandas merge matches NaN keys, so
+        # NULL-key rows standardize against the NULL group's moments
+        g = df[[key]].merge(m, on=key, how="left")
         n = g["n"].to_numpy(np.float64)
         sx = g["sx"].to_numpy(np.float64)
         sxx = g["sxx"].to_numpy(np.float64)
@@ -987,13 +1058,20 @@ def grouped_correlation(
         yv = df[y].to_numpy(np.int64)
         t = pd.DataFrame({key: df[key].to_numpy(),
                           "n": np.ones(len(df), np.int64),
-                          "sx": xv, "sy": yv, "sxy": xv * yv,
-                          "sxx": xv * xv, "syy": yv * yv})
-        return t.groupby(key, sort=False, as_index=False).sum()
+                          "sx": _moment_products(xv),
+                          "sy": _moment_products(yv),
+                          "sxy": _moment_products(xv, yv),
+                          "sxx": _moment_products(xv, xv),
+                          "syy": _moment_products(yv, yv)})
+        # dropna=False: NULL keys form one group, matching SQL GROUP BY
+        out = t.groupby(key, sort=False, as_index=False, dropna=False).sum()
+        return _shrink_moments(out, ["sx", "sy", "sxy", "sxx", "syy"],
+                               "grouped_correlation")
 
     p = ds.map_batches(partial, batch_format="pandas",
                        batch_size=131072).to_pandas()
-    tot = p.groupby(key, sort=True, as_index=False).sum()
+    p = _exact_sum_cols(p, ["sx", "sy", "sxy", "sxx", "syy"])
+    tot = p.groupby(key, sort=True, as_index=False, dropna=False).sum()
     n = tot["n"].to_numpy(np.float64)
     sx, sy = tot["sx"].to_numpy(np.float64), tot["sy"].to_numpy(np.float64)
     sxy = tot["sxy"].to_numpy(np.float64)

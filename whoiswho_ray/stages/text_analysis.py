@@ -617,8 +617,21 @@ def _posting(g: pa.Table) -> pa.Table:
         plists = g.column("positions")
         if isinstance(plists, pa.ChunkedArray):
             plists = plists.combine_chunks()
-        out["positions"] = pa.array(
-            [[plists[int(i)].as_py() for i in order]])
+        # vectorized list reorder (ADVICE r4: the per-element as_py() loop
+        # was O(df) Python objects per token): gather the flat values with
+        # one fancy-index built from old group starts vs new offsets
+        off = plists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        vals = plists.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(off)
+        new_lens = lens[order]
+        new_off = np.r_[0, np.cumsum(new_lens)]
+        idx = (np.arange(int(new_off[-1]), dtype=np.int64)
+               + np.repeat(off[:-1][order] - new_off[:-1], new_lens))
+        inner = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), pa.array(vals[idx], pa.int64()))
+        out["positions"] = pa.ListArray.from_arrays(
+            pa.array([0, len(order)], pa.int32()), inner)
     return pa.table(out)
 
 
@@ -986,6 +999,15 @@ def phrase_search(
             or set(rows["token"]) != set(tset):
         return empty  # some phrase term absent from the corpus
     rows = rows.set_index("token")
+    probe = np.asarray(rows["postings"].iloc[0])
+    if probe.dtype.kind not in "iu":
+        # the composite doc·M+pos key math below is integer-only; a string
+        # doc-id index would otherwise die in an opaque numpy cast (ADVICE
+        # r4) — factorize ids at ingest or index with integer ids
+        raise TypeError(
+            f"phrase_search requires integer doc ids in the index "
+            f"(got postings dtype {probe.dtype}); factorize string ids "
+            f"before index_build")
 
     def flat_keys(term: str, m: np.int64) -> np.ndarray:
         posts = np.asarray(rows.loc[term, "postings"], dtype=np.int64)

@@ -205,7 +205,13 @@ def grouped_running_sum(
             g[out] = pd.Series([], dtype=np.int64)
             return g
         cs = np.cumsum(v)
-        new_key = ~g[key].eq(g[key].shift()).to_numpy()
+        # NULL-stable key boundary (SQL PARTITION BY groups NULLs
+        # together; NaN.eq(NaN) is False — ADVICE r4)
+        k, kp = g[key], g[key].shift()
+        new_key = ~(k.eq(kp) | (k.isna() & kp.isna())).to_numpy()
+        # shift() pads row 0 with NaN — a NULL first key must still open
+        # a partition
+        new_key[0] = True
         # offset = cumsum BEFORE each key's first row. Propagate the key
         # START INDEX forward (indices are monotone, so
         # maximum.accumulate is safe even when v — and thus cs — goes
