@@ -2311,6 +2311,39 @@ def q_orders_in_ship_window(sf_dir: str):
                          key_p="o_orderkey", x="d", step=4)
 
 
+def q_orders_overlap_windows(sf_dir: str):
+    """Interval×interval OVERLAP join (stages/joins.py
+    interval_overlap_join — VERDICT r4 #3): two deterministic samples of
+    orders carry date-validity windows (width keyed off the orderkey);
+    output is every overlapping (left, right) window pair. Both sides
+    replicate into a variable-width grid; each pair meets exactly once
+    in the cell holding the overlap's start. All-integer day arithmetic,
+    exact SQL OVERLAPS (closed-bound) replay."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import interval_overlap_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_orderdate"])
+
+    def win(df: pd.DataFrame, mod: int, rem: int, wmod: int,
+            kc: str, lc: str, hc: str) -> pd.DataFrame:
+        k = df["o_orderkey"].astype(np.int64)
+        keep = (k % mod) == rem
+        k = k[keep].to_numpy(np.int64)
+        d = ((pd.to_datetime(df["o_orderdate"][keep])
+              - pd.Timestamp("1990-01-01")).dt.days.to_numpy(np.int64))
+        return pd.DataFrame({kc: k, lc: d, hc: d + k % wmod})
+
+    l = orders.map_batches(
+        lambda df: win(df, 101, 0, 5, "l_key", "l_lo", "l_hi"),
+        batch_format="pandas")
+    r = orders.map_batches(
+        lambda df: win(df, 103, 1, 7, "r_key", "r_lo", "r_hi"),
+        batch_format="pandas")
+    return interval_overlap_join(l, r, "l_key", "l_lo", "l_hi",
+                                 "r_key", "r_lo", "r_hi", step=8)
+
+
 def q_doc_phrase(sf_dir: str):
     """Exact phrase search over a POSITIONAL inverted index
     (stages/text_analysis.py phrase_search): documents containing
@@ -2579,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25": q_doc_bm25,
         "q_doc_phrase": q_doc_phrase,
         "q_orders_in_ship_window": q_orders_in_ship_window,
+        "q_orders_overlap_windows": q_orders_overlap_windows,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3285,6 +3319,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT iv.l_suppkey, pt.o_orderkey, pt.d
             FROM iv JOIN pt ON pt.d BETWEEN iv.lo AND iv.lo + 3
+        """,
+        "q_orders_overlap_windows": """
+            WITH l AS (
+                SELECT o_orderkey AS l_key,
+                       CAST(datediff('day', DATE '1990-01-01',
+                                     o_orderdate) AS BIGINT) AS l_lo,
+                       CAST(datediff('day', DATE '1990-01-01', o_orderdate)
+                            + o_orderkey % 5 AS BIGINT) AS l_hi
+                FROM orders WHERE o_orderkey % 101 = 0
+            ), r AS (
+                SELECT o_orderkey AS r_key,
+                       CAST(datediff('day', DATE '1990-01-01',
+                                     o_orderdate) AS BIGINT) AS r_lo,
+                       CAST(datediff('day', DATE '1990-01-01', o_orderdate)
+                            + o_orderkey % 7 AS BIGINT) AS r_hi
+                FROM orders WHERE o_orderkey % 103 = 1
+            )
+            SELECT l_key, r_key, l_lo, l_hi, r_lo, r_hi
+            FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
         """,
         "q_doc_phrase": """
             WITH tok AS (

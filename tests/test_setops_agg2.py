@@ -510,3 +510,73 @@ class TestNtile:
         np.testing.assert_array_equal(out["t"].to_numpy(), exp)
         # ranks follow the sort order, so tiles are monotone in v
         assert (np.diff(out["t"].to_numpy()) >= 0).all()
+
+
+class TestIntervalOverlapJoin:
+    def _brute(self, l, r):
+        return sorted((a.kl, b.kr)
+                      for a in l.itertuples() for b in r.itertuples()
+                      if a.lo <= b.hi2 and b.lo2 <= a.hi)
+
+    @pytest.mark.parametrize("step", [1, 3, 10, 100])
+    def test_matches_bruteforce(self, step):
+        from whoiswho_ray.stages.joins import interval_overlap_join
+
+        rng = np.random.RandomState(33)
+        lo = rng.randint(-200, 200, 50).astype(np.int64)
+        l = pd.DataFrame({"kl": np.arange(50, dtype=np.int64),
+                          "lo": lo,
+                          "hi": lo + rng.randint(0, 30, 50)})
+        lo2 = rng.randint(-220, 220, 70).astype(np.int64)
+        r = pd.DataFrame({"kr": np.arange(900, 970, dtype=np.int64),
+                          "lo2": lo2,
+                          "hi2": lo2 + rng.randint(0, 12, 70)})
+        out = interval_overlap_join(
+            rd.from_pandas(l).repartition(4),
+            rd.from_pandas(r).repartition(3),
+            "kl", "lo", "hi", "kr", "lo2", "hi2", step=step).to_pandas()
+        got = sorted(map(tuple, out[["kl", "kr"]].itertuples(index=False)))
+        exp = self._brute(l, r)
+        assert got == exp and len(exp) > 0
+        assert len(got) == len(set(got))  # exactly-once despite 2x replication
+        # bounds columns ride through correctly
+        row = out.iloc[0]
+        assert row["lo"] <= row["hi2"] and row["lo2"] <= row["hi"]
+
+    def test_nested_point_touching_and_tied_starts(self):
+        from whoiswho_ray.stages.joins import interval_overlap_join
+
+        l = pd.DataFrame({"kl": np.array([1, 2, 3, 4], np.int64),
+                          "lo": np.array([0, 10, 20, 30], np.int64),
+                          "hi": np.array([100, 12, 20, 25], np.int64)})
+        #      1 spans everything; 3 is a point; 4 is inverted (dropped)
+        r = pd.DataFrame({"kr": np.array([7, 8, 9], np.int64),
+                          "lo2": np.array([10, 20, 101], np.int64),
+                          "hi2": np.array([11, 20, 150], np.int64)})
+        #      7 nested in 1 + tied start with 2; 8 point==point 3
+        out = interval_overlap_join(
+            rd.from_pandas(l), rd.from_pandas(r),
+            "kl", "lo", "hi", "kr", "lo2", "hi2", step=8).to_pandas()
+        got = sorted(map(tuple, out[["kl", "kr"]].itertuples(index=False)))
+        assert got == [(1, 7), (1, 8), (2, 7), (3, 8)]
+
+    def test_self_join_suffixes(self):
+        from whoiswho_ray.stages.joins import interval_overlap_join
+
+        df = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                           "a": np.array([0, 5], np.int64),
+                           "b": np.array([6, 9], np.int64)})
+        ds = rd.from_pandas(df)
+        out = interval_overlap_join(ds, ds, "k", "a", "b",
+                                    "k", "a", "b", step=4).to_pandas()
+        assert set(out.columns) == {"k_l", "k_r", "a_l", "b_l", "a_r", "b_r"}
+        got = set(map(tuple, out[["k_l", "k_r"]].itertuples(index=False)))
+        assert got == {(1, 1), (1, 2), (2, 1), (2, 2)}
+
+    def test_rejects_bad_step(self):
+        from whoiswho_ray.stages.joins import interval_overlap_join
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1], "b": [2]}))
+        with pytest.raises(ValueError):
+            interval_overlap_join(ds, ds, "k", "a", "b", "k", "a", "b",
+                                  step=0)

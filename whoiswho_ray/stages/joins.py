@@ -657,6 +657,144 @@ def interval_join(
     return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
 
 
+def interval_overlap_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_l: str,
+    lo_l: str,
+    hi_l: str,
+    key_r: str,
+    lo_r: str,
+    hi_r: str,
+    step: int,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Interval×interval OVERLAP join: all (left, right) pairs whose
+    closed INTEGER intervals intersect — ``lo_l <= hi_r AND lo_r <=
+    hi_l`` (SQL OVERLAPS on inclusive bounds) — validity-window
+    reconciliation, sessions × promotions (VERDICT r4 #3).
+
+    Scale shape: :func:`interval_join`'s variable-width grid with BOTH
+    sides replicating into their ``(hi-lo)//step + 1`` cells. A
+    qualifying pair is emitted exactly once, in the canonical cell
+    containing the overlap's START ``max(lo_l, lo_r)`` (cells are
+    monotone in value, so that cell is shared by both replicas sets).
+    The kernel decomposes disjointly by which side starts the overlap:
+
+    * right starts at-or-after left (``lo_r >= lo_l``): every left
+      replica binary-searches the bucket's NATIVE right starts (rows
+      whose ``lo_r`` lies in their own replica cell) within
+      ``[lo_l, hi_l]`` clamped to the cell — point-in-interval with the
+      right's start as the point;
+    * left starts strictly after (``lo_l > lo_r``): the mirror pass
+      with a strict lower bound, so ``lo_l == lo_r`` ties count once.
+
+    Both passes are whole-bucket searchsorted — no per-cell loop. Output
+    ``(key_l, key_r, lo_l, hi_l, lo_r, hi_r)`` (key names suffixed _l/_r
+    on collision). Pick ``step`` near the typical interval width; a
+    single huge interval degrades to width/step replicas (visible skew,
+    never a cross product).
+    """
+    import pyarrow as pa
+
+    if step <= 0:
+        raise ValueError("interval_overlap_join: step must be > 0")
+    st = np.int64(step)
+    okl, okr = (key_l, key_r) if key_l != key_r else (f"{key_l}_l",
+                                                      f"{key_r}_r")
+    oll, ohl = (lo_l, hi_l) if lo_l != lo_r else (f"{lo_l}_l", f"{hi_l}_l")
+    olr, ohr = (lo_r, hi_r) if lo_l != lo_r else (f"{lo_r}_r", f"{hi_r}_r")
+
+    def side_prep(side: int, key: str, lo: str, hi: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            l = t.column(lo).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = t.column(hi).to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = h >= l
+            k, l, h = k[ok], l[ok], h[ok]
+            c0, c1 = l // st, h // st
+            reps = c1 - c0 + 1
+            idx = np.repeat(np.arange(k.size, dtype=np.int64), reps)
+            starts = np.zeros(k.size + 1, np.int64)
+            np.cumsum(reps, out=starts[1:])
+            cell = (np.arange(int(starts[-1]), dtype=np.int64)
+                    - np.repeat(starts[:-1], reps) + np.repeat(c0, reps))
+            b = (cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({
+                "key": pa.array(k[idx]),
+                "lo": pa.array(l[idx], pa.int64()),
+                "hi": pa.array(h[idx], pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+                "__side": pa.array(np.full(cell.size, side, np.int8)),
+            })
+        return f
+
+    lp = left.select_columns([key_l, lo_l, hi_l]).map_batches(
+        side_prep(0, key_l, lo_l, hi_l), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=131072)
+    rp = right.select_columns([key_r, lo_r, hi_r]).map_batches(
+        side_prep(1, key_r, lo_r, hi_r), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=131072)
+    u = lp.union(rp)
+
+    def _pass(qk, ql, qh, qc, tk, tl, th, strict: bool):
+        """Query replicas × native target STARTS: one clamped
+        searchsorted window per query replica over target lo (sorted).
+        Returns (query_idx, target_idx) into the passed arrays."""
+        e = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if qk.size == 0 or tl.size == 0:
+            return e
+        to = np.argsort(tl, kind="stable")
+        tls = tl[to]
+        lo_v = np.maximum(ql + (1 if strict else 0), qc * st)
+        hi_v = np.minimum(qh, (qc + 1) * st - 1)
+        l_ = np.searchsorted(tls, lo_v, side="left")
+        h_ = np.searchsorted(tls, hi_v, side="right")
+        cnt = np.maximum(h_ - l_, 0)
+        keep = cnt > 0
+        if not keep.any():
+            return e
+        l_, cnt = l_[keep], cnt[keep]
+        off = np.zeros(cnt.size + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        t = np.arange(int(off[-1]), dtype=np.int64)
+        gi = np.searchsorted(off, t, side="right") - 1
+        j = to[l_[gi] + (t - off[gi])]
+        qi = np.flatnonzero(keep)[gi]
+        return qi, j
+
+    def bucket(g: pa.Table) -> pd.DataFrame:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        lo_a = g.column("lo").to_numpy(zero_copy_only=False)
+        hi_a = g.column("hi").to_numpy(zero_copy_only=False)
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        native = (lo_a // st) == cell
+        lk, ll, lh, lc = keys[lm], lo_a[lm], hi_a[lm], cell[lm]
+        rk, rl, rh, rc = keys[~lm], lo_a[~lm], hi_a[~lm], cell[~lm]
+        ln, rn = native[lm], native[~lm]
+        # pass 1: right starts inside left (ties included)
+        qi1, ti1 = _pass(lk, ll, lh, lc,
+                         rk[rn], rl[rn], rh[rn], strict=False)
+        # pass 2: left starts strictly inside right
+        qi2, ti2 = _pass(rk, rl, rh, rc,
+                         lk[ln], ll[ln], lh[ln], strict=True)
+        rn_ix = np.flatnonzero(rn)
+        ln_ix = np.flatnonzero(ln)
+        li = np.concatenate([qi1, ln_ix[ti2]])
+        ri = np.concatenate([rn_ix[ti1], qi2])
+        return pd.DataFrame({
+            okl: lk[li], okr: rk[ri],
+            oll: ll[li], ohl: lh[li],
+            olr: rl[ri], ohr: rh[ri],
+        })
+
+    return u.groupby("__bucket").map_groups(bucket, batch_format="pyarrow")
+
+
 def bloom_semi_join(
     large: "ray.data.Dataset",
     keys: "ray.data.Dataset",
