@@ -44,6 +44,33 @@ _PAIR_BUDGET = 50_000  # per-bucket candidate-pair budget (window pairs beyond)
 # ---------------------------------------------------------------------------
 
 
+def _sha_column(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Per-row sha256 hex of a string column, hashed straight off the
+    Arrow data buffer via memoryview slices — no per-row Python string
+    materialization or re-encode (VERDICT r4 #5; ~1.4× over the
+    to_pylist()+encode loop, micro-bench in NOTES.md). hashlib has no
+    batch API, so the digest call itself stays per-row (C speed); Arrow
+    strings are valid UTF-8, so the buffer bytes equal s.encode('utf-8')
+    and the digests are identical to ``sha256_hex`` per row."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(col, "")
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=odt,
+                        count=len(col) + 1 + col.offset
+                        ).astype(np.int64)[col.offset:]
+    data = memoryview(col.buffers()[2]) if col.buffers()[2] is not None \
+        else memoryview(b"")
+    h = hashlib.sha256
+    return pa.array([h(data[a:b]).hexdigest()
+                     for a, b in zip(off.tolist(), off[1:].tolist())],
+                    pa.string())
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -73,8 +100,7 @@ def exact_dedup(
     removed by the partitioned verify)."""
 
     def add_sha(t: pa.Table) -> pa.Table:
-        sha = [sha256_hex(x if x is not None else "") for x in t.column(text_col).to_pylist()]
-        return t.append_column("_sha", pa.array(sha, pa.string()))
+        return t.append_column("_sha", _sha_column(t.column(text_col)))
 
     if project:
         from whoiswho_ray.stages.cluster import min_by_key
@@ -82,8 +108,7 @@ def exact_dedup(
 
         slim = ds.map_batches(
             lambda t: pa.table({
-                "_sha": pa.array([sha256_hex(x if x is not None else "")
-                                  for x in t.column(text_col).to_pylist()], pa.string()),
+                "_sha": _sha_column(t.column(text_col)),
                 key_col: t.column(key_col),
             }),
             batch_format="pyarrow", zero_copy_batch=True)
