@@ -22,7 +22,31 @@ No code is copied from the reference; file:line citations in docstrings
 point at the behavior being re-expressed so parity can be checked.
 """
 
+import logging as _logging
+
 from whoiswho_ray.config import SNDConfig
 
 __all__ = ["SNDConfig"]
 __version__ = "0.1.0"
+
+
+class _EmptySortPartitionNoise(_logging.Filter):
+    """Drop ONE known-benign Ray warning (VERDICT r4 #7): Ray's
+    sort-based ``groupby().map_groups`` emits a schema-LESS empty block
+    for every empty output partition (the group fn never sees it — Ray
+    builds it internally), and the streaming executor then warns
+    "Operator produced a RefBundle with a different schema ... new
+    schema: <empty>" once per such partition. Only the empty-new-schema
+    flavor is filtered; a genuine non-empty schema mismatch still
+    warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not (
+            "Operator produced a RefBundle with a different schema" in msg
+            and ("new schema: ." in msg or "names=[], types=[]" in msg))
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySortPartitionNoise())

@@ -12,7 +12,20 @@ import ray.data as rd
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    """Read one testdata table with the writer's ``b'pandas'`` schema
+    metadata stripped AT THE READ (explicit metadata-free ``schema=``):
+    a dict-valued metadata blob makes ``pa.Schema`` unhashable, which
+    knocks Ray's block-schema dedup onto its slow path and spams
+    "Failed to hash the schemas" warnings from the read tasks through
+    every downstream stage (VERDICT r4 #7)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, schema=sch, columns=columns)
 
 
 def records_from_documents(sf_dir: str, n_blocks: int = 40) -> "rd.Dataset":
