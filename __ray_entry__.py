@@ -44,7 +44,8 @@ def _cents(x):
 
 
 def _cached_index(sf_dir: str, max_df: int | None = None,
-                  num_buckets: int = 16, positions: bool = False) -> str:
+                  num_buckets: int = 16, positions: bool = False,
+                  group_col: str | None = None) -> str:
     """Build-once cache for the persistent inverted index over a
     sf_dir's documents table, keyed by (path, max_df, buckets,
     positions). A fresh mkdtemp per query run re-did the whole build and
@@ -60,17 +61,18 @@ def _cached_index(sf_dir: str, max_df: int | None = None,
     from whoiswho_ray.stages.text_analysis import index_build
 
     key = hashlib.sha256(json.dumps(
-        [os.path.abspath(sf_dir), max_df, num_buckets, positions]
+        [os.path.abspath(sf_dir), max_df, num_buckets, positions,
+         group_col]
     ).encode()).hexdigest()[:16]
     path = os.path.join("/tmp", f"whoiswho_idx_{key}")
     if os.path.exists(os.path.join(path, "meta.json")):
         return path
     tmp = tempfile.mkdtemp(prefix="idxbuild_", dir="/tmp")
     try:
-        index_build(read_table(sf_dir, "documents",
-                               columns=["doc_id", "text"]),
+        cols = ["doc_id", "text"] + ([group_col] if group_col else [])
+        index_build(read_table(sf_dir, "documents", columns=cols),
                     tmp, max_df=max_df, num_buckets=num_buckets,
-                    positions=positions)
+                    positions=positions, group_col=group_col)
         os.rename(tmp, path)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2311,6 +2313,22 @@ def q_orders_in_ship_window(sf_dir: str):
                          key_p="o_orderkey", x="d", step=4)
 
 
+def q_doc_bm25_lang(sf_dir: str):
+    """Per-language BM25 (stages/text_analysis.py bm25_search_grouped —
+    VERDICT r4 #6): each lang partition is its own corpus (N, avgdl and
+    per-term df within the language), top-5 per lang. Graded output is
+    integer (lang, rank, doc_id) with the same sorted-order-add and
+    min_rank_margin discipline as q_doc_bm25 (ln is ulp-unstable across
+    libms; the guard raises instead of letting ranks silently flip)."""
+    from whoiswho_ray.stages.text_analysis import bm25_search_grouped
+
+    idx = _cached_index(sf_dir, num_buckets=16, group_col="lang")
+    out = bm25_search_grouped(idx, ["scan", "window"], topk=5,
+                              min_rank_margin=1e-9)
+    out = out.rename(columns={"group": "lang"})
+    return out[["lang", "rank", "doc_id"]]
+
+
 def q_orders_overlap_windows(sf_dir: str):
     """Interval×interval OVERLAP join (stages/joins.py
     interval_overlap_join — VERDICT r4 #3): two deterministic samples of
@@ -2613,6 +2631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_phrase": q_doc_phrase,
         "q_orders_in_ship_window": q_orders_in_ship_window,
         "q_orders_overlap_windows": q_orders_overlap_windows,
+        "q_doc_bm25_lang": q_doc_bm25_lang,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -3319,6 +3338,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT iv.l_suppkey, pt.o_orderkey, pt.d
             FROM iv JOIN pt ON pt.d BETWEEN iv.lo AND iv.lo + 3
+        """,
+        "q_doc_bm25_lang": """
+            WITH tok AS (
+                SELECT d.doc_id, d.lang, t.token
+                FROM documents d,
+                     unnest(regexp_split_to_array(lower(d.text),
+                                                  '[^a-z0-9]+')) AS t(token)
+                WHERE t.token <> ''
+            ),
+            dl AS (
+                SELECT d.doc_id, d.lang, count(tok.token) AS dl
+                FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+                GROUP BY d.doc_id, d.lang
+            ),
+            n AS (SELECT lang, count(*) AS n, sum(dl) AS s
+                  FROM dl GROUP BY lang),
+            tf AS (
+                SELECT doc_id, lang, token, count(*) AS tf FROM tok
+                WHERE token IN ('scan', 'window')
+                GROUP BY doc_id, lang, token
+            ),
+            dfq AS (SELECT lang, token, count(*) AS df
+                    FROM tf GROUP BY lang, token),
+            st AS (
+                SELECT tf.doc_id, tf.lang, tf.token,
+                       ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+                                 + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+                       * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75
+                                   + 0.75 * CAST(dl.dl AS DOUBLE)
+                                     / (CAST(n.s AS DOUBLE)
+                                        / CAST(n.n AS DOUBLE)))) AS sc
+                FROM tf
+                JOIN dfq ON tf.lang = dfq.lang AND tf.token = dfq.token
+                JOIN dl ON tf.doc_id = dl.doc_id
+                JOIN n ON tf.lang = n.lang
+            ),
+            -- terms added in SORTED order as explicit scalar adds (no
+            -- float SUM aggregate whose order the engine may choose)
+            final AS (
+                SELECT doc_id, lang,
+                       COALESCE(max(CASE WHEN token = 'scan'
+                                         THEN sc END), 0)
+                     + COALESCE(max(CASE WHEN token = 'window'
+                                         THEN sc END), 0) AS score
+                FROM st GROUP BY doc_id, lang
+            ),
+            ranked AS (
+                SELECT lang,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                           AS rank,
+                       doc_id
+                FROM final
+            )
+            SELECT lang, rank, doc_id FROM ranked WHERE rank <= 5
         """,
         "q_orders_overlap_windows": """
             WITH l AS (

@@ -1319,3 +1319,83 @@ class TestLeftOuterJoin:
         matched = out.set_index("k")["rv"]
         assert matched[2] == big and matched[4] == 7
         assert pd.isna(matched[1]) and pd.isna(matched[3])
+
+
+class TestGroupedBm25:
+    @pytest.fixture(scope="class")
+    def grouped_index(self, tmp_path_factory):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import index_build
+
+        rng = np.random.RandomState(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "scan", "window",
+                 "fox", "dog"]
+        rows = []
+        for i in range(60):
+            lang = ["en", "de", "fr"][i % 3]
+            words = [vocab[rng.randint(len(vocab))]
+                     for _ in range(rng.randint(3, 12))]
+            rows.append((i, " ".join(words), lang))
+        docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+        d = str(tmp_path_factory.mktemp("gbm25"))
+        meta = index_build(rd.from_pandas(docs).repartition(3), d,
+                           num_buckets=4, group_col="lang")
+        return d, docs, meta
+
+    def _brute(self, docs, terms, topk, k1=1.2, b=0.75):
+        import math
+
+        rows = []
+        for g, sub in docs.groupby("lang"):
+            toks = {r.doc_id: r.text.split() for r in sub.itertuples()}
+            n = len(sub)
+            avgdl = sum(len(t) for t in toks.values()) / n
+            sc = {}
+            for t in sorted(set(terms)):
+                df_t = sum(1 for v in toks.values() if t in v)
+                if df_t == 0:
+                    continue
+                idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+                for did, v in toks.items():
+                    tf = v.count(t)
+                    if tf:
+                        sc[did] = sc.get(did, 0.0) + idf * (tf * (k1 + 1)) \
+                            / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            top = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+            rows.extend((g, r, did) for r, (did, _) in enumerate(top, 1))
+        return rows
+
+    @pytest.mark.parametrize("terms,topk", [
+        (["scan", "window"], 3),
+        (["fox"], 5),
+        (["alpha", "beta", "gamma"], 2),
+    ])
+    def test_matches_per_group_bruteforce(self, grouped_index, terms, topk):
+        from whoiswho_ray.stages.text_analysis import bm25_search_grouped
+
+        d, docs, _ = grouped_index
+        out = bm25_search_grouped(d, terms, topk=topk)
+        got = list(map(tuple, out[["group", "rank", "doc_id"]]
+                       .itertuples(index=False)))
+        assert got == self._brute(docs, terms, topk)
+
+    def test_group_stats_in_meta(self, grouped_index):
+        _, docs, meta = grouped_index
+        assert meta["group_col"] == "lang"
+        for g, sub in docs.groupby("lang"):
+            n, s = meta["groups"][g]
+            assert n == len(sub)
+            assert s == sum(len(t.split()) for t in sub["text"])
+
+    def test_requires_grouped_index(self, tmp_path):
+        import ray.data as rd
+
+        from whoiswho_ray.stages.text_analysis import (bm25_search_grouped,
+                                                       index_build)
+
+        docs = pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+        d = str(tmp_path / "plain")
+        index_build(rd.from_pandas(docs), d, num_buckets=2)
+        with pytest.raises(ValueError, match="group_col"):
+            bm25_search_grouped(d, ["a"])

@@ -722,6 +722,7 @@ def index_build(
     max_df: int | None = None,
     num_buckets: int = 32,
     positions: bool = False,
+    group_col: str | None = None,
 ) -> dict:
     """Persistent inverted index: hive-partitioned Parquet posting lists
     (``data/bucket=N/``) + ``dropped.parquet`` (over-cap tokens with
@@ -734,6 +735,14 @@ def index_build(
     postings are assembled, so the index build is safe on a stop-word-
     laden corpus of any size (the dropped-token set is bounded by
     total_pairs/max_df, never corpus-sized).
+
+    ``group_col`` (VERDICT r4 #6, per-language retrieval): each doc's
+    group (stringified) rides the doclens table, and ``meta.json``
+    records per-group corpus stats ``{group: [n_docs, sum_dl]}``
+    (O(groups), one pre-aggregated pass over the written doclens) —
+    :func:`bm25_search_grouped` then scores with idf/avgdl WITHIN each
+    group partition. Postings are unchanged (doc ids are global), so
+    the same index serves both plain and grouped search.
     """
     import json
     import os
@@ -782,13 +791,17 @@ def index_build(
         row = np.repeat(np.arange(t.num_rows), np.diff(offsets))
         nonempty = np.bincount(row[flat != ""],
                                minlength=t.num_rows).astype(np.int64)
-        return pa.table({"doc_id": t.column(id_col),
-                         "dl": pa.array(nonempty, pa.int64())})
+        cols = {"doc_id": t.column(id_col),
+                "dl": pa.array(nonempty, pa.int64())}
+        if group_col is not None:
+            cols["group"] = pc.cast(t.column(group_col), pa.string())
+        return pa.table(cols)
 
     import ray.data as rd
 
+    doclen_in = [id_col, text_col] + ([group_col] if group_col else [])
     doclens_dir = os.path.join(index_dir, "doclens")
-    ds.select_columns([id_col, text_col]).map_batches(
+    ds.select_columns(doclen_in).map_batches(
         doclen, batch_format="pyarrow",
         zero_copy_batch=True).write_parquet(doclens_dir)
     # totals from the WRITTEN files (re-consuming the lineage would
@@ -803,6 +816,16 @@ def index_build(
             "positions": bool(positions),
             "n_docs": int(totals["n"].sum()),
             "sum_dl": int(totals["s"].sum())}
+    if group_col is not None:
+        from whoiswho_ray.stages.agg import grouped_agg
+
+        gstats = grouped_agg(
+            rd.read_parquet(doclens_dir, columns=["dl", "group"]),
+            "group", {"n_docs": (None, "count"), "sum_dl": ("dl", "sum")})
+        meta["group_col"] = group_col
+        meta["groups"] = {str(r["group"]): [int(r["n_docs"]),
+                                            int(r["sum_dl"])]
+                          for _, r in gstats.iterrows()}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -930,6 +953,137 @@ def bm25_search(
         "rank": np.arange(1, top.size + 1, dtype=np.int64),
         "doc_id": cand[top],
         "score": scores[top]})
+
+
+def bm25_search_grouped(
+    index_dir: str,
+    terms: list[str],
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_type=None,
+    min_rank_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Per-GROUP BM25 retrieval over an :func:`index_build` index built
+    with ``group_col`` (VERDICT r4 #6 — per-language ranked retrieval):
+    each group is its own corpus — ``N``, ``avgdl`` and every term's
+    ``df`` are computed WITHIN the group — and the top-``topk`` docs per
+    group are returned as ``(group, rank, doc_id, score)`` ordered by
+    (group asc, score desc, doc_id asc).
+
+    Scale shape matches :func:`bm25_search`: partition-pruned posting
+    reads, one streaming doclens pass against broadcast candidates (now
+    also carrying each candidate's group), driver-side float64 scoring
+    over the bounded candidate set. Per-group df comes free from the
+    posting lists (a term's postings are complete, and every posted doc
+    is a candidate, so a bincount over candidate group codes is exact).
+    Terms accumulate in sorted order; the ``min_rank_margin`` guard runs
+    per group.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("group_col"):
+        raise ValueError("bm25_search_grouped needs an index built with "
+                         "group_col=...")
+    gstats = meta["groups"]
+    tset = sorted(set(terms))
+    empty = pd.DataFrame({
+        "group": pd.Series([], dtype=object),
+        "rank": pd.Series([], dtype=np.int64),
+        "doc_id": pd.Series([], dtype="int64" if id_type is None
+                            else id_type),
+        "score": pd.Series([], dtype=np.float64)})
+    dropped_path = os.path.join(index_dir, "dropped.parquet")
+    if os.path.exists(dropped_path):
+        dropped = set(pq.read_table(
+            dropped_path,
+            filters=[("token", "in", tset)]).column("token").to_pylist())
+        tset = [t for t in tset if t not in dropped]
+    if not tset:
+        return empty
+
+    data_dir = os.path.join(index_dir, "data")
+    want = set(_token_bucket(tset, meta["num_buckets"]).tolist())
+    paths = [os.path.join(data_dir, f"bucket={bk}", f)
+             for bk in sorted(want)
+             if os.path.isdir(os.path.join(data_dir, f"bucket={bk}"))
+             for f in sorted(os.listdir(os.path.join(data_dir,
+                                                     f"bucket={bk}")))
+             if f.endswith(".parquet")]
+    if not paths:
+        return empty
+    rows = (rd.read_parquet(paths, columns=["token", "postings", "tfs"])
+            .map_batches(lambda df: df[df["token"].isin(tset)],
+                         batch_format="pandas").to_pandas())
+    if not len(rows):
+        return empty
+    rows = rows.set_index("token")
+    post = {t: np.asarray(rows.loc[t, "postings"]) for t in rows.index}
+    tfs = {t: np.asarray(rows.loc[t, "tfs"], dtype=np.int64)
+           for t in rows.index}
+    cand = np.unique(np.concatenate(list(post.values())))
+
+    cand_ref = ray.put(cand)
+
+    def pick_dl(df: pd.DataFrame) -> pd.DataFrame:
+        from whoiswho_ray.stages.joins import _cached_get
+        return df[df["doc_id"].isin(_cached_get(cand_ref))]
+
+    dl_df = (rd.read_parquet(os.path.join(index_dir, "doclens"))
+             .map_batches(pick_dl, batch_format="pandas")
+             .to_pandas().set_index("doc_id"))
+    dl = dl_df.loc[cand, "dl"].to_numpy(np.float64)
+    grp = dl_df.loc[cand, "group"].to_numpy()
+    ug, gcode = np.unique(grp, return_inverse=True)
+    n_g = np.array([float(gstats[str(g)][0]) for g in ug], np.float64)
+    avgdl_g = np.array([float(gstats[str(g)][1]) / float(gstats[str(g)][0])
+                        for g in ug], np.float64)
+
+    scores = np.zeros(cand.size, np.float64)
+    norm = k1 * (1.0 - b + b * dl / avgdl_g[gcode])
+    for t in sorted(post):  # deterministic accumulation order
+        pos = np.searchsorted(cand, post[t])
+        tgc = gcode[pos]
+        df_t_g = np.bincount(tgc, minlength=ug.size).astype(np.float64)
+        idf_g = np.log(1.0 + (n_g - df_t_g + 0.5) / (df_t_g + 0.5))
+        tf = tfs[t].astype(np.float64)
+        scores[pos] += idf_g[tgc] * (tf * (k1 + 1.0)) / (tf + norm[pos])
+
+    order = np.lexsort((cand, -scores, gcode))
+    gs = gcode[order]
+    seg = np.r_[0, np.flatnonzero(gs[1:] != gs[:-1]) + 1]
+    seg_len = np.diff(np.r_[seg, gs.size])
+    rank = (np.arange(gs.size, dtype=np.int64)
+            - np.repeat(seg, seg_len) + 1)
+    if min_rank_margin > 0:
+        inspect = rank <= topk + 1
+        e = scores[order]
+        same_g = np.r_[gs[1:] == gs[:-1], False]
+        gaps = np.r_[e[:-1] - e[1:], 0.0]
+        bad = (inspect & same_g & np.r_[inspect[1:], False]
+               & (gaps > 0)
+               & (gaps <= min_rank_margin
+                  * np.maximum(np.abs(e), 1e-300)))
+        if bad.any():
+            raise ValueError(
+                f"bm25_search_grouped: {int(bad.sum())} adjacent "
+                f"top-k score gap(s) below min_rank_margin — rank "
+                f"comparison would be ulp-dependent; choose different "
+                f"terms/topk")
+    keep = rank <= topk
+    ko = order[keep]
+    return pd.DataFrame({
+        "group": ug[gcode[ko]],
+        "rank": rank[keep],
+        "doc_id": cand[ko],
+        "score": scores[ko]})
 
 
 def phrase_search(
