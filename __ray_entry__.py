@@ -1437,6 +1437,23 @@ def snd_clusters_sgc2(sf_dir: str):
                        refine_rounds=1)
 
 
+def snd_clusters_sgc_learned(sf_dir: str):
+    """SGC clustering with TWO learned refinement rounds (operator T8's
+    learned half, VERDICT r4 #4 — bond trains its embedder against
+    pseudo-labels each epoch, autotrain_bond.py:134-233): each round
+    fits a deterministic per-block logistic metric-learner on the
+    current components' pseudo-labeled pair features and re-closes at
+    p >= 0.5 (stages/pairs.py _fit_pair_logistic). Rows-only by design:
+    the sigmoid scores are float-path model outputs (the deterministic
+    behavior itself is pinned by the plateau-vs-rescue fixture in
+    tests/test_cluster.py::TestLearnedRefinement)."""
+    from whoiswho_ray.pipelines.snd import run_snd_sgc
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    return run_snd_sgc(records_from_documents(sf_dir, n_blocks=N_DOC_BLOCKS),
+                       learned_rounds=2)
+
+
 def _snd_clusters_sgc_oracle_sql(tau_strong: float | None = None,
                                  cfg=None, refined: bool = False) -> str:
     """SQL replay of ``make_block_sgc_clusters``: strong edges from the
@@ -2670,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snd_publications": snd_publications,
         "rnd_assign_learned": rnd_assign_learned,
         "ind_detect_learned": ind_detect_learned,
+        "snd_clusters_sgc_learned": snd_clusters_sgc_learned,
     }
 
 

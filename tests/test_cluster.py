@@ -467,3 +467,110 @@ class TestSgcClusters:
         ev = pairwise_f1_frames(clusters, tabs["ground_truth"].to_pandas())
         mean_f1 = ev.loc[ev["block_key"] == "__mean__", "f1"].iloc[0]
         assert mean_f1 >= 0.99, ev.to_string()
+
+
+class TestLearnedRefinement:
+    """Operator T8's learned half (VERDICT r4 #4): the per-block logistic
+    metric-learner trained on pseudo-labels merges what neither the
+    fixed-weight threshold nor Gram-pooling refinement can reach."""
+
+    @staticmethod
+    def _fixture():
+        """One entity A written in two 'styles' plus a distractor B.
+
+        All A records share repo tokens (t_repo=1) and 2 of 10 content
+        tokens (j_tok=0.2); tf-idf cosine is 0.5 along each style's
+        chain and EXACTLY 0 across styles, so every cos-channel path
+        (raw score 1.3 < tau_edge 1.5, SGC smoothing, centroid pooling)
+        leaves the styles split forever — while the within-style
+        non-consecutive pseudo-positive pairs carry features identical
+        to the cross-style pairs, which the learner generalizes from."""
+        import pyarrow as pa
+
+        def factor(gram):
+            vals, vecs = np.linalg.eigh(gram)
+            vals = np.clip(vals, 0.0, None)
+            return vecs * np.sqrt(vals)
+
+        g1 = np.eye(6)
+        for i in range(5):
+            g1[i, i + 1] = g1[i + 1, i] = 0.5
+        g2 = np.array([[1.0, 0.5], [0.5, 1.0]])
+        ga = np.zeros((8, 8))
+        ga[:6, :6] = g1
+        ga[6:, 6:] = g2
+        fa = factor(ga)                      # 8 unit rows, dim 8
+        fb = factor(np.full((3, 3), 0.5) + 0.5 * np.eye(3))
+
+        def row(rid, toks, repo, tfv_ids, tfv_w):
+            return {"block_key": "bk", "record_id": rid,
+                    "content_sha256": "00" * 32, "name": "x.txt",
+                    "tok_ids": np.asarray(sorted(toks), np.int64),
+                    "repo_ids": np.asarray(repo, np.int64),
+                    "ctx_ids": np.empty(0, np.int64),
+                    "tfv_ids": np.asarray(tfv_ids, np.int64),
+                    "tfv_w": np.asarray(tfv_w, np.float32)}
+
+        rows = []
+        for i in range(8):
+            rows.append(row(f"r_a{i}", [0, 1] + list(range(10 + 4 * i,
+                                                           14 + 4 * i)),
+                            [500, 501], list(range(8)), fa[i]))
+        for i in range(3):
+            rows.append(row(f"r_b{i}", [900, 901] + list(range(950 + 4 * i,
+                                                               954 + 4 * i)),
+                            [700, 701], [20, 21, 22], fb[i]))
+        truth = {f"r_a{i}": "A" for i in range(8)}
+        truth.update({f"r_b{i}": "B" for i in range(3)})
+        return pa.Table.from_pylist(rows), truth
+
+    @staticmethod
+    def _pairwise_f1(assign: dict, truth: dict) -> float:
+        import itertools
+
+        tp = fp = fn = 0
+        for a, b in itertools.combinations(sorted(truth), 2):
+            same_t = truth[a] == truth[b]
+            same_p = assign[a] == assign[b]
+            tp += same_t and same_p
+            fp += same_p and not same_t
+            fn += same_t and not same_p
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+    def test_parameter_free_plateaus_learned_reaches_f1(self):
+        from whoiswho_ray.stages.pairs import make_block_sgc_clusters
+
+        g, truth = self._fixture()
+        for rounds in (0, 2, 8):  # Gram-pooling refinement plateaus
+            out = make_block_sgc_clusters(
+                g, SNDConfig(), refine_rounds=rounds).to_pandas()
+            assign = dict(zip(out["record_id"], out["cluster_id"]))
+            assert self._pairwise_f1(assign, truth) < 0.99
+        learned = make_block_sgc_clusters(
+            g, SNDConfig(), learned_rounds=2).to_pandas()
+        assign = dict(zip(learned["record_id"], learned["cluster_id"]))
+        assert self._pairwise_f1(assign, truth) >= 0.99
+        # distractor stays its own entity
+        bs = {assign[f"r_b{i}"] for i in range(3)}
+        assert len(bs) == 1 and not bs & {assign["r_a0"]}
+
+    def test_learned_zero_rounds_is_identity(self):
+        from whoiswho_ray.stages.pairs import make_block_sgc_clusters
+
+        g, _ = self._fixture()
+        a = make_block_sgc_clusters(g, SNDConfig()).to_pandas()
+        b = make_block_sgc_clusters(g, SNDConfig(),
+                                    learned_rounds=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_learned_rounds_deterministic(self):
+        from whoiswho_ray.stages.pairs import make_block_sgc_clusters
+
+        g, _ = self._fixture()
+        a = make_block_sgc_clusters(g, SNDConfig(),
+                                    learned_rounds=2).to_pandas()
+        b = make_block_sgc_clusters(g, SNDConfig(),
+                                    learned_rounds=2).to_pandas()
+        pd.testing.assert_frame_equal(a, b)

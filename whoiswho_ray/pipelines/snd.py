@@ -205,6 +205,7 @@ def snd_sgc_cluster(
     tau_strong: float | None = None,
     idf=None,
     refine_rounds: int = 0,
+    learned_rounds: int = 0,
 ) -> "rd.Dataset":
     """Graph-smoothed clustering tail (operator T8 analog — bond's
     per-name GNN, ``autotrain_bond.py:134-233``): the fused blocking
@@ -222,7 +223,8 @@ def snd_sgc_cluster(
     def fused(g):
         w = _idf_w_cached(idf_w_ref) if idf_w_ref is not None else None
         return make_block_sgc_clusters(g, cfg, tau_strong=tau_strong, idf_w=w,
-                                       refine_rounds=refine_rounds)
+                                       refine_rounds=refine_rounds,
+                                       learned_rounds=learned_rounds)
 
     return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
         fused, batch_format="pyarrow")
@@ -233,6 +235,7 @@ def run_snd_sgc(
     cfg: SNDConfig | None = None,
     tau_strong: float | None = None,
     refine_rounds: int = 0,
+    learned_rounds: int = 0,
 ) -> "rd.Dataset":
     """records → graph-smoothed (SGC) clusters, the run_snd sibling
     (same compact/ship_weights/sha_binary shuffle encoding).
@@ -250,7 +253,8 @@ def run_snd_sgc(
     vec = vectorize(normalized, idf, cfg, keep=CLUSTER_SHUFFLE_COLUMNS,
                     compact=True, ship_weights=False, sha_binary=True)
     return snd_sgc_cluster(vec, cfg, tau_strong=tau_strong, idf=idf,
-                           refine_rounds=refine_rounds)
+                           refine_rounds=refine_rounds,
+                           learned_rounds=learned_rounds)
 
 
 def run_snd(
