@@ -285,3 +285,43 @@ class TestExtendedPinyinTable:
         assert match_name("聂磊", "lei_nie")
         assert match_name("裴秀", "xiu_pei")
         assert not match_name("聂磊", "lei_zhang")
+
+
+class TestExtendedPinyinTier:
+    """Round-5 extension tier (VERDICT r4 #8): rare-name fixtures that the
+    1,832-entry seed table could not transliterate now resolve WITHOUT
+    installing a custom table via set_pinyin_table."""
+
+    def test_rare_names_transliterate_out_of_the_box(self):
+        from whoiswho_ray.functions.names import pinyin_of
+
+        # surname / given chars from the extension tier only
+        assert pinyin_of("鄢晗") == "yanhan"
+        assert pinyin_of("裴煜") == "peiyu"
+        assert pinyin_of("阚雯") == "kanwen"
+        assert pinyin_of("骆霖") == "luolin"
+        assert pinyin_of("聂瑾") == "niejin"
+        # traditional forms of extension-tier chars
+        assert pinyin_of("聶穎") == "nieying"
+        assert pinyin_of("駱鵬") == "luopeng"
+
+    def test_rare_name_matches_its_romanization(self):
+        from whoiswho_ray.functions.names import match_name
+
+        assert match_name("鄢晗", "han_yan")
+        assert match_name("裴煜", "yu_pei")
+
+    def test_table_size_and_validity(self):
+        from whoiswho_ray.functions.cjk_data import PINYIN_SYLLABLES
+        from whoiswho_ray.functions.pinyin_data import COMMON_PINYIN
+
+        assert len(COMMON_PINYIN) >= 3000
+        assert all(v in PINYIN_SYLLABLES for v in COMMON_PINYIN.values())
+
+    def test_seed_readings_unchanged(self):
+        from whoiswho_ray.functions.names import pinyin_of
+
+        # the r4 smoke-set anchors keep their readings
+        assert pinyin_of("张晓明") == "zhangxiaoming"
+        assert pinyin_of("曾毅") == "zengyi"
+        assert pinyin_of("单田芳") == "shantianfang"
