@@ -91,7 +91,12 @@ def _merge_partials(batch: pa.Table) -> pa.Table:
 @ray.remote
 def _partial_task(*blocks: pa.Table) -> pa.Table:
     """Raw-task partial: per-block document frequencies, pre-merged."""
-    parts = [_partial_df(b.select(["tok_ids"])) for b in blocks]
+    # repartition() pads tiny inputs with 0-row blocks that carry an EMPTY
+    # schema — they hold no records, so skipping them is exact
+    parts = [_partial_df(b.select(["tok_ids"]))
+             for b in blocks if "tok_ids" in b.schema.names]
+    if not parts:
+        parts = [_partial_df(pa.table({"tok_ids": pa.array([], pa.list_(pa.int64()))}))]
     return _merge_partials(parts[0] if len(parts) == 1 else pa.concat_tables(parts))
 
 
