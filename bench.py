@@ -78,9 +78,26 @@ def bench_records_path(sf: float, seed: int = 42) -> tuple[str, int]:
                 cols[k].extend(out[k])
         return pa.table(cols)
 
-    rd.range(n_blocks).map_batches(gen, batch_size=16, batch_format="numpy").write_parquet(path)
-    with open(done, "w") as f:
+    # Write into a fresh staging dir and rename atomically: a crashed or
+    # concurrent generator must never leave a half-written (or, worse,
+    # DOUBLE-written) cache that a later run trusts — a torn cache once
+    # inflated the hot blocks with duplicate rows and quadratically
+    # distorted the headline.
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=tag + ".stage.", dir="/tmp")
+    rd.range(n_blocks).map_batches(gen, batch_size=16, batch_format="numpy").write_parquet(stage)
+    with open(os.path.join(stage, "_DONE"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(stage, path)  # atomic; loser of a race cleans up
+    except OSError:
+        if os.path.exists(done):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:  # stale torn dir from a crashed run — replace it
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(stage, path)
     return path, n_blocks
 
 
