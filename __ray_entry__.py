@@ -35,6 +35,8 @@ SHIP_CUTOFF = "1998-09-02"
 KNN_K = 5
 KNN_NQ = 10
 NGRAM_TAU = 0.5
+EDITJOIN_K = 3       # max byte-level edit distance for q_doc_editjoin
+EDITJOIN_PREFIX = 24  # codepoint prefix compared (substr(text, 1, 24))
 EMB_TAU = 0.35
 
 
@@ -553,6 +555,31 @@ def q_doc_ngram_pairs(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU)
+
+
+def q_doc_editjoin(sf_dir: str):
+    """Exact edit-distance similarity self-join (PassJoin signatures →
+    bucketed candidates → vectorized banded-DP verify) over the first
+    EDITJOIN_PREFIX characters of each document: all pairs within
+    byte-level levenshtein ≤ EDITJOIN_K. Byte-level is exactly DuckDB's
+    levenshtein(), so the oracle is exact even on non-ASCII text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.editjoin import edit_distance_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pref(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.utf8_slice_codeunits(t.column("text"), 0, EDITJOIN_PREFIX),
+        })
+
+    return edit_distance_join(
+        ds.map_batches(pref, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="doc_id", text_col="text", k=EDITJOIN_K)
 
 
 def q_doc_minhash_dedup(sf_dir: str):
@@ -2616,9 +2643,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_brand_list": q_brand_list,
         "q_quantity_histogram": q_quantity_histogram,
         "q_orders_ntile": q_orders_ntile,
-        "q_order_status_matrix": q_order_status_matrix,
+        "q_doc_editjoin": q_doc_editjoin,
         # ORACLED TAIL (past the cap): every entry has a green driver row
         # from r3/r4 and/or a tools/check_oracles.py local verification.
+        "q_order_status_matrix": q_order_status_matrix,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -3253,6 +3281,14 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey AS c_custkey FROM orders
             WHERE o_orderstatus = 'O'
+        """,
+        "q_doc_editjoin": f"""
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                   levenshtein(substr(a.text, 1, {EDITJOIN_PREFIX}),
+                               substr(b.text, 1, {EDITJOIN_PREFIX})) AS dist
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE levenshtein(substr(a.text, 1, {EDITJOIN_PREFIX}),
+                              substr(b.text, 1, {EDITJOIN_PREFIX})) <= {EDITJOIN_K}
         """,
         "q_events_mode": """
             SELECT user_id, event_type AS mode_event FROM (

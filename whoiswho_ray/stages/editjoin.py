@@ -1,0 +1,276 @@
+"""Exact edit-distance (Levenshtein) similarity self-join.
+
+The classic entity-resolution fuzzy join the reference's name-matching
+cascade approximates with hand rules (``/root/reference/whoiswho/utils/
+match_name.py`` tolerates token-level typos; this operator gives the exact
+character-level contract): all pairs with ``levenshtein(a, b) <= k``.
+
+Scale shape — PassJoin partition signatures (Li, Deng & Feng, "PASS-JOIN:
+a partition-based method for similarity joins", PVLDB 5(3), 2011; see
+PAPERS.md):
+
+* every string of length ``l`` is **indexed** under its ``k+1`` even
+  segments (pigeonhole: ≤ k edits leave at least one of k+1 segments
+  untouched, and an untouched segment survives as an exact substring of
+  the partner);
+* every string of length ``m`` **probes** for each candidate partner
+  length ``l ∈ [m-k, m]`` (shorter side indexed, halving candidate
+  volume) the substrings that could be that partner's i-th segment —
+  start shift ``d = q - p_i`` restricted to the exact alignment window
+  ``|d| + |(m-l) - d| <= k`` (the prefix needs ≥ |d| edits and the suffix
+  ≥ |(m-l)-d|);
+* signature buckets (hash-bucketed groupby, many signatures per Ray task)
+  cross index × probe members into candidate pairs, duplicates collapse
+  in the global pair dedup, and the fused attach/verify shuffle
+  (`dedup._verify_candidates_fused`) runs a **vectorized banded DP**
+  over all candidate pairs at once — the inner minimum over the left
+  dependency is closed with a running ``min(v[j'] + (j-j'))`` via
+  ``np.minimum.accumulate``, so the DP is O(max_len) Python steps per
+  batch regardless of pair count.
+
+Distance semantics are **byte-level** over the UTF-8 encoding — exactly
+DuckDB's ``levenshtein()`` (which counts byte edits: café→cafe = 2), so
+the operator is exactly SQL-oracled even on non-ASCII input. Strings must
+be non-null.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _seg_bounds(l: int, k: int) -> list[tuple[int, int]]:
+    """(start, width) of the k+1 even segments of an l-byte string.
+
+    Convention: the first ``k+1-rem`` segments get ``l // (k+1)`` bytes,
+    the last ``rem`` get one extra (any fixed convention works as long as
+    index and probe agree). Widths may be 0 for l < k+1 — an empty
+    segment matches trivially, which keeps the pigeonhole exact for
+    short strings."""
+    base, rem = divmod(l, k + 1)
+    out = []
+    p = 0
+    for i in range(k + 1):
+        w = base + (1 if i >= (k + 1 - rem) else 0)
+        out.append((p, w))
+        p += w
+    return out
+
+
+def _probe_shifts(D: int, k: int) -> list[int]:
+    """Valid start shifts d = q - p_i for a probe of length m against an
+    indexed length l = m - D: |d| + |D - d| <= k (exact alignment
+    window — prefix edits >= |d|, suffix edits >= |D - d|)."""
+    return [d for d in range(-k, k + 1) if abs(d) + abs(D - d) <= k]
+
+
+def _as_binary(col) -> pa.Array:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    elif pa.types.is_large_binary(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    if arr.null_count:
+        raise ValueError("edit_distance_join requires non-null strings")
+    return arr
+
+
+def _byte_matrix(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (rows × max_len) uint8 matrix + per-row byte lengths
+    from a binary array — no per-row Python."""
+    arr = _as_binary(arr)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), np.uint8), np.zeros(0, np.int64)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    starts, lens = offsets[:-1], np.diff(offsets)
+    L = int(lens.max()) if n else 0
+    if L == 0 or data.size == 0:
+        return np.zeros((n, 0), np.uint8), lens
+    idx = starts[:, None] + np.arange(L, dtype=np.int64)[None, :]
+    np.minimum(idx, data.size - 1, out=idx)  # pad region reads are masked by lens
+    return data[idx], lens
+
+
+def levenshtein_batch(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Byte-level Levenshtein for P pairs at once. A: (P, La), B: (P, Lb)
+    uint8; la/lb true lengths. O(La) Python iterations, each fully
+    vectorized over pairs × positions (left dependency closed by the
+    ``min_{j'<=j}(v[j'] + (j-j'))`` accumulate identity)."""
+    P = A.shape[0]
+    Lb = B.shape[1]
+    jr = np.arange(Lb + 1, dtype=np.int32)
+    dp = np.repeat(jr[None, :], P, axis=0)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    for i in range(1, A.shape[1] + 1):
+        active = la >= i
+        if not active.any():
+            break
+        neq = (A[:, i - 1:i] != B).astype(np.int32)
+        full = np.empty((P, Lb + 1), np.int32)
+        full[:, 0] = i
+        if Lb:
+            np.minimum(dp[:, 1:] + 1, dp[:, :-1] + neq, out=full[:, 1:])
+        tmp = full - jr
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        tmp += jr
+        dp[active] = tmp[active]
+    return dp[np.arange(P), lb].astype(np.int64)
+
+
+def _signatures(t: pa.Table, key_col: str, text_col: str, k: int) -> pa.Table:
+    """Per-batch signature emission, vectorized per (length, combo): all
+    rows of one byte length share fixed slice offsets, so each (l, i[, d])
+    combination is ONE Arrow binary_slice over the length-subset — no
+    per-row Python in the loop body."""
+    bin_arr = _as_binary(t.column(text_col))
+    keys = t.column(key_col).combine_chunks() if isinstance(t.column(key_col), pa.ChunkedArray) else t.column(key_col)
+    lens = pc.binary_length(bin_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    sigs: list[pa.Array] = []
+    out_keys: list[pa.Array] = []
+    sides: list[np.ndarray] = []
+    for m in np.unique(lens):
+        m = int(m)
+        sel = np.flatnonzero(lens == m)
+        idx = pa.array(sel, pa.int64())
+        sub_bin = bin_arr.take(idx)
+        sub_keys = keys.take(idx)
+        nsub = len(sel)
+        # index side: my own k+1 segments under my own length
+        for i, (p, w) in enumerate(_seg_bounds(m, k)):
+            seg = pc.binary_slice(sub_bin, p, p + w) if w else pc.binary_slice(sub_bin, 0, 0)
+            sig = pc.binary_join_element_wise(
+                pa.scalar(f"{m}|{i}|".encode(), pa.binary()), seg, pa.scalar(b"", pa.binary()))
+            sigs.append(sig)
+            out_keys.append(sub_keys)
+            sides.append(np.zeros(nsub, np.int8))
+        # probe side: substrings that could be segment i of a SHORTER
+        # (or equal) partner of length l = m - D
+        for D in range(0, k + 1):
+            l = m - D
+            if l < 0:
+                continue
+            shifts = _probe_shifts(D, k)
+            for i, (p, w) in enumerate(_seg_bounds(l, k)):
+                if w == 0:
+                    # empty segment matches at any position — one signature
+                    sig = pc.binary_join_element_wise(
+                        pa.scalar(f"{l}|{i}|".encode(), pa.binary()),
+                        pc.binary_slice(sub_bin, 0, 0), pa.scalar(b"", pa.binary()))
+                    sigs.append(sig)
+                    out_keys.append(sub_keys)
+                    sides.append(np.ones(nsub, np.int8))
+                    continue
+                starts = sorted({p + d for d in shifts if 0 <= p + d <= m - w})
+                for q in starts:
+                    sub = pc.binary_slice(sub_bin, q, q + w)
+                    sig = pc.binary_join_element_wise(
+                        pa.scalar(f"{l}|{i}|".encode(), pa.binary()), sub,
+                        pa.scalar(b"", pa.binary()))
+                    sigs.append(sig)
+                    out_keys.append(sub_keys)
+                    sides.append(np.ones(nsub, np.int8))
+    if not sigs:
+        return pa.table({"sig": pa.array([], pa.binary()),
+                         "key": pa.array([], keys.type),
+                         "side": pa.array([], pa.int8())})
+    return pa.table({
+        "sig": pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s for s in sigs]),
+        "key": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_keys]),
+        "side": pa.array(np.concatenate(sides)),
+    })
+
+
+def edit_distance_join(
+    ds: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """All pairs (key_a < key_b, dist) with byte-level
+    ``levenshtein(text_a, text_b) <= k``. Exact (PassJoin pigeonhole
+    recall + exact DP verify). Output is inherently quadratic on
+    degenerate near-identical corpora — as with the similarity joins,
+    that is the answer's size, not the algorithm's overhead."""
+    from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
+    from whoiswho_ray.stages.dedup import _global_dedup_pairs, _verify_candidates_fused
+
+    nb = num_buckets or _cc_num_buckets()
+    side = ds.map_batches(
+        lambda t: pa.table({key_col: t.column(key_col),
+                            "s": _as_binary(t.column(text_col))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    sigs = ds.map_batches(
+        lambda t: _signatures(t, key_col, text_col, k),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["sig", "key", "side"]).sort_values(
+            ["sig", "side", "key"], kind="stable")
+        sg = df["sig"].to_numpy()
+        sd = df["side"].to_numpy()
+        ky = df["key"].to_numpy()
+        empty = pd.DataFrame({"key_a": np.empty(0, ky.dtype),
+                              "key_b": np.empty(0, ky.dtype)})
+        if sg.size == 0:
+            return empty
+        bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1], True])
+        starts, ends = bounds[:-1], bounds[1:]
+        # per segment: index members (side 0) sorted first, probes after
+        n0 = np.add.reduceat((sd == 0).astype(np.int64), starts)
+        n1 = (ends - starts) - n0
+        cnt = n0 * n1
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        ss, e0, c0, c1 = starts[keep], n0[keep], n0[keep], n1[keep]
+        tot = cnt[keep]
+        off = np.zeros(tot.size + 1, np.int64)
+        np.cumsum(tot, out=off[1:])
+        tpos = np.arange(int(off[-1]), dtype=np.int64)
+        gi = np.searchsorted(off, tpos, side="right") - 1
+        local = tpos - off[gi]
+        ii = local // c1[gi]                    # index member offset
+        jj = local % c1[gi]                     # probe member offset
+        a = ky[ss[gi] + ii]
+        b = ky[ss[gi] + e0[gi] + jj]
+        ne = a != b
+        a, b = a[ne], b[ne]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"key_a": lo, "key_b": hi}).drop_duplicates()
+
+    cand = _bucket_by(sigs, "sig", nb).groupby("__bucket").map_groups(
+        pair_kernel, batch_format="pandas")
+    cand = _global_dedup_pairs(cand, nb)
+
+    def verify(ka: pa.Array, kb: pa.Array, va: pa.Array, vb: pa.Array) -> pa.Table:
+        A, la = _byte_matrix(va)
+        B, lb = _byte_matrix(vb)
+        pre = np.abs(la - lb) <= k
+        sel = np.flatnonzero(pre)
+        dist = np.full(len(la), k + 1, np.int64)
+        if sel.size:
+            dist[sel] = levenshtein_batch(A[sel], la[sel], B[sel], lb[sel])
+        ok = dist <= k
+        mask = pa.array(ok)
+        return pa.table({
+            "key_a": (ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka).filter(mask),
+            "key_b": (kb.combine_chunks() if isinstance(kb, pa.ChunkedArray) else kb).filter(mask),
+            "dist": pa.array(dist[ok], pa.int64()),
+        })
+
+    return _verify_candidates_fused(cand, side, key_col, "s", verify, nb)
