@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q_orders_ntile",
     "q_lineitem_melt",
     "q_orders_price_band",
+    "q_doc_editjoin",
     "rnd_assign",
     "ind_detect",
 ]
