@@ -1901,6 +1901,16 @@ def q_events_moving_sum(sf_dir: str):
     return moving_sum(ds, window=3)
 
 
+def q_events_pct_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user partition ordered by value —
+    tie-aware, so values are well-defined without a tie-break column."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import rank_stats_grouped
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return rank_stats_grouped(ds, "user_id", "value")
+
+
 def q_events_quantile_sketch(sf_dir: str):
     """APPROXIMATE quantiles via a deterministic bottom-k uniform sample
     (m=4096 smallest md5 digests) — zero shuffles vs exact_quantiles' full
@@ -2647,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ORACLED TAIL (past the cap): every entry has a green driver row
         # from r3/r4 and/or a tools/check_oracles.py local verification.
         "q_order_status_matrix": q_order_status_matrix,
+        "q_events_pct_rank": q_events_pct_rank,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -3904,6 +3915,14 @@ def oracle_sql() -> dict[str, str]:
                         THEN (cum_before + n_tokens - 1) // 2048
                         ELSE cum_before // 2048 END AS BIGINT) AS pack_id_last
             FROM c
+        """,
+        "q_events_pct_rank": """
+            SELECT event_id, user_id, value,
+                   percent_rank() OVER (
+                       PARTITION BY user_id ORDER BY value) AS pct_rank,
+                   cume_dist() OVER (
+                       PARTITION BY user_id ORDER BY value) AS cume_dist
+            FROM events
         """,
         "q_events_lag_delta": """
             WITH x AS (

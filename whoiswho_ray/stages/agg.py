@@ -863,6 +863,59 @@ def dense_rank_grouped(
                        whole_bucket=True)
 
 
+def rank_stats_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    ascending: bool = True,
+) -> "ray.data.Dataset":
+    """``PERCENT_RANK()`` and ``CUME_DIST() OVER (PARTITION BY key ORDER
+    BY order_col)`` in one pass: pct_rank = (rank-1)/(n-1) (0 for a
+    1-row partition), cume_dist = (last-peer position)/n. Both are
+    tie-aware, so the output values are well-defined without a unique
+    tie-break column.
+
+    Scale shape: one hash-bucket shuffle on the key (:func:`group_apply`
+    whole-bucket mode), then one vectorized pass per bucket — sort,
+    NULL-stable boundary masks, forward/backward ``maximum.accumulate``
+    for first-peer / last-peer / group-end positions. No per-key loop.
+    """
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="stable",
+                          ascending=[True, ascending]).reset_index(drop=True)
+        if not len(g):
+            g["pct_rank"] = pd.Series([], dtype=np.float64)
+            g["cume_dist"] = pd.Series([], dtype=np.float64)
+            return g
+        k, kp = g[key], g[key].shift()
+        v, vp = g[order_col], g[order_col].shift()
+        new_key = ~(k.eq(kp) | (k.isna() & kp.isna())).to_numpy()
+        new_val = ~(v.eq(vp) | (v.isna() & vp.isna())).to_numpy()
+        new_key[0] = new_val[0] = True
+        tie_start = new_key | new_val
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        gs = np.maximum.accumulate(np.where(new_key, pos, 0))
+        first_peer = np.maximum.accumulate(np.where(tie_start, pos, 0))
+        # last row of the group / of the tie-run: reversed accumulate over
+        # the NEXT-row boundary mask
+        nxt_key = np.r_[new_key[1:], True]
+        nxt_tie = np.r_[tie_start[1:], True]
+        ge = n - 1 - np.flip(np.maximum.accumulate(
+            np.flip(np.where(nxt_key, n - 1 - pos, 0))))
+        last_peer = n - 1 - np.flip(np.maximum.accumulate(
+            np.flip(np.where(nxt_tie, n - 1 - pos, 0))))
+        size = (ge - gs + 1).astype(np.float64)
+        rank = (first_peer - gs + 1).astype(np.float64)
+        g = g.copy()
+        g["pct_rank"] = np.where(size > 1, (rank - 1.0) / np.maximum(size - 1.0, 1.0), 0.0)
+        g["cume_dist"] = (last_peer - gs + 1).astype(np.float64) / size
+        return g
+
+    return group_apply(ds, key, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
 def pivot(
     ds: "ray.data.Dataset",
     index: str,
