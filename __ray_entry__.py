@@ -582,6 +582,30 @@ def q_doc_editjoin(sf_dir: str):
         key_col="doc_id", text_col="text", k=EDITJOIN_K)
 
 
+def q_doc_editjoin_lang(sf_dir: str):
+    """Grouped (per-language) edit-distance join: the group value is
+    folded into every PassJoin signature, so cross-language strings never
+    share a bucket — zero shuffles beyond the ungrouped operator's."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.editjoin import edit_distance_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pref(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "text": pc.utf8_slice_codeunits(t.column("text"), 0, 32),
+        })
+
+    return edit_distance_join(
+        ds.map_batches(pref, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="doc_id", text_col="text", k=4, group_col="lang")
+
+
 def q_doc_minhash_dedup(sf_dir: str):
     """Approximate (LSH recall); rows-only check by design."""
     from whoiswho_ray.sources.tables import read_table
@@ -2658,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from r3/r4 and/or a tools/check_oracles.py local verification.
         "q_order_status_matrix": q_order_status_matrix,
         "q_events_pct_rank": q_events_pct_rank,
+        "q_doc_editjoin_lang": q_doc_editjoin_lang,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -3300,6 +3325,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b ON a.doc_id < b.doc_id
             WHERE levenshtein(substr(a.text, 1, {EDITJOIN_PREFIX}),
                               substr(b.text, 1, {EDITJOIN_PREFIX})) <= {EDITJOIN_K}
+        """,
+        "q_doc_editjoin_lang": """
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                   levenshtein(substr(a.text, 1, 32),
+                               substr(b.text, 1, 32)) AS dist
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.lang = b.lang
+            WHERE levenshtein(substr(a.text, 1, 32),
+                              substr(b.text, 1, 32)) <= 4
         """,
         "q_events_mode": """
             SELECT user_id, event_type AS mode_event FROM (

@@ -126,6 +126,21 @@ class TestEditJoinE2E:
         assert (0, 1, 3) in got and (0, 2, 3) in got
         assert not any(a == 3 or b == 3 for a, b, _ in got)
 
+    def test_grouped_join(self):
+        rng = random.Random(5)
+        strs = {i: bytes(rng.choices(b"ab", k=rng.randint(0, 8))) for i in range(60)}
+        grp = {i: ["de", "fr", "ja"][i % 3] for i in strs}
+        t = pa.table({"doc_id": pa.array(sorted(strs), pa.int64()),
+                      "text": pa.array([strs[i] for i in sorted(strs)], pa.binary()),
+                      "lang": pa.array([grp[i] for i in sorted(strs)])})
+        out = edit_distance_join(rd.from_arrow(t), key_col="doc_id",
+                                 text_col="text", k=2, group_col="lang")
+        df = out.to_pandas()
+        got = set(zip(df["key_a"].astype(int), df["key_b"].astype(int),
+                      df["dist"].astype(int)))
+        exp = {(a, b, d) for (a, b, d) in brute_join(strs, 2) if grp[a] == grp[b]}
+        assert got == exp
+
     def test_string_column_and_prefixes(self):
         # string (not binary) input column; shared 20-byte prefix with a
         # 1-byte tail edit — the hot-signature regime

@@ -129,13 +129,21 @@ def levenshtein_batch(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarr
     return dp[np.arange(P), lb].astype(np.int64)
 
 
-def _signatures(t: pa.Table, key_col: str, text_col: str, k: int) -> pa.Table:
+def _signatures(t: pa.Table, key_col: str, text_col: str, k: int,
+                group_col: str | None = None) -> pa.Table:
     """Per-batch signature emission, vectorized per (length, combo): all
     rows of one byte length share fixed slice offsets, so each (l, i[, d])
     combination is ONE Arrow binary_slice over the length-subset — no
-    per-row Python in the loop body."""
+    per-row Python in the loop body. With ``group_col`` the group value
+    is prepended elementwise into each signature, so only same-group
+    strings ever share a bucket (group values must not contain '|')."""
     bin_arr = _as_binary(t.column(text_col))
     keys = t.column(key_col).combine_chunks() if isinstance(t.column(key_col), pa.ChunkedArray) else t.column(key_col)
+    groups = None
+    if group_col is not None:
+        g = t.column(group_col)
+        groups = pc.cast(g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g,
+                         pa.binary())
     lens = pc.binary_length(bin_arr).to_numpy(zero_copy_only=False).astype(np.int64)
     sigs: list[pa.Array] = []
     out_keys: list[pa.Array] = []
@@ -146,6 +154,8 @@ def _signatures(t: pa.Table, key_col: str, text_col: str, k: int) -> pa.Table:
         idx = pa.array(sel, pa.int64())
         sub_bin = bin_arr.take(idx)
         sub_keys = keys.take(idx)
+        sub_groups = groups.take(idx) if groups is not None else None
+        n_before = len(sigs)
         nsub = len(sel)
         # index side: my own k+1 segments under my own length
         for i, (p, w) in enumerate(_seg_bounds(m, k)):
@@ -181,6 +191,11 @@ def _signatures(t: pa.Table, key_col: str, text_col: str, k: int) -> pa.Table:
                     sigs.append(sig)
                     out_keys.append(sub_keys)
                     sides.append(np.ones(nsub, np.int8))
+        if sub_groups is not None:
+            # group-scoped buckets: prepend the group value elementwise
+            for x in range(n_before, len(sigs)):
+                sigs[x] = pc.binary_join_element_wise(
+                    sub_groups, sigs[x], pa.scalar(b"|", pa.binary()))
     if not sigs:
         return pa.table({"sig": pa.array([], pa.binary()),
                          "key": pa.array([], keys.type),
@@ -198,12 +213,16 @@ def edit_distance_join(
     text_col: str = "text",
     k: int = 3,
     num_buckets: int | None = None,
+    group_col: str | None = None,
 ) -> "ray.data.Dataset":
     """All pairs (key_a < key_b, dist) with byte-level
     ``levenshtein(text_a, text_b) <= k``. Exact (PassJoin pigeonhole
-    recall + exact DP verify). Output is inherently quadratic on
-    degenerate near-identical corpora — as with the similarity joins,
-    that is the answer's size, not the algorithm's overhead."""
+    recall + exact DP verify). With ``group_col``, only same-group pairs
+    join (the group value is folded into every signature, so cross-group
+    strings never meet — zero extra shuffles). Output is inherently
+    quadratic on degenerate near-identical corpora — as with the
+    similarity joins, that is the answer's size, not the algorithm's
+    overhead."""
     from whoiswho_ray.stages.cluster import _bucket_by, _cc_num_buckets
     from whoiswho_ray.stages.dedup import _global_dedup_pairs, _verify_candidates_fused
 
@@ -214,7 +233,7 @@ def edit_distance_join(
         batch_format="pyarrow", zero_copy_batch=True)
 
     sigs = ds.map_batches(
-        lambda t: _signatures(t, key_col, text_col, k),
+        lambda t: _signatures(t, key_col, text_col, k, group_col),
         batch_format="pyarrow", zero_copy_batch=True)
 
     def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
