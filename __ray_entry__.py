@@ -606,6 +606,29 @@ def q_doc_editjoin_lang(sf_dir: str):
         key_col="doc_id", text_col="text", k=4, group_col="lang")
 
 
+def q_doc_edit_dedup(sf_dir: str):
+    """Typo-tolerant dedup clusters: connected components of the exact
+    edit-distance graph (prefix 24, k=3), labeled by component-min
+    doc_id. Oracled by a recursive-CTE min-label closure."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.editjoin import edit_distance_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pref(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.utf8_slice_codeunits(t.column("text"), 0, EDITJOIN_PREFIX),
+        })
+
+    return edit_distance_dedup(
+        ds.map_batches(pref, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="doc_id", text_col="text", k=EDITJOIN_K)
+
+
 def q_doc_minhash_dedup(sf_dir: str):
     """Approximate (LSH recall); rows-only check by design."""
     from whoiswho_ray.sources.tables import read_table
@@ -2683,6 +2706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_status_matrix": q_order_status_matrix,
         "q_events_pct_rank": q_events_pct_rank,
         "q_doc_editjoin_lang": q_doc_editjoin_lang,
+        "q_doc_edit_dedup": q_doc_edit_dedup,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -3325,6 +3349,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b ON a.doc_id < b.doc_id
             WHERE levenshtein(substr(a.text, 1, {EDITJOIN_PREFIX}),
                               substr(b.text, 1, {EDITJOIN_PREFIX})) <= {EDITJOIN_K}
+        """,
+        "q_doc_edit_dedup": f"""
+            WITH RECURSIVE
+            pref AS (
+                SELECT doc_id, substr(text, 1, {EDITJOIN_PREFIX}) AS s
+                FROM documents
+            ),
+            e AS (
+                SELECT a.doc_id AS ka, b.doc_id AS kb
+                FROM pref a JOIN pref b ON a.doc_id < b.doc_id
+                WHERE levenshtein(a.s, b.s) <= {EDITJOIN_K}
+            ),
+            ee AS (SELECT ka AS u, kb AS v FROM e
+                   UNION ALL SELECT kb, ka FROM e),
+            -- min-label closure: a label l spreads along any path whose
+            -- nodes all exceed l; the component minimum reaches every node
+            walk AS (
+                SELECT doc_id AS node, doc_id AS lbl FROM pref
+                UNION
+                SELECT ee.v AS node, walk.lbl
+                FROM walk JOIN ee ON ee.u = walk.node
+                WHERE walk.lbl < ee.v
+            )
+            SELECT node AS doc_id, min(lbl) AS dup_group
+            FROM walk GROUP BY node
         """,
         "q_doc_editjoin_lang": """
             SELECT a.doc_id AS key_a, b.doc_id AS key_b,

@@ -141,6 +141,19 @@ class TestEditJoinE2E:
         exp = {(a, b, d) for (a, b, d) in brute_join(strs, 2) if grp[a] == grp[b]}
         assert got == exp
 
+    def test_edit_dedup_components(self):
+        from whoiswho_ray.stages.editjoin import edit_distance_dedup
+
+        # chain a-b-c (each within 1 edit), isolate d, pair e-f
+        strs = {10: b"hello", 11: b"hellq", 12: b"hellqx",
+                13: b"zzzzzzzzzz", 14: b"world", 15: b"worlds"}
+        t = pa.table({"doc_id": pa.array(sorted(strs), pa.int64()),
+                      "text": pa.array([strs[i] for i in sorted(strs)], pa.binary())})
+        out = edit_distance_dedup(rd.from_arrow(t), key_col="doc_id",
+                                  text_col="text", k=1).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int), out["dup_group"].astype(int)))
+        assert got == {10: 10, 11: 10, 12: 10, 13: 13, 14: 14, 15: 14}
+
     def test_string_column_and_prefixes(self):
         # string (not binary) input column; shared 20-byte prefix with a
         # 1-byte tail edit — the hot-signature regime

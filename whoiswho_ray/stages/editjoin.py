@@ -293,3 +293,23 @@ def edit_distance_join(
         })
 
     return _verify_candidates_fused(cand, side, key_col, "s", verify, nb)
+
+
+def edit_distance_dedup(
+    ds: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    group_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Fuzzy (typo-tolerant) dedup: connected components of the
+    edit-distance graph. One (key_col, dup_group) row per input row,
+    dup_group = the component's minimum key (isolates label themselves).
+    Exact — the edge set is the exact PassJoin join, and the component
+    labels come from the same output-bounded union-find / star-contraction
+    machinery as the LSH dedups (`dedup._labels_with_isolates`)."""
+    from whoiswho_ray.stages.dedup import _labels_with_isolates
+
+    edges = edit_distance_join(ds, key_col=key_col, text_col=text_col,
+                               k=k, group_col=group_col)
+    return _labels_with_isolates(ds, edges, key_col)
