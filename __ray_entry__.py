@@ -1958,6 +1958,35 @@ def q_events_pct_rank(sf_dir: str):
     return rank_stats_grouped(ds, "user_id", "value")
 
 
+def q_events_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) per user partition under
+    the engine-wide (ts, event_id) total order, collapsed to one row per
+    user — one key-bucket shuffle, one whole-bucket lexsort + segment
+    start/end/start+1 gather (stages/windows.py first_last_grouped)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import first_last_grouped
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    r = first_last_grouped(ev, "user_id", ["ts", "event_id"],
+                           "event_type", nth=2)
+    return r.select_columns(["user_id", "n_rows", "first_event_type",
+                             "last_event_type", "nth2_event_type"])
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their first Monday-
+    aligned activity week, distinct-user counts at each week offset —
+    pure integer epoch-microsecond math in both engines
+    (stages/windows.py cohort_retention: one user-bucket shuffle emitting
+    disjoint partial counts, tiny grouped-sum finish)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import cohort_retention
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts", period_days=7)
+
+
 def q_events_quantile_sketch(sf_dir: str):
     """APPROXIMATE quantiles via a deterministic bottom-k uniform sample
     (m=4096 smallest md5 digests) — zero shuffles vs exact_quantiles' full
@@ -2668,6 +2697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_in_ship_window": q_orders_in_ship_window,
         "q_orders_overlap_windows": q_orders_overlap_windows,
         "q_doc_bm25_lang": q_doc_bm25_lang,
+        "q_events_first_last": q_events_first_last,
+        "q_events_retention": q_events_retention,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -3998,6 +4029,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN (cum_before + n_tokens - 1) // 2048
                         ELSE cum_before // 2048 END AS BIGINT) AS pack_id_last
             FROM c
+        """,
+        "q_events_first_last": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id, CAST(max(n) AS BIGINT) AS n_rows,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
+                   max(CASE WHEN rn = n THEN event_type END) AS last_event_type,
+                   max(CASE WHEN rn = 2 THEN event_type END) AS nth2_event_type
+            FROM r GROUP BY user_id
+        """,
+        "q_events_retention": """
+            WITH per AS (
+                SELECT user_id,
+                       (epoch_us(ts) - 345600000000) // 604800000000 AS p
+                FROM events),
+            coh AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY 1)
+            SELECT c.cohort AS cohort_period,
+                   per.p - c.cohort AS period_offset,
+                   count(DISTINCT per.user_id) AS n_users
+            FROM per JOIN coh c USING (user_id)
+            GROUP BY 1, 2
         """,
         "q_events_pct_rank": """
             SELECT event_id, user_id, value,

@@ -351,3 +351,135 @@ def funnel(
 
     return group_apply(ds, user_col, kernel, batch_format="pandas",
                        whole_bucket=True)
+
+
+def first_last_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    nth: int | None = None,
+) -> "ray.data.Dataset":
+    """``FIRST_VALUE`` / ``LAST_VALUE`` (and optionally ``NTH_VALUE``) of
+    ``value_col`` per ``key`` partition ordered by ``order_cols`` —
+    collapsed to one row per key: ``(key, n_rows, first_<v>, last_<v>
+    [, nth<k>_<v>])``. ``nth`` counts from 1; a partition shorter than
+    ``nth`` yields NULL, matching SQL's ``max(CASE WHEN rn = k ...)``.
+
+    ``order_cols`` must totally order rows within a key (include a
+    unique tie-break) or first/last at tied positions are
+    partition-dependent — same contract as
+    :func:`grouped_running_sum`.
+
+    Scale shape: one key-hash bucket shuffle
+    (:func:`whoiswho_ray.stages.agg.group_apply` whole-bucket mode),
+    then one vectorized pass per bucket — sort by (key, order), NULL-
+    stable key-boundary mask, gather at segment start / end / start+k.
+    No per-key Python.
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    if nth is not None and nth < 1:
+        raise ValueError("nth counts from 1")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols,
+                          kind="stable").reset_index(drop=True)
+        cols = {key: g[key].iloc[0:0], "n_rows": pd.Series([], dtype=np.int64),
+                f"first_{value_col}": g[value_col].iloc[0:0],
+                f"last_{value_col}": g[value_col].iloc[0:0]}
+        if nth is not None:
+            cols[f"nth{nth}_{value_col}"] = g[value_col].iloc[0:0]
+        if not len(g):
+            return pd.DataFrame(cols)
+        k, kp = g[key], g[key].shift()
+        new_key = ~(k.eq(kp) | (k.isna() & kp.isna())).to_numpy()
+        new_key[0] = True
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], len(g)] - 1
+        v = g[value_col]
+        out = pd.DataFrame({
+            key: g[key].iloc[starts].to_numpy(),
+            "n_rows": (ends - starts + 1).astype(np.int64),
+            f"first_{value_col}": v.iloc[starts].to_numpy(),
+            f"last_{value_col}": v.iloc[ends].to_numpy(),
+        })
+        if nth is not None:
+            pos = starts + (nth - 1)
+            ok = pos <= ends
+            nv = v.iloc[np.where(ok, pos, starts)].to_numpy(dtype=object)
+            nv[~ok] = None
+            out[f"nth{nth}_{value_col}"] = nv
+        return out
+
+    return group_apply(ds, key, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> "ray.data.Dataset":
+    """Cohort retention matrix: cohort = each user's FIRST activity
+    period (Monday-aligned week index when ``period_days=7``), cell
+    ``(cohort, offset)`` = how many of that cohort's users were active
+    ``offset`` periods after their first one. Returns
+    ``(cohort_period, period_offset, n_users)`` — all int64, exact.
+
+    Period index is pure integer math on epoch microseconds (day 4 =
+    1970-01-05, the first Monday, anchors weeks to DuckDB's
+    ``date_trunc('week')`` convention), so the SQL replay has no float
+    or timezone drift.
+
+    Scale shape: one user-hash bucket shuffle; per bucket one
+    vectorized pass (sort by (user, period), boundary masks propagate
+    each user's first period forward, consecutive-dup mask keeps one
+    row per (user, offset)) emitting bucket-partial ``(cohort, offset,
+    n)`` counts — users are bucket-partitioned so partials are
+    disjoint and the final combine is a tiny grouped sum.
+    """
+    from whoiswho_ray.stages.agg import group_apply, grouped_agg
+
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    period_us = np.int64(period_days) * 86_400_000_000
+    anchor_us = np.int64(4) * 86_400_000_000  # 1970-01-05, first Monday
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "cohort_period": pd.Series([], dtype=np.int64),
+                "period_offset": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64),
+            })
+        us = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        period = (us - anchor_us) // period_us
+        s = pd.DataFrame({"u": g[user_col].to_numpy(), "p": period})
+        s = s.sort_values(["u", "p"], kind="stable").reset_index(drop=True)
+        u, up = s["u"], s["u"].shift()
+        new_user = ~(u.eq(up) | (u.isna() & up.isna())).to_numpy()
+        new_user[0] = True
+        p = s["p"].to_numpy()
+        pos = np.arange(len(s), dtype=np.int64)
+        start_idx = np.maximum.accumulate(np.where(new_user, pos, 0))
+        cohort = p[start_idx]
+        offset = p - cohort
+        # one row per (user, offset): offsets are sorted within a user,
+        # so consecutive-dup masking is exact
+        keep = new_user | (offset != np.r_[np.int64(0), offset[:-1]])
+        part = pd.DataFrame({"cohort_period": cohort[keep],
+                             "period_offset": offset[keep]})
+        part = part.groupby(["cohort_period", "period_offset"],
+                            as_index=False).size()
+        return pd.DataFrame({
+            "cohort_period": part["cohort_period"].to_numpy(np.int64),
+            "period_offset": part["period_offset"].to_numpy(np.int64),
+            "n_users": part["size"].to_numpy(np.int64),
+        })
+
+    partials = group_apply(ds, user_col, kernel, batch_format="pandas",
+                           whole_bucket=True)
+    return grouped_agg(partials, ["cohort_period", "period_offset"],
+                       {"n_users": ("n_users", "sum")})
