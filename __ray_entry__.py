@@ -2557,6 +2557,21 @@ def q_customer_best_order(sf_dir: str):
                                ["o_orderkey"], mode="max")
 
 
+def q_orders_pareto(sf_dir: str):
+    """2-D skyline / Pareto front — the NOT-EXISTS inequality
+    self-anti-join: orders no other order beats on BOTH (higher price,
+    earlier date). Per-block vectorized local fronts (sort + prefix
+    max), one final task over the tiny candidate union
+    (stages/joins.py skyline_2d); values only compared, never computed
+    on."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import skyline_2d
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline_2d(orders, "o_totalprice", "o_orderdate")
+
+
 def q_orders_price_band(sf_dir: str):
     """Band join (|x_l − x_r| ≤ δ row pairs): orders whose totals are
     within 100 cents of each other — grid-cell partitioning with
@@ -2699,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25_lang": q_doc_bm25_lang,
         "q_events_first_last": q_events_first_last,
         "q_events_retention": q_events_retention,
+        "q_orders_pareto": q_orders_pareto,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -4054,6 +4070,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT per.user_id) AS n_users
             FROM per JOIN coh c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "q_orders_pareto": """
+            SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_totalprice >= o1.o_totalprice
+                  AND o2.o_orderdate <= o1.o_orderdate
+                  AND (o2.o_totalprice > o1.o_totalprice
+                       OR o2.o_orderdate < o1.o_orderdate))
         """,
         "q_events_pct_rank": """
             SELECT event_id, user_id, value,

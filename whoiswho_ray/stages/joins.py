@@ -849,3 +849,59 @@ def bloom_semi_join(
     survivors = large.map_batches(BloomFilt, batch_format="pandas",
                                   batch_size=8192, concurrency=(1, 4))
     return shuffle_semi_join(survivors, keys, on, num_buckets=num_buckets)
+
+
+def skyline_2d(
+    ds: "ray.data.Dataset",
+    max_col: str,
+    min_col: str,
+) -> "ray.data.Dataset":
+    """2-D skyline (Pareto front): rows NOT dominated by any other row,
+    where r2 dominates r1 iff ``r2[max_col] >= r1[max_col]`` AND
+    ``r2[min_col] <= r1[min_col]`` with at least one strict — the
+    NOT-EXISTS inequality self-anti-join. Duplicate points (equal on
+    both axes) all survive. Values are only COMPARED, never computed
+    on, so float columns carry no arithmetic-parity risk.
+
+    Scale shape: the front of the whole dataset is a subset of the
+    union of per-block fronts (dominance is transitive), so one
+    vectorized local-front pass per block cuts the data to candidates
+    — expected O(log n) per block on independently-distributed axes —
+    and ONE final task runs the same kernel over the merged candidate
+    set. No driver materialization; worst case (input already a front)
+    the final task sees the whole input, the same degenerate bound
+    every skyline algorithm has.
+    """
+    def front(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        if df[max_col].isna().any() or df[min_col].isna().any():
+            raise ValueError(
+                "skyline_2d: NULL axis values are not supported (SQL "
+                "three-valued dominance differs from any total order)")
+        # sort: min_col asc, max_col desc — one lexsort, then boundary
+        # masks; within an equal-min_col run the first row holds the max
+        df = df.sort_values([min_col, max_col], kind="stable",
+                            ascending=[True, False]).reset_index(drop=True)
+        mn = df[min_col]
+        new_mn = ~mn.eq(mn.shift()).to_numpy()
+        new_mn[0] = True
+        pos = np.arange(len(df), dtype=np.int64)
+        grp_first = np.maximum.accumulate(np.where(new_mn, pos, 0))
+        mxv = df[max_col].to_numpy()
+        group_best = mxv[grp_first]
+        # best max_col among STRICTLY smaller min_col groups: prefix max
+        # of group bests shifted one group back, dtype preserved (no
+        # float cast — int64 > 2^53 would lose dominance comparisons)
+        starts = np.flatnonzero(new_mn)
+        gb = np.maximum.accumulate(mxv[starts])
+        gidx = np.cumsum(new_mn) - 1
+        dominated = mxv < group_best
+        later = gidx >= 1
+        dominated[later] |= gb[gidx[later] - 1] >= mxv[later]
+        return df[~dominated]
+
+    candidates = ds.map_batches(front, batch_format="pandas",
+                                batch_size=131072)
+    return candidates.repartition(1).map_batches(
+        front, batch_format="pandas", batch_size=None)
