@@ -346,6 +346,21 @@ def q_doc_top_tokens(sf_dir: str):
     return top_tokens(read_table(sf_dir, "documents", columns=["text"]), k=50)
 
 
+def q_doc_cooccur(sf_dir: str):
+    """Token co-occurrence heavy hitters (market-basket statistics):
+    top-100 pairs of top-64-vocabulary tokens by document co-membership
+    — vocabulary broadcast, per-batch Arrow split + searchsorted +
+    offsets-gather pair enumeration + fixed-width bincount partials;
+    the pair stream itself is never shuffled (stages/text_analysis.py
+    token_cooccurrence)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import token_cooccurrence
+
+    return token_cooccurrence(read_table(sf_dir, "documents",
+                                         columns=["text"]),
+                              vocab_k=64, k=100)
+
+
 def q_doc_stratified_sample(sf_dir: str):
     """Per-language deterministic Bernoulli sample (mixture reweighting):
     md5-draw keyed on doc_id, bit-identical in DuckDB — zero shuffles."""
@@ -2715,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_first_last": q_events_first_last,
         "q_events_retention": q_events_retention,
         "q_orders_pareto": q_orders_pareto,
+        "q_doc_cooccur": q_doc_cooccur,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -4070,6 +4086,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT per.user_id) AS n_users
             FROM per JOIN coh c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "q_doc_cooccur": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+                FROM documents),
+            nz AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS cnt FROM nz GROUP BY token
+                    ORDER BY cnt DESC, token ASC LIMIT 64)),
+            vt AS (
+                SELECT DISTINCT n.doc_id, n.token
+                FROM nz n JOIN vocab v USING (token))
+            SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS cnt
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2
+            ORDER BY cnt DESC, tok_a ASC, tok_b ASC
+            LIMIT 100
         """,
         "q_orders_pareto": """
             SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o1

@@ -1493,3 +1493,90 @@ def unigram_surprisal(
         })
 
     return group_apply(scored, "__k", finish, batch_format="pandas")
+
+
+def token_cooccurrence(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    vocab_k: int = 64,
+    k: int = 100,
+) -> pd.DataFrame:
+    """Top-``k`` co-occurring token pairs (market-basket statistics over
+    the corpus): a pair counts once per document whose DISTINCT token set
+    contains both, restricted to the global top-``vocab_k`` vocabulary so
+    per-document pair emission is bounded by C(vocab_k, 2) regardless of
+    document length. Deterministic ties: (cnt DESC, tok_a ASC, tok_b ASC),
+    pairs canonicalized lexicographically.
+
+    Scale shape: one extra streaming pass for the vocabulary
+    (:func:`top_tokens` — bounded driver merge), vocabulary broadcast in
+    the task closure (vocab_k strings); then per batch everything is
+    Arrow/numpy — split, vocab searchsorted, per-doc unique codes, the
+    same offsets-gather pair enumeration the SND block kernel uses, and a
+    ``bincount`` over the fixed vocab_k² code space. Partials are ≤
+    C(vocab_k, 2) rows per batch, so the finish is a tiny driver-side
+    grouped sum — the pair stream itself is never shuffled.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vocab = top_tokens(ds, text_col, k=vocab_k)["token"].to_numpy(object)
+    V = len(vocab)
+    if V == 0:
+        return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                             "tok_b": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    sorted_vocab = np.sort(vocab)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.searchsorted(sorted_vocab, flat)
+        pos = np.minimum(pos, V - 1)
+        hit = sorted_vocab[pos] == flat
+        codes = np.unique(doc[hit] * np.int64(V) + pos[hit])
+        d, v = codes // V, codes % V
+        # per-doc segment lengths -> enumerate (i < j) pairs via the
+        # offsets-gather pattern: element at local index j pairs with the
+        # j elements before it
+        new_doc = np.r_[True, d[1:] != d[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new_doc, np.arange(codes.size, dtype=np.int64), 0))
+        local = np.arange(codes.size, dtype=np.int64) - seg_start
+        total = int(local.sum())
+        if total == 0:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        jj = np.repeat(np.arange(codes.size, dtype=np.int64), local)
+        out_off = np.zeros(codes.size + 1, dtype=np.int64)
+        np.cumsum(local, out=out_off[1:])
+        ii = np.repeat(seg_start, local) + (
+            np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], local))
+        pair_code = v[ii] * np.int64(V) + v[jj]  # v[ii] < v[jj]: codes sorted
+        counts = np.bincount(pair_code, minlength=V * V)
+        nz = np.flatnonzero(counts)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(counts[nz].astype(np.int64))})
+
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tot = grouped_agg(partials, "code", {"cnt": ("cnt", "sum")})
+    if tot.empty:
+        return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                             "tok_b": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    a = sorted_vocab[(tot["code"] // V).to_numpy()]
+    b = sorted_vocab[(tot["code"] % V).to_numpy()]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    out = pd.DataFrame({"tok_a": lo, "tok_b": hi,
+                        "cnt": tot["cnt"].astype(np.int64)})
+    return (out.sort_values(["cnt", "tok_a", "tok_b"],
+                            ascending=[False, True, True], kind="stable")
+            .head(k).reset_index(drop=True))
