@@ -361,6 +361,20 @@ def q_doc_cooccur(sf_dir: str):
                               vocab_k=64, k=100)
 
 
+def q_part_jw_join(sf_dir: str):
+    """Jaro-Winkler fuzzy name self-join (first-token blocking, τ=0.875
+    picked in a measured score gap): distinct part names paired when
+    jw ≥ τ, with row multiplicities — the distinct-values + blocking
+    record-linkage join (stages/editjoin.py jw_name_join); our JW is
+    bit-parity with DuckDB's jaro_winkler_similarity, so the float
+    column compares exactly."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.editjoin import jw_name_join
+
+    return jw_name_join(read_table(sf_dir, "part", columns=["p_name"]),
+                        "p_name", tau=0.875)
+
+
 def q_doc_stratified_sample(sf_dir: str):
     """Per-language deterministic Bernoulli sample (mixture reweighting):
     md5-draw keyed on doc_id, bit-identical in DuckDB — zero shuffles."""
@@ -2731,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_retention": q_events_retention,
         "q_orders_pareto": q_orders_pareto,
         "q_doc_cooccur": q_doc_cooccur,
+        "q_part_jw_join": q_part_jw_join,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -4086,6 +4101,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT per.user_id) AS n_users
             FROM per JOIN coh c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "q_part_jw_join": """
+            WITH names AS (
+                SELECT p_name AS n, count(*) AS c FROM part GROUP BY 1)
+            SELECT a.n AS name_a, b.n AS name_b,
+                   jaro_winkler_similarity(a.n, b.n) AS jw,
+                   a.c AS n_a, b.c AS n_b
+            FROM names a JOIN names b
+              ON split_part(a.n, ' ', 1) = split_part(b.n, ' ', 1)
+             AND a.n < b.n
+            WHERE jaro_winkler_similarity(a.n, b.n) >= 0.875
         """,
         "q_doc_cooccur": """
             WITH toks AS (
