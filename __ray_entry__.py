@@ -1434,6 +1434,36 @@ def snd_block_stats(sf_dir: str):
     return grouped_agg(norm, "block_key", {"n_records": (None, "count")})
 
 
+def snd_blocking_quality(sf_dir: str):
+    """Blocking-stage quality report (reduction ratio + pair
+    completeness vs the exact-content-duplicate truth): one int64
+    C(n,2) summary row from three grouped counts — pairs are never
+    enumerated (evaluation.py blocking_quality); ratios are single
+    divisions of identical ints in both engines."""
+    from whoiswho_ray.evaluation import blocking_quality
+    from whoiswho_ray.sources.tables import records_from_documents
+    from whoiswho_ray.stages.normalize import normalize_records
+
+    norm = normalize_records(records_from_documents(sf_dir,
+                                                    n_blocks=N_DOC_BLOCKS))
+    return blocking_quality(norm, "block_key", "content_sha256")
+
+
+def snd_pr_curve(sf_dir: str):
+    """Pairwise precision/recall/F1 operating curve: raw candidate-pair
+    predictions swept over a threshold grid, graded against the default
+    operating point's strong-edge components — the reference's pairwise
+    evaluation protocol (SNDeval.py) as a distributed report. One fused
+    blocking groupby emitting T int64 count rows per block
+    (pairs.make_block_pr_counts), T-row grouped sum + single-division
+    ratios (pipelines/snd.py run_snd_pr_curve)."""
+    from whoiswho_ray.pipelines.snd import run_snd_pr_curve
+    from whoiswho_ray.sources.tables import records_from_documents
+
+    return run_snd_pr_curve(records_from_documents(sf_dir,
+                                                   n_blocks=N_DOC_BLOCKS))
+
+
 def snd_clusters(sf_dir: str):
     """Full flagship pipeline — EXACT DuckDB oracle: the whole chain
     (tokenize → idf/vectorize → block all-pairs → weighted score →
@@ -2746,6 +2776,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_pareto": q_orders_pareto,
         "q_doc_cooccur": q_doc_cooccur,
         "q_part_jw_join": q_part_jw_join,
+        "snd_blocking_quality": snd_blocking_quality,
+        "snd_pr_curve": snd_pr_curve,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
@@ -3054,6 +3086,67 @@ def _snd_feature_ctes(rnd: bool = False, profile_expr: str | None = None) -> str
             LEFT JOIN ntfv va ON va.record_id = p.ra
             LEFT JOIN ntfv vb ON vb.record_id = p.rb
         )"""
+
+
+def _snd_pr_curve_oracle_sql() -> str:
+    """Replay of the PR sweep: the shared feature CTEs + score, truth =
+    one recursive closure over the default strong edges (pre-attach
+    components, exactly ``make_block_pr_counts``' reference labeling),
+    per-grid-threshold FILTER counts, and the same single-division
+    P/R/F1 formulas (``f1 = 2tp/(2tp+fp+fn)``) so every float is one
+    IEEE division of identical int64s."""
+    from whoiswho_ray.config import SNDConfig
+    from whoiswho_ray.pipelines.snd import DEFAULT_PR_TAUS
+
+    c = SNDConfig()
+    score = _score_expr(c)
+    grid = ", ".join(
+        f"({int(round(t * 100))}, {t!r})" for t in DEFAULT_PR_TAUS)
+    return f"""
+        WITH RECURSIVE {_snd_feature_ctes()},
+        scored AS MATERIALIZED (
+            SELECT block_key, ra, rb, {score} AS score FROM feats),
+        strong AS (SELECT ra, rb FROM scored WHERE score >= {c.tau_edge!r}),
+        sym1 AS MATERIALIZED (SELECT ra AS a, rb AS b FROM strong
+                 UNION ALL SELECT rb, ra FROM strong),
+        reach1(a, b) AS (
+            SELECT record_id, record_id FROM rec
+            UNION
+            SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a
+        ),
+        comp1 AS MATERIALIZED (
+            SELECT a AS record_id, min(b) AS comp FROM reach1 GROUP BY 1),
+        truth AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS t
+                  FROM (SELECT comp, count(*) AS n FROM comp1 GROUP BY 1)),
+        lab AS MATERIALIZED (
+            SELECT s.score, (ca.comp = cb.comp) AS same
+            FROM scored s
+            JOIN comp1 ca ON ca.record_id = s.ra
+            JOIN comp1 cb ON cb.record_id = s.rb),
+        grid(tau_cents, tau) AS (VALUES {grid}),
+        cnt AS (
+            SELECT CAST(g.tau_cents AS BIGINT) AS tau_cents,
+                   CAST(count(*) FILTER (l.score >= g.tau AND l.same)
+                        AS BIGINT) AS tp,
+                   CAST(count(*) FILTER (l.score >= g.tau AND NOT l.same)
+                        AS BIGINT) AS fp
+            FROM grid g CROSS JOIN lab l GROUP BY 1)
+        SELECT c2.tau_cents, c2.tp, c2.fp,
+               (SELECT t FROM truth) - c2.tp AS fn,
+               CASE WHEN c2.tp + c2.fp > 0
+                    THEN CAST(c2.tp AS DOUBLE) / (c2.tp + c2.fp)
+                    ELSE 0.0 END AS "precision",
+               CASE WHEN (SELECT t FROM truth) > 0
+                    THEN CAST(c2.tp AS DOUBLE) / (SELECT t FROM truth)
+                    ELSE 0.0 END AS recall,
+               CASE WHEN 2 * c2.tp + c2.fp
+                         + ((SELECT t FROM truth) - c2.tp) > 0
+                    THEN CAST(2 * c2.tp AS DOUBLE)
+                         / (2 * c2.tp + c2.fp
+                            + ((SELECT t FROM truth) - c2.tp))
+                    ELSE 0.0 END AS f1
+        FROM cnt c2
+    """
 
 
 def _snd_edges_oracle_sql() -> str:
@@ -4102,6 +4195,34 @@ def oracle_sql() -> dict[str, str]:
             FROM per JOIN coh c USING (user_id)
             GROUP BY 1, 2
         """,
+        "snd_blocking_quality": f"""
+            WITH rec AS (
+                SELECT 'doc' || CAST(doc_id % {N_DOC_BLOCKS} AS VARCHAR) AS bk,
+                       sha256(text) AS sha
+                FROM documents),
+            nb AS (SELECT bk, count(*) AS n FROM rec GROUP BY 1),
+            ng AS (SELECT sha, count(*) AS n FROM rec GROUP BY 1),
+            nc AS (SELECT sha, bk, count(*) AS n FROM rec GROUP BY 1, 2),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rec),
+            s AS (SELECT
+                (SELECT n FROM tot) AS n_records,
+                (SELECT (n * (n - 1)) // 2 FROM tot) AS total_pairs,
+                CAST((SELECT sum((n * (n - 1)) // 2) FROM nb) AS BIGINT)
+                    AS candidate_pairs,
+                CAST((SELECT sum((n * (n - 1)) // 2) FROM ng) AS BIGINT)
+                    AS truth_pairs,
+                CAST((SELECT sum((n * (n - 1)) // 2) FROM nc) AS BIGINT)
+                    AS covered_pairs)
+            SELECT n_records, total_pairs, candidate_pairs, truth_pairs,
+                   covered_pairs,
+                   CASE WHEN truth_pairs = 0 THEN 0.0
+                        ELSE CAST(covered_pairs AS DOUBLE) / truth_pairs
+                   END AS pair_completeness,
+                   CASE WHEN total_pairs = 0 THEN 0.0
+                        ELSE 1.0 - CAST(candidate_pairs AS DOUBLE) / total_pairs
+                   END AS reduction_ratio
+            FROM s
+        """,
         "q_part_jw_join": """
             WITH names AS (
                 SELECT p_name AS n, count(*) AS c FROM part GROUP BY 1)
@@ -4472,6 +4593,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "snd_edges": _snd_edges_oracle_sql(),
+        "snd_pr_curve": _snd_pr_curve_oracle_sql(),
         "snd_relational": _snd_relational_oracle_sql(),
         "snd_clusters": _snd_clusters_oracle_sql(),
         "snd_clusters_rel": _snd_clusters_oracle_sql(w_rel=0.5),

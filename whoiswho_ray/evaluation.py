@@ -198,3 +198,56 @@ def ind_weighted_auc(pred: pd.DataFrame, truth: pd.DataFrame) -> dict:
         "n_profiles_scored": len(per),
         "per_profile": per,
     }
+
+
+def blocking_quality(
+    ds: "ray.data.Dataset",
+    block_col: str = "block_key",
+    truth_col: str = "content_sha256",
+) -> pd.DataFrame:
+    """Blocking-stage quality metrics (the standard record-linkage pair:
+    reduction ratio + pair completeness, Christen, "Data Matching",
+    ch. 7): how much of the quadratic comparison space the blocking key
+    prunes, and what fraction of TRUE match pairs (rows sharing
+    ``truth_col``) it keeps co-located. One summary row, every count an
+    int64 (sums of C(n,2) from group sizes — pairs are never
+    enumerated), ratios single divisions of those ints (IEEE-identical
+    in SQL).
+
+    Scale shape: three grouped counts — per block (bounded key space,
+    driver combine), per truth key and per (truth, block) (unbounded,
+    ``final='shuffle'`` then per-batch C(n,2) partial sums; only one
+    int64 per block reaches the driver).
+    """
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    def pair_sum(counts_ds) -> int:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n"].to_numpy(np.int64)
+            return pd.DataFrame({"p": [int((n * (n - 1) // 2).sum())]})
+
+        parts = counts_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        return int(parts["p"].sum())
+
+    blocks = grouped_agg(ds, block_col, {"n": (None, "count")})
+    n_records = int(blocks["n"].sum())
+    nb = blocks["n"].to_numpy(np.int64)
+    candidate_pairs = int((nb * (nb - 1) // 2).sum())
+    total_pairs = n_records * (n_records - 1) // 2
+    truth_pairs = pair_sum(grouped_agg(ds, truth_col,
+                                       {"n": (None, "count")},
+                                       final="shuffle"))
+    covered_pairs = pair_sum(grouped_agg(ds, [truth_col, block_col],
+                                         {"n": (None, "count")},
+                                         final="shuffle"))
+    return pd.DataFrame({
+        "n_records": [np.int64(n_records)],
+        "total_pairs": [np.int64(total_pairs)],
+        "candidate_pairs": [np.int64(candidate_pairs)],
+        "truth_pairs": [np.int64(truth_pairs)],
+        "covered_pairs": [np.int64(covered_pairs)],
+        "pair_completeness": [covered_pairs / truth_pairs
+                              if truth_pairs else 0.0],
+        "reduction_ratio": [1.0 - candidate_pairs / total_pairs
+                            if total_pairs else 0.0],
+    })

@@ -416,3 +416,67 @@ def snd_summary(out_dir: str) -> dict:
     import json
     with open(os.path.join(out_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+DEFAULT_PR_TAUS = (0.8, 1.0, 1.2, 1.4, 1.5, 1.6, 1.8, 2.0, 2.2)
+
+
+def run_snd_pr_curve(
+    records: "rd.Dataset | str",
+    cfg: SNDConfig | None = None,
+    taus: tuple[float, ...] = DEFAULT_PR_TAUS,
+) -> pd.DataFrame:
+    """Precision/recall/F1 of thresholded pairwise predictions against
+    the default operating point's strong-edge components, swept over a
+    threshold grid — the reference's pairwise evaluation
+    (``SNDeval.py``) as a distributed operating-curve report.
+
+    Same fused shape as :func:`run_snd` (normalize → idf → vectorize →
+    ONE blocking groupby), but each block task emits T count rows
+    (``pairs.make_block_pr_counts``) instead of clusters; the finish is
+    a T-row grouped sum plus single int64 divisions for P/R/F1
+    (``f1 = 2tp/(2tp+fp+fn)`` — one division, IEEE-identical in SQL).
+    """
+    import pandas as pd
+
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.pairs import (CLUSTER_SHUFFLE_COLUMNS,
+                                           make_block_pr_counts,
+                                           shuffle_partitions)
+
+    cfg = cfg or SNDConfig()
+    if isinstance(records, str):
+        records = rd.read_parquet(records)
+    normalized = normalize_records(records, cfg).select_columns(
+        [c for c in CLUSTER_SHUFFLE_COLUMNS
+         if c not in ("tfv_ids", "tfv_w", "content_sha256")]).repartition(
+             shuffle_partitions()).materialize()
+    idf = build_idf(normalized, cfg)
+    vec = vectorize(normalized, idf, cfg,
+                    keep=[c for c in CLUSTER_SHUFFLE_COLUMNS
+                          if c != "content_sha256"],
+                    compact=True, ship_weights=False)
+    idf_w_ref = ray.put(np.asarray(idf.idf))
+
+    def fused(g):
+        return make_block_pr_counts(g, cfg, taus,
+                                    idf_w=_idf_w_cached(idf_w_ref))
+
+    parts = vec.groupby("block_key").map_groups(fused, batch_format="pyarrow")
+    tot = grouped_agg(parts, "tau_cents",
+                      {"tp": ("tp", "sum"), "fp": ("fp", "sum"),
+                       "truth_pairs": ("truth_pairs", "sum")})
+    tot = tot.sort_values("tau_cents", ignore_index=True)
+    tp = tot["tp"].to_numpy(np.int64)
+    fp = tot["fp"].to_numpy(np.int64)
+    truth = tot["truth_pairs"].to_numpy(np.int64)
+    fn = truth - tp
+    pred = tp + fp
+    return pd.DataFrame({
+        "tau_cents": tot["tau_cents"].astype(np.int64),
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": np.where(pred > 0, tp / np.maximum(pred, 1), 0.0),
+        "recall": np.where(truth > 0, tp / np.maximum(truth, 1), 0.0),
+        "f1": np.where(2 * tp + fp + fn > 0,
+                       2 * tp / np.maximum(2 * tp + fp + fn, 1), 0.0),
+    })

@@ -843,3 +843,56 @@ def generate_block_metrics(vectorized: "ray.data.Dataset", cfg: SNDConfig | None
     cfg = cfg or SNDConfig()
     return vectorized.repartition(shuffle_partitions()).groupby("block_key").map_groups(
         lambda g: block_metrics(g, cfg), batch_format="pyarrow")
+
+
+def make_block_pr_counts(group: pa.Table, cfg: SNDConfig,
+                         taus: tuple[float, ...], idf_w=None) -> pa.Table:
+    """One block → per-threshold (tp, fp, truth_pairs) partial counts:
+    the pairwise precision/recall sweep of the reference's evaluation
+    protocol (``/root/reference/whoiswho/evaluation/SNDeval.py``'s
+    pairwise counts, swept over an operating-threshold grid instead of
+    graded at one point). Truth is the DEFAULT operating point's
+    strong-edge components (score >= cfg.tau_edge, pre-attach) — the
+    labeling the engine ships; predictions are raw candidate pairs
+    thresholded at each grid tau.
+
+    truth_pairs counts ALL same-component record pairs (C(size, 2) via
+    bincount — components may connect pairs no candidate edge proposed,
+    e.g. transitively), so recall is honest about candidate-generation
+    misses. Every count is an int64; one output row per tau, identical
+    truth_pairs repeated so any single tau's grouped sum is the block
+    total.
+    """
+    from whoiswho_ray.stages.cluster import cc_labels
+
+    T = len(taus)
+    tau_arr = np.asarray(taus, dtype=np.float64)
+    if T == 0 or np.any(np.diff(tau_arr) <= 0):
+        raise ValueError("taus must be a non-empty strictly-increasing grid")
+    scored = _score_block(group, cfg, idf_w=idf_w)
+    tau_cents = np.floor(tau_arr * 100.0 + 0.5).astype(np.int64)
+    if scored is None:
+        z = np.zeros(T, dtype=np.int64)
+        return pa.table({"tau_cents": pa.array(tau_cents),
+                         "tp": pa.array(z), "fp": pa.array(z),
+                         "truth_pairs": pa.array(z)})
+    _rids, ii, jj, feats = scored
+    n = group.num_rows
+    s = feats["score"]
+    strong = s >= cfg.tau_edge
+    labels = cc_labels(n, ii[strong], jj[strong])
+    sizes = np.bincount(labels)
+    truth_total = int((sizes * (sizes - 1) // 2).sum())
+    same = labels[ii] == labels[jj]
+    # idx = number of grid taus <= score; score >= taus[t] iff idx >= t+1,
+    # so suffix sums of the idx histogram give every threshold at once
+    idx = np.searchsorted(tau_arr, s, side="right")
+    cnt_same = np.bincount(idx[same], minlength=T + 1)
+    cnt_diff = np.bincount(idx[~same], minlength=T + 1)
+    tp = np.cumsum(cnt_same[::-1])[::-1][1:].astype(np.int64)
+    fp = np.cumsum(cnt_diff[::-1])[::-1][1:].astype(np.int64)
+    return pa.table({
+        "tau_cents": pa.array(tau_cents),
+        "tp": pa.array(tp), "fp": pa.array(fp),
+        "truth_pairs": pa.array(np.full(T, truth_total, dtype=np.int64)),
+    })
