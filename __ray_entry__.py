@@ -375,6 +375,23 @@ def q_part_jw_join(sf_dir: str):
                         "p_name", tau=0.875)
 
 
+def q_part_snb(sf_dir: str):
+    """Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo,
+    SIGMOD 1995 — the classic ER candidate generator the reference's
+    exact-key shards lack): two sort passes (name; type+brand), windowed
+    rank pairs, canonical unordered-pair dedup. One global sort per pass
+    is the only exchange; pairs come from contiguous-rank slice
+    arithmetic with w-row bucket-boundary replication
+    (stages/blocking.py)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.blocking import multipass_sorted_neighborhood
+
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_name", "p_brand", "p_type"])
+    return multipass_sorted_neighborhood(
+        ds, [["p_name"], ["p_type", "p_brand"]], "p_partkey", window=3)
+
+
 def q_doc_stratified_sample(sf_dir: str):
     """Per-language deterministic Bernoulli sample (mixture reweighting):
     md5-draw keyed on doc_id, bit-identical in DuckDB — zero shuffles."""
@@ -2776,6 +2793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_pareto": q_orders_pareto,
         "q_doc_cooccur": q_doc_cooccur,
         "q_part_jw_join": q_part_jw_join,
+        "q_part_snb": q_part_snb,
         "snd_blocking_quality": snd_blocking_quality,
         "snd_pr_curve": snd_pr_curve,
         "snd_normalize": snd_normalize,
@@ -4233,6 +4251,24 @@ def oracle_sql() -> dict[str, str]:
               ON split_part(a.n, ' ', 1) = split_part(b.n, ' ', 1)
              AND a.n < b.n
             WHERE jaro_winkler_similarity(a.n, b.n) >= 0.875
+        """,
+        "q_part_snb": """
+            WITH r1 AS (
+                SELECT p_partkey AS id,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+                FROM part),
+            p1 AS (
+                SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+                FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            r2 AS (
+                SELECT p_partkey AS id,
+                       ROW_NUMBER() OVER (ORDER BY p_type, p_brand, p_partkey) AS rn
+                FROM part),
+            p2 AS (
+                SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+                FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+            SELECT DISTINCT id_a, id_b
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
         """,
         "q_doc_cooccur": """
             WITH toks AS (
