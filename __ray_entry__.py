@@ -1466,6 +1466,50 @@ def snd_blocking_quality(sf_dir: str):
     return blocking_quality(norm, "block_key", "content_sha256")
 
 
+def _doc_cheap_labels(sf_dir: str):
+    """(pred, true) label table for clustering-validity metrics: pred =
+    md5 of the first 64 chars (a deliberately lossy prefix-fingerprint
+    clusterer that over-merges templated docs), true = sha256 of the
+    full text (exact-content entities) — both bit-identical in DuckDB."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from whoiswho_ray.sources.tables import read_table
+
+    def lab(t: pa.Table) -> pa.Table:
+        txt = t.column("text").to_pylist()
+        pred = [hashlib.md5((s or "")[:64].encode("utf-8")).hexdigest()
+                for s in txt]
+        true = [hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+                for s in txt]
+        return pa.table({"pred": pa.array(pred, pa.string()),
+                         "true_lab": pa.array(true, pa.string())})
+
+    return read_table(sf_dir, "documents", columns=["text"]).map_batches(
+        lab, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def snd_cluster_eval(sf_dir: str):
+    """Per-predicted-cluster B-cubed report (Bagga & Baldwin 1998): one
+    bucketed contingency shuffle, per-cluster integer stats + ONE
+    int/int division (bit-exact vs SQL) — evaluation.bcubed_report."""
+    from whoiswho_ray.evaluation import bcubed_report
+
+    return bcubed_report(_doc_cheap_labels(sf_dir), "pred", "true_lab")
+
+
+def snd_pair_ari(sf_dir: str):
+    """External-validity summary: exact integer pair statistics +
+    Adjusted Rand Index (Hubert & Arabie 1985) + pairwise P/R/F1, float
+    ops in a FIXED scalar order mirrored by the oracle
+    (evaluation.pair_comparison_summary)."""
+    from whoiswho_ray.evaluation import pair_comparison_summary
+
+    return pair_comparison_summary(_doc_cheap_labels(sf_dir), "pred",
+                                   "true_lab")
+
+
 def snd_pr_curve(sf_dir: str):
     """Pairwise precision/recall/F1 operating curve: raw candidate-pair
     predictions swept over a threshold grid, graded against the default
@@ -2795,6 +2839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_jw_join": q_part_jw_join,
         "q_part_snb": q_part_snb,
         "snd_blocking_quality": snd_blocking_quality,
+        "snd_cluster_eval": snd_cluster_eval,
+        "snd_pair_ari": snd_pair_ari,
         "snd_pr_curve": snd_pr_curve,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
@@ -4251,6 +4297,82 @@ def oracle_sql() -> dict[str, str]:
               ON split_part(a.n, ' ', 1) = split_part(b.n, ' ', 1)
              AND a.n < b.n
             WHERE jaro_winkler_similarity(a.n, b.n) >= 0.875
+        """,
+        "snd_cluster_eval": """
+            WITH lab AS (
+                SELECT md5(substr(text, 1, 64)) AS pred,
+                       sha256(text) AS true_lab
+                FROM documents),
+            cont AS (
+                SELECT pred, true_lab, count(*) AS n
+                FROM lab GROUP BY 1, 2)
+            SELECT pred,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_entities,
+                   CAST(max(n) AS BIGINT) AS max_overlap,
+                   CAST(sum(n * n) AS BIGINT) AS purity_num,
+                   CAST(sum(n * n) AS DOUBLE)
+                       / (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT))
+                       AS bcubed_precision
+            FROM cont GROUP BY pred
+        """,
+        "snd_pair_ari": """
+            WITH lab AS (
+                SELECT md5(substr(text, 1, 64)) AS pred,
+                       sha256(text) AS true_lab
+                FROM documents),
+            cont AS (
+                SELECT pred, true_lab, count(*) AS n
+                FROM lab GROUP BY 1, 2),
+            s AS (
+                SELECT CAST(sum(n) AS BIGINT) AS n_records,
+                       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS pair_index
+                FROM cont),
+            pm AS (SELECT pred, sum(n) AS m FROM cont GROUP BY 1),
+            tm AS (SELECT true_lab, sum(n) AS m FROM cont GROUP BY 1),
+            aa AS (SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS a,
+                          CAST(count(*) AS BIGINT) AS n_pred FROM pm),
+            bb AS (SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS b,
+                          CAST(count(*) AS BIGINT) AS n_true FROM tm),
+            f AS (
+                SELECT n_records, n_pred, n_true, pair_index,
+                       a AS pred_pairs, b AS true_pairs,
+                       (n_records * (n_records - 1)) // 2 AS total
+                FROM s, aa, bb)
+            SELECT n_records,
+                   n_pred AS n_pred_clusters,
+                   n_true AS n_true_entities,
+                   pair_index, pred_pairs, true_pairs,
+                   CASE WHEN pred_pairs = 0 THEN 0.0
+                        ELSE CAST(pair_index AS DOUBLE)
+                             / CAST(pred_pairs AS DOUBLE)
+                   END AS pair_precision,
+                   CASE WHEN true_pairs = 0 THEN 0.0
+                        ELSE CAST(pair_index AS DOUBLE)
+                             / CAST(true_pairs AS DOUBLE)
+                   END AS pair_recall,
+                   CASE WHEN pred_pairs + true_pairs = 0 THEN 0.0
+                        ELSE 2.0 * CAST(pair_index AS DOUBLE)
+                             / (CAST(pred_pairs AS DOUBLE)
+                                + CAST(true_pairs AS DOUBLE))
+                   END AS pair_f1,
+                   CASE WHEN total = 0 THEN 0.0
+                        WHEN (CAST(pred_pairs AS DOUBLE)
+                              + CAST(true_pairs AS DOUBLE)) / 2.0
+                             = CAST(pred_pairs AS DOUBLE)
+                               * CAST(true_pairs AS DOUBLE)
+                               / CAST(total AS DOUBLE) THEN 0.0
+                        ELSE (CAST(pair_index AS DOUBLE)
+                              - CAST(pred_pairs AS DOUBLE)
+                                * CAST(true_pairs AS DOUBLE)
+                                / CAST(total AS DOUBLE))
+                             / ((CAST(pred_pairs AS DOUBLE)
+                                 + CAST(true_pairs AS DOUBLE)) / 2.0
+                                - CAST(pred_pairs AS DOUBLE)
+                                  * CAST(true_pairs AS DOUBLE)
+                                  / CAST(total AS DOUBLE))
+                   END AS ari
+            FROM f
         """,
         "q_part_snb": """
             WITH r1 AS (

@@ -251,3 +251,161 @@ def blocking_quality(
         "reduction_ratio": [1.0 - candidate_pairs / total_pairs
                             if total_pairs else 0.0],
     })
+
+
+def cluster_contingency(
+    ds: "ray.data.Dataset", pred_col: str, true_col: str
+) -> "ray.data.Dataset":
+    """Distributed contingency table ``(pred, true, n)`` — one row per
+    (predicted-cluster, true-entity) cell. Per-batch pandas partial
+    counts, one bucketed shuffle over the composite key; cell count is
+    bounded by the record count, never materialized on the driver."""
+    from .stages.agg import grouped_agg
+
+    return grouped_agg(ds, [pred_col, true_col], {"n": (None, "count")},
+                       final="shuffle")
+
+
+def bcubed_report(
+    ds: "ray.data.Dataset", pred_col: str, true_col: str
+) -> "ray.data.Dataset":
+    """Per-predicted-cluster B-cubed report (Bagga & Baldwin, 1998).
+
+    For each predicted cluster c: ``n_rows`` (cluster size),
+    ``n_entities`` (distinct true labels inside), ``max_overlap``
+    (largest single-entity overlap — the majority-label count),
+    ``purity_num`` = sum over entities of overlap² (the B-cubed
+    numerator: summed per-record precision × n_c), and
+    ``bcubed_precision`` = purity_num / n_c² — the mean per-record
+    B-cubed precision of the cluster. All counts are int64; the only
+    float is ONE division of two exact ints, so a SQL oracle compares
+    bit-exactly (guarded: raises if n_c² would overflow int64).
+
+    Global B-cubed/ARI summaries live in :func:`pair_comparison_summary`
+    / :func:`bcubed_scores`.
+    """
+    from .stages.agg import group_apply
+
+    cont = cluster_contingency(ds, pred_col, true_col)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.int64)
+        n_c = int(n.sum())
+        if n_c >= 3_037_000_499:  # sqrt(int64 max)
+            raise OverflowError("bcubed_report: cluster too large for "
+                                "int64 purity arithmetic")
+        purity = int((n * n).sum())
+        return pd.DataFrame({
+            pred_col: [g[pred_col].iloc[0]],
+            "n_rows": [np.int64(n_c)],
+            "n_entities": [np.int64(len(n))],
+            "max_overlap": [np.int64(n.max())],
+            "purity_num": [np.int64(purity)],
+            "bcubed_precision": [float(purity) / (n_c * n_c)],
+        })
+
+    return group_apply(cont, pred_col, kernel, batch_format="pandas")
+
+
+def _int_scalar_sum(ds: "ray.data.Dataset", expr) -> int:
+    """Exact integer sum of ``expr(n_array)`` over a Dataset's ``n``
+    column — per-batch int partials, Python-int driver total (no
+    float, no overflow)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        return pd.DataFrame({"s": [int(expr(n))]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return int(sum(int(v) for v in parts["s"]))
+
+
+def pair_comparison_summary(
+    ds: "ray.data.Dataset", pred_col: str, true_col: str
+) -> pd.DataFrame:
+    """One-row external-clustering-validity summary: exact integer pair
+    statistics plus Adjusted Rand Index (Hubert & Arabie, 1985) and
+    pairwise precision/recall/F1.
+
+    Integer columns are exact (Python-int driver sums). Float columns
+    are computed with a FIXED scalar operation order mirrored verbatim
+    by the SQL oracle (single divisions; ARI's four-term expression) so
+    cross-engine comparison is bit-exact — no float SUM aggregate whose
+    addition order an engine may choose.
+    """
+    from .stages.agg import grouped_agg
+
+    cont = cluster_contingency(ds, pred_col, true_col)
+
+    def c2(n: np.ndarray) -> int:
+        return int((n.astype(object) * (n.astype(object) - 1) // 2).sum())
+
+    index = _int_scalar_sum(cont, c2)
+    n_records = _int_scalar_sum(cont, lambda n: n.sum())
+    pred_marg = grouped_agg(cont, pred_col, {"n": ("n", "sum")},
+                            final="shuffle")
+    true_marg = grouped_agg(cont, true_col, {"n": ("n", "sum")},
+                            final="shuffle")
+    a = _int_scalar_sum(pred_marg, c2)
+    b = _int_scalar_sum(true_marg, c2)
+    n_pred = _int_scalar_sum(pred_marg, lambda n: len(n))
+    n_true = _int_scalar_sum(true_marg, lambda n: len(n))
+    total = n_records * (n_records - 1) // 2
+
+    # float ops in EXACTLY this order — the oracle mirrors it
+    precision = float(index) / float(a) if a else 0.0
+    recall = float(index) / float(b) if b else 0.0
+    f1 = 2.0 * float(index) / (float(a) + float(b)) if (a + b) else 0.0
+    if total:
+        exp = float(a) * float(b) / float(total)
+        mx = (float(a) + float(b)) / 2.0
+        ari = (float(index) - exp) / (mx - exp) if mx != exp else 0.0
+    else:
+        ari = 0.0
+
+    return pd.DataFrame({
+        "n_records": [np.int64(n_records)],
+        "n_pred_clusters": [np.int64(n_pred)],
+        "n_true_entities": [np.int64(n_true)],
+        "pair_index": [np.int64(index)],
+        "pred_pairs": [np.int64(a)],
+        "true_pairs": [np.int64(b)],
+        "pair_precision": [precision],
+        "pair_recall": [recall],
+        "pair_f1": [f1],
+        "ari": [ari],
+    })
+
+
+def bcubed_scores(
+    ds: "ray.data.Dataset", pred_col: str, true_col: str
+) -> dict:
+    """Global B-cubed precision/recall/F1 (record-averaged). Float sums
+    use ``math.fsum`` over driver-collected PER-CLUSTER rationals (one
+    row per cluster/entity — bounded like every report here), so the
+    value is deterministic but not SQL-bit-mirrorable; tested against
+    brute force, not oracled."""
+    import math
+
+    from .stages.agg import group_apply
+
+    cont = cluster_contingency(ds, pred_col, true_col)
+
+    def side(col: str) -> tuple[float, int]:
+        def kernel(g: pd.DataFrame) -> pd.DataFrame:
+            n = g["n"].to_numpy(np.int64)
+            tot = int(n.sum())
+            return pd.DataFrame({"r": [float((n * n).sum()) / tot]})
+
+        rows = group_apply(cont, col, kernel,
+                           batch_format="pandas").to_pandas()
+        return math.fsum(sorted(rows["r"])), len(rows)
+
+    p_sum, n_pred = side(pred_col)
+    r_sum, n_true = side(true_col)
+    n_records = _int_scalar_sum(cont, lambda n: n.sum())
+    p = p_sum / n_records if n_records else 0.0
+    r = r_sum / n_records if n_records else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"bcubed_precision": p, "bcubed_recall": r, "bcubed_f1": f1,
+            "n_records": n_records, "n_pred_clusters": n_pred,
+            "n_true_entities": n_true}
