@@ -2802,6 +2802,161 @@ def q_embedding_unnest(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+BFS_SRC_MOD = 10   # BFS sources: customer nodes with custkey % this == 0
+BFS_MAX_HOPS = 6
+
+
+def _sparsified_sym_edges(sf_dir: str):
+    """The shared customer↔supplier graph (edge when the pair shares ≥
+    CC_MIN_ORDERS distinct orders), SYMMETRIC (src, dst) string rows —
+    the same fused-join front-end as q_graph_components."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct, grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    triples = distinct(shuffle_hash_join(orders, li, on="o_orderkey"),
+                       ["o_custkey", "l_suppkey", "o_orderkey"],
+                       final="shuffle")
+    counts = grouped_agg(triples, ["o_custkey", "l_suppkey"],
+                         {"n": (None, "count")}, final="shuffle")
+
+    def to_sym(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n"] >= CC_MIN_ORDERS]
+        c = "c" + keep["o_custkey"].astype(str)
+        s = "s" + keep["l_suppkey"].astype(str)
+        return pd.DataFrame({"src": pd.concat([c, s], ignore_index=True),
+                             "dst": pd.concat([s, c], ignore_index=True)})
+
+    return counts.map_batches(to_sym, batch_format="pandas")
+
+
+def q_graph_bfs(sf_dir: str):
+    """Multi-source BFS (stages/graph.py bfs_distances — hop-synchronous
+    frontier expansion, two bucketed exchanges per hop, anti-join-as-
+    min-dist) over the sparsified customer↔supplier graph; sources are
+    the customer nodes with custkey % BFS_SRC_MOD == 0, cap BFS_MAX_HOPS.
+    Output (node, dist) for reachable nodes; the recursive-CTE oracle's
+    UNION walk + min(d) is the same semantics in SQL."""
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.graph import bfs_distances
+
+    edges = _sparsified_sym_edges(sf_dir)
+
+    def pick_sources(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"]
+        is_c = src.str.startswith("c")
+        keys = pd.to_numeric(src.str.slice(1), errors="coerce")
+        keep = is_c & (keys % BFS_SRC_MOD == 0)
+        return pd.DataFrame({"node": src[keep]})
+
+    sources = distinct(edges.map_batches(pick_sources, batch_format="pandas"),
+                       ["node"], final="shuffle")
+    return bfs_distances(edges, sources, max_hops=BFS_MAX_HOPS)
+
+
+CDC_TOMBSTONE = "error"  # an 'error' as a user's LAST event deletes the row
+
+
+def q_events_cdc_apply(sf_dir: str):
+    """Changelog compaction / CDC upsert-apply (stages/cdc.py
+    apply_changelog): collapse the events stream to one snapshot row per
+    user — the LAST event under (ts, event_id) wins; users whose last op
+    is the tombstone type are deleted. Per-batch partial compaction
+    (combiner) + one key-bucket final; integer cents payload so the
+    row_number()-oracle is exact."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.cdc import apply_changelog
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type",
+                             "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "ts": df["ts"],
+            "event_id": df["event_id"].astype(np.int64),
+            "event_type": df["event_type"],
+            "value_cents": _cents(df["value"]),
+        })
+
+    snap = apply_changelog(ev.map_batches(prep, batch_format="pandas"),
+                           key="user_id", order_cols=["ts", "event_id"],
+                           op_col="event_type",
+                           tombstones=(CDC_TOMBSTONE,),
+                           payload_cols=["value_cents"])
+    return snap.map_batches(
+        lambda df: df.rename(columns={"ts": "last_ts",
+                                      "event_type": "last_event_type",
+                                      "value_cents": "last_value_cents"}),
+        batch_format="pandas")
+
+
+IVM_MINUTES_MOD = 7  # interval length: (event_id % this + 1) minutes
+
+
+def q_events_interval_merge(sf_dir: str):
+    """Gaps-and-islands over RANGES (stages/windows.py merge_intervals):
+    each event opens the interval [ts, ts + (event_id % 7 + 1) min];
+    overlapping-or-touching intervals per user coalesce into islands.
+    One key-bucket shuffle + one vectorized cummax/boundary pass;
+    microsecond-int timestamp arithmetic so the window-cummax oracle is
+    exact."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import merge_intervals
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        mins = (df["event_id"].to_numpy(np.int64) % IVM_MINUTES_MOD) + 1
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "s": df["ts"],
+            "e": df["ts"] + pd.to_timedelta(mins, unit="m"),
+        })
+
+    return merge_intervals(ev.map_batches(prep, batch_format="pandas"),
+                           key="user_id", start_col="s", end_col="e")
+
+
+def q_events_markov(sf_dir: str):
+    """First-order event-type transition matrix (stages/windows.py
+    transition_counts): per user ordered by (ts, event_id), count every
+    adjacent type→type pair globally and attach the row-normalized
+    probability. Bucket-local partial counts (the shuffle moves O(type²)
+    rows, never O(events)); p is one double division of exact int64
+    counts — bit-identical to the oracle's CAST(n AS DOUBLE)/total."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import transition_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    return transition_counts(ev, key="user_id",
+                             order_cols=["ts", "event_id"],
+                             state_col="event_type")
+
+
+PROFILE_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+
+
+def q_profile_columns(sf_dir: str):
+    """Deequ/TFDV-shaped column profiling (stages/profile.py
+    profile_columns) over lineitem: per column — rows, nulls, EXACT
+    distinct count, min/max (VARCHAR, compared under the native type
+    before formatting). One streaming scalar-partial pass + one skinny
+    per-batch-unique distinct exchange."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.profile import profile_columns
+
+    li = read_table(sf_dir, "lineitem", columns=PROFILE_COLS)
+    return profile_columns(li, PROFILE_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver grades queries in dict order (observed cap
     # ~50 per round). Round-5 rotation (VERDICT r4 #2): every exact-oracled
@@ -2816,6 +2971,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # learned RND/IND variants (rows-only by design), pagerank (perf-
         # watched), and r4-only-green queries back-filled for a second row.
         "q1_pricing_summary": q1_pricing_summary,
+        "q_graph_bfs": q_graph_bfs,
+        "q_events_cdc_apply": q_events_cdc_apply,
+        "q_events_interval_merge": q_events_interval_merge,
+        "q_events_markov": q_events_markov,
+        "q_profile_columns": q_profile_columns,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -3525,7 +3685,86 @@ def _rnd_assign_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     cents = "CAST(floor({x}*100+0.5) AS BIGINT)"
+    sym_edges = f"""
+        p AS (
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                   's' || CAST(l_suppkey AS VARCHAR) AS b,
+                   count(DISTINCT o_orderkey) AS n
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2),
+        e AS MATERIALIZED (SELECT a, b FROM p WHERE n >= {CC_MIN_ORDERS}),
+        sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e)"""
     return {
+        "q_graph_bfs": f"""
+            WITH RECURSIVE {sym_edges},
+            src AS (SELECT DISTINCT a AS x FROM sym
+                    WHERE a LIKE 'c%'
+                      AND CAST(substr(a, 2) AS BIGINT) % {BFS_SRC_MOD} = 0),
+            walk(x, d) AS (
+                SELECT x, 0 FROM src
+                UNION
+                SELECT s.b, w.d + 1
+                FROM walk w JOIN sym s ON w.x = s.a
+                WHERE w.d < {BFS_MAX_HOPS})
+            SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1
+        """,
+        "q_events_cdc_apply": f"""
+            WITH ranked AS (
+                SELECT user_id, ts, event_id, event_type,
+                       {cents.format(x='value')} AS value_cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT user_id, ts AS last_ts, event_id,
+                   event_type AS last_event_type,
+                   value_cents AS last_value_cents
+            FROM ranked
+            WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
+        """,
+        "q_events_interval_merge": f"""
+            WITH iv AS (
+                SELECT user_id, ts AS s,
+                       ts + INTERVAL 1 MINUTE * (event_id % {IVM_MINUTES_MOD} + 1) AS e
+                FROM events),
+            w AS (
+                SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pmax
+                FROM iv),
+            isl AS (
+                SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+                FROM w)
+            SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                   count(*) AS n_intervals
+            FROM isl GROUP BY user_id, gid
+        """,
+        "q_events_markov": """
+            WITH seq AS (
+                SELECT event_type AS prev_state,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS next_state
+                FROM events),
+            cnt AS (
+                SELECT prev_state, next_state, count(*) AS n
+                FROM seq WHERE next_state IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT prev_state, next_state, n,
+                   CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY prev_state) AS p
+            FROM cnt
+        """,
+        "q_profile_columns": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col, count(*) AS n_rows,
+                       count(*) - count({c}) AS n_null,
+                       count(DISTINCT {c}) AS n_distinct,
+                       CAST(min({c}) AS VARCHAR) AS min_value,
+                       CAST(max({c}) AS VARCHAR) AS max_value
+                FROM lineitem"""
+            for c in PROFILE_COLS),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

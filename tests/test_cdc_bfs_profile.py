@@ -1,0 +1,252 @@
+"""Round-5 batch: CDC changelog apply, multi-source BFS, interval merge,
+transition counts, column profiling — DuckDB parity + brute-force parity
+incl. NULL keys, tombstone shadowing, disconnected graphs, nested/touching
+intervals, and all-null profile columns."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from whoiswho_ray.stages.cdc import apply_changelog
+from whoiswho_ray.stages.graph import bfs_distances
+from whoiswho_ray.stages.profile import profile_columns
+from whoiswho_ray.stages.windows import merge_intervals, transition_counts
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), na_position="last",
+                          ignore_index=True)
+
+
+def _assert_frames(a: pd.DataFrame, b: pd.DataFrame):
+    a, b = _sorted(a), _sorted(b)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in a.columns:
+        av, bv = a[c].to_numpy(object), b[c].to_numpy(object)
+        same = (av == bv) | (pd.isna(av.astype(object)) & pd.isna(bv.astype(object)))
+        assert same.all(), (c, np.flatnonzero(~same)[:5], a[c][~same][:3], b[c][~same][:3])
+
+
+class TestApplyChangelog:
+    def _brute(self, df, tombstones=("D",)):
+        df = df.sort_values(["k", "o1", "o2"], kind="stable")
+        last = df[~df["k"].duplicated(keep="last")]
+        return last[~last["op"].isin(tombstones)].reset_index(drop=True)
+
+    def test_random_parity(self):
+        rng = np.random.default_rng(5)
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 300, n),
+            "o1": rng.integers(0, 50, n),
+            "o2": np.arange(n, dtype=np.int64),  # unique tie-break
+            "op": rng.choice(["U", "U", "U", "D"], n),
+            "pay": rng.integers(-100, 100, n),
+        })
+        out = apply_changelog(rd.from_pandas(df), "k", ["o1", "o2"], "op",
+                              tombstones=("D",), payload_cols=["pay"]
+                              ).to_pandas()
+        _assert_frames(out, self._brute(df))
+
+    def test_tombstone_shadows_earlier_upserts(self):
+        # a delete as the LAST op removes the key even though upserts exist
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "o1": [0, 1, 0, 1],
+                           "o2": [0, 1, 2, 3],
+                           "op": ["U", "D", "D", "U"],
+                           "pay": [10, 20, 30, 40]})
+        out = apply_changelog(rd.from_pandas(df), "k", ["o1", "o2"], "op",
+                              tombstones=("D",), payload_cols=["pay"]
+                              ).to_pandas()
+        assert out["k"].tolist() == [2]
+        assert out["pay"].tolist() == [40]
+
+    def test_null_keys_compact_together(self):
+        df = pd.DataFrame({"k": [np.nan, np.nan, 3.0], "o1": [0, 1, 0],
+                           "o2": [0, 1, 2], "op": ["U", "U", "U"],
+                           "pay": [1, 2, 3]})
+        out = apply_changelog(rd.from_pandas(df), "k", ["o1", "o2"], "op",
+                              payload_cols=["pay"]).to_pandas()
+        assert len(out) == 2  # one NULL-key snapshot row + key 3
+        assert set(out["pay"]) == {2, 3}
+
+
+class TestBfsDistances:
+    def _brute(self, edges, sources, max_hops):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+        dist = {s: 0 for s in sources}
+        frontier = set(sources)
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        return pd.DataFrame({"node": list(dist), "dist": list(dist.values())})
+
+    def test_random_undirected_parity(self):
+        rng = np.random.default_rng(7)
+        m = 400
+        a = rng.integers(0, 120, m)
+        b = rng.integers(0, 120, m)
+        keep = a != b
+        pairs = {(f"n{u}", f"n{v}") for u, v in zip(a[keep], b[keep])}
+        sym = sorted(pairs | {(v, u) for u, v in pairs})
+        edges = pd.DataFrame(sym, columns=["src", "dst"])
+        sources = [f"n{i}" for i in range(0, 120, 13)]
+        out = bfs_distances(rd.from_pandas(edges),
+                            rd.from_pandas(pd.DataFrame({"node": sources})),
+                            max_hops=4).to_pandas()
+        _assert_frames(out, self._brute(sym, sources, 4))
+
+    def test_disconnected_and_early_stop(self):
+        # two components; sources only in one — the other stays absent,
+        # and the frontier drains before max_hops (early-break path)
+        edges = pd.DataFrame({"src": ["a", "b", "x", "y"],
+                              "dst": ["b", "a", "y", "x"]})
+        out = bfs_distances(rd.from_pandas(edges),
+                            rd.from_pandas(pd.DataFrame({"node": ["a"]})),
+                            max_hops=10).to_pandas()
+        assert dict(zip(out["node"], out["dist"])) == {"a": 0, "b": 1}
+
+    def test_directed_distances(self):
+        # chain a->b->c: directed, so nothing reaches a
+        edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+        out = bfs_distances(rd.from_pandas(edges),
+                            rd.from_pandas(pd.DataFrame({"node": ["a"]})),
+                            max_hops=5).to_pandas()
+        assert dict(zip(out["node"], out["dist"])) == {"a": 0, "b": 1, "c": 2}
+
+
+class TestMergeIntervals:
+    def _oracle(self, df):
+        con = duckdb.connect()
+        con.register("iv", df)
+        return con.sql("""
+            WITH w AS (
+                SELECT *, max(e) OVER (PARTITION BY k ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pmax
+                FROM iv),
+            isl AS (
+                SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY k ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+                FROM w)
+            SELECT k, min(s) AS island_start, max(e) AS island_end,
+                   count(*) AS n_intervals
+            FROM isl GROUP BY k, gid
+        """).df()
+
+    def test_random_int_intervals(self):
+        rng = np.random.default_rng(11)
+        n = 3000
+        s = rng.integers(0, 500, n)
+        df = pd.DataFrame({"k": rng.integers(0, 40, n),
+                           "s": s, "e": s + rng.integers(1, 30, n)})
+        out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
+        _assert_frames(out, self._oracle(df))
+
+    def test_nested_touching_point(self):
+        # nested [0,10]⊃[2,3], touching [10,12] (merges: s == pmax),
+        # gap to [13,13] point interval
+        df = pd.DataFrame({"k": [1, 1, 1, 1],
+                           "s": [0, 2, 10, 13], "e": [10, 3, 12, 13]})
+        out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
+        out = out.sort_values("island_start", ignore_index=True)
+        assert out["island_start"].tolist() == [0, 13]
+        assert out["island_end"].tolist() == [12, 13]
+        assert out["n_intervals"].tolist() == [3, 1]
+
+    def test_timestamps(self):
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta([0, 5, 60], "m")
+        df = pd.DataFrame({"k": [1, 1, 1], "s": ts,
+                           "e": ts + pd.to_timedelta([6, 2, 1], "m")})
+        out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
+        assert len(out) == 2
+        assert out["n_intervals"].sum() == 3
+
+
+class TestTransitionCounts:
+    def test_duckdb_parity(self):
+        rng = np.random.default_rng(13)
+        n = 5000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 80, n),
+            "o": np.arange(n, dtype=np.int64),
+            "st": rng.choice(["a", "b", "c", "d"], n),
+        })
+        out = transition_counts(rd.from_pandas(df), "k", ["o"], "st"
+                                ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        orc = con.sql("""
+            WITH seq AS (
+                SELECT st AS prev_state,
+                       lead(st) OVER (PARTITION BY k ORDER BY o) AS next_state
+                FROM t),
+            cnt AS (SELECT prev_state, next_state, count(*) AS n
+                    FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_state, next_state, n,
+                   CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_state) AS p
+            FROM cnt
+        """).df()
+        _assert_frames(out, orc)
+
+    def test_singleton_keys_emit_nothing(self):
+        df = pd.DataFrame({"k": [1, 2, 3], "o": [0, 1, 2],
+                           "st": ["a", "b", "c"]})
+        out = transition_counts(rd.from_pandas(df), "k", ["o"], "st"
+                                ).to_pandas()
+        assert len(out) == 0
+
+    def test_probabilities_sum_to_one_per_prev(self):
+        df = pd.DataFrame({"k": [1] * 6, "o": range(6),
+                           "st": ["a", "b", "a", "c", "a", "b"]})
+        out = transition_counts(rd.from_pandas(df), "k", ["o"], "st"
+                                ).to_pandas()
+        sums = out.groupby("prev_state")["p"].sum()
+        assert np.allclose(sums.to_numpy(), 1.0)
+
+
+class TestProfileColumns:
+    def test_duckdb_parity_with_nulls(self):
+        rng = np.random.default_rng(17)
+        n = 4000
+        i = rng.integers(-50, 5000, n).astype(object)
+        i[rng.random(n) < 0.1] = None
+        s = rng.choice(["x", "yy", "zzz", "w"], n).astype(object)
+        s[rng.random(n) < 0.05] = None
+        df = pd.DataFrame({"a": pd.array([None if v is None else int(v) for v in i],
+                                         dtype="Int64"),
+                           "b": s})
+        out = profile_columns(rd.from_pandas(df), ["a", "b"]).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        orc = con.sql("""
+            SELECT 'a' AS col, count(*) AS n_rows,
+                   count(*) - count(a) AS n_null,
+                   count(DISTINCT a) AS n_distinct,
+                   CAST(min(a) AS VARCHAR) AS min_value,
+                   CAST(max(a) AS VARCHAR) AS max_value FROM t
+            UNION ALL
+            SELECT 'b', count(*), count(*) - count(b),
+                   count(DISTINCT b),
+                   CAST(min(b) AS VARCHAR), CAST(max(b) AS VARCHAR) FROM t
+        """).df()
+        _assert_frames(out, orc)
+
+    def test_all_null_column(self):
+        df = pd.DataFrame({"a": pd.array([None, None], dtype="Int64"),
+                           "b": ["p", "q"]})
+        out = profile_columns(rd.from_pandas(df), ["a", "b"]).to_pandas()
+        row = out[out["col"] == "a"].iloc[0]
+        assert row["n_null"] == 2 and row["n_distinct"] == 0
+        assert pd.isna(row["min_value"]) and pd.isna(row["max_value"])

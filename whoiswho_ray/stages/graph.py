@@ -671,3 +671,74 @@ def _lpa_broadcast(und: "rd.Dataset", nodes: "rd.Dataset", n: int,
     # order and tie-breaks match the string rule)
     return rd.from_pandas(pd.DataFrame({"node": node_arr,
                                         "community": node_arr[lab]}))
+
+
+def bfs_distances(
+    edges: "rd.Dataset",
+    sources: "rd.Dataset",
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> "rd.Dataset":
+    """Multi-source BFS: minimum hop distance from ANY source node, capped
+    at ``max_hops`` (pass both edge directions for an undirected graph).
+
+    Hop-synchronous frontier expansion — the third iterative-shuffle graph
+    workload (after pagerank's dense rounds and connected_components'
+    star contraction). Per hop, two bucketed exchanges and nothing else:
+
+    * ``frontier ⋈ edges`` on the source endpoint (one hash-bucketed
+      co-group; the join task projects to DISTINCT destinations, so full
+      edge rows never leave the bucket);
+    * candidate ∖ visited (one bucketed anti co-group) — BFS's "first
+      visit wins" IS the min-distance rule, so no per-node min reduce is
+      ever needed.
+
+    The frontier/visited sets hold node ids only (no payload) and are
+    materialized per round — the round barrier is inherent to BFS.
+    Scale shape: each round's shuffles move O(frontier-adjacent edges),
+    never the whole graph; visited grows monotonically but stays one
+    skinny id column. Returns ``(node, dist)`` with dist int64 ∈
+    [0, max_hops]; unreachable nodes are absent.
+    """
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.joins import shuffle_hash_join, shuffle_semi_join
+
+    def with_dist(ds: "rd.Dataset", d: int) -> "rd.Dataset":
+        return ds.map_batches(
+            lambda df, _d=d: pd.DataFrame(
+                {node_col: df[node_col],
+                 "dist": np.full(len(df), _d, np.int64)}),
+            batch_format="pandas")
+
+    frontier = distinct(sources.select_columns([node_col]), [node_col],
+                        final="shuffle").materialize()
+    visited = with_dist(frontier, 0).materialize()
+
+    for hop in range(1, max_hops + 1):
+        hop_src = frontier.map_batches(
+            lambda df: pd.DataFrame({src_col: df[node_col]}),
+            batch_format="pandas")
+        # expand: edges ⋈ frontier on src; dedup destinations inside the
+        # join task, one skinny distinct shuffle finishes the candidates
+        cand = distinct(
+            shuffle_hash_join(
+                edges, hop_src, on=src_col,
+                project=lambda m: m[[dst_col]].drop_duplicates()),
+            [dst_col], final="shuffle").map_batches(
+            lambda df: pd.DataFrame({node_col: df[dst_col]}),
+            batch_format="pandas").materialize()
+        # a frontier of sink nodes expands to nothing — the empty Dataset
+        # has no schema, so break before the anti co-group would choke
+        if not cand.count():
+            break
+        new = shuffle_semi_join(
+            cand, visited.select_columns([node_col]), on=node_col,
+            anti=True).materialize()
+        if not new.count():
+            break
+        visited = visited.union(with_dist(new, hop)).materialize()
+        frontier = new
+
+    return visited

@@ -483,3 +483,103 @@ def cohort_retention(
                            whole_bucket=True)
     return grouped_agg(partials, ["cohort_period", "period_offset"],
                        {"n_users": ("n_users", "sum")})
+
+
+def merge_intervals(
+    ds: "ray.data.Dataset",
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> "ray.data.Dataset":
+    """Coalesce overlapping-or-touching intervals per key (gaps-and-islands
+    over RANGES — the output-side complement of ``joins.overlap_join``):
+    after sorting a key's intervals by (start, end), a new island opens
+    when ``start > max(end of all earlier intervals of the key)``.
+    Returns one row per island: (key, island_start, island_end,
+    n_intervals).
+
+    One key-hash bucket shuffle, then ONE vectorized pass per bucket:
+    sort, per-key running ``cummax(end)`` (C groupby), boundary mask,
+    island-id cumsum, one C groupby-agg — no per-key Python. Island
+    membership is order-independent under (start, end) ties: a tied start
+    can never open an island its twin didn't (prev cummax ≥ twin's end >
+    shared start). Timestamps compare as int64 microseconds — exact.
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {key: g[key], "island_start": g[start_col],
+                    "island_end": g[end_col], "n_intervals": pd.Series([], dtype="int64")}
+        if not len(g):
+            return pd.DataFrame({c: v.iloc[0:0] if isinstance(v, pd.Series) else v
+                                 for c, v in out_cols.items()})
+        g = g.sort_values([key, start_col, end_col],
+                          kind="stable").reset_index(drop=True)
+        # running max end over the key's EARLIER rows (strictly preceding)
+        pmax = g.groupby(key, sort=False)[end_col].cummax().shift()
+        same_key = g[key].eq(g[key].shift()) | (g[key].isna() & g[key].shift().isna())
+        new_island = (~same_key) | (g[start_col] > pmax)
+        g["__island"] = new_island.cumsum()
+        agg = g.groupby("__island", sort=True).agg(
+            **{key: (key, "first"),
+               "island_start": (start_col, "min"),
+               "island_end": (end_col, "max"),
+               "n_intervals": (start_col, "size")}).reset_index(drop=True)
+        agg["n_intervals"] = agg["n_intervals"].astype("int64")
+        return agg
+
+    return group_apply(ds, key, kernel, batch_format="pandas",
+                       whole_bucket=True)
+
+
+def transition_counts(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: list[str],
+    state_col: str,
+    prev_out: str = "prev_state",
+    next_out: str = "next_state",
+) -> "ray.data.Dataset":
+    """First-order transition (Markov bigram) counts over per-key ordered
+    event streams: for each key's sequence sorted by ``order_cols``, count
+    every adjacent (state_i → state_{i+1}) pair globally, and attach the
+    row-normalized transition probability ``p = n / Σ_next n``.
+
+    The sequence-feature primitive behind behavioral models and
+    session-path analytics. One key-hash bucket shuffle co-locates each
+    key's events; inside each bucket: one sort, one shift, one C groupby
+    → per-bucket PARTIAL counts (the combiner — the global shuffle moves
+    O(distinct state pairs), never O(events)); a tiny grouped sum
+    finishes, and ``p`` is one more pass over the (states²)-sized result.
+    ``p`` is a single IEEE double division of exact int64 counts —
+    bit-identical to the SQL oracle's ``CAST(n AS DOUBLE) / total``.
+    Returns (prev_state, next_state, n, p).
+    """
+    from whoiswho_ray.stages.agg import group_apply, grouped_agg
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({prev_out: pd.Series([], dtype=object),
+                              next_out: pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([key, *order_cols], kind="stable").reset_index(drop=True)
+        same_key = g[key].eq(g[key].shift(-1))
+        pairs = pd.DataFrame({prev_out: g[state_col],
+                              next_out: g[state_col].shift(-1)})[same_key.to_numpy()]
+        if not len(pairs):
+            return empty
+        out = pairs.groupby([prev_out, next_out], sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_agg(
+        group_apply(ds, key, partial, batch_format="pandas", whole_bucket=True),
+        [prev_out, next_out], {"n": ("n", "sum")}, final="shuffle")
+
+    def attach_p(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["p"] = g["n"].to_numpy("int64").astype("float64") / g["n"].sum()
+        return g
+
+    return group_apply(counts, prev_out, attach_p, batch_format="pandas")
