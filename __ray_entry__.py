@@ -2957,6 +2957,118 @@ def q_profile_columns(sf_dir: str):
     return profile_columns(li, PROFILE_COLS)
 
 
+KC_MIN_ORDERS = 2   # k-core graph keeps cust↔supp edges with ≥2 shared orders
+KC_K = 4            # the core order
+KC_UNROLL = 10      # oracle peel rounds; measured fixpoint ≤5 at sf≤0.1 (2×)
+
+
+def q_graph_kcore(sf_dir: str):
+    """k-core decomposition (stages/graph.py kcore — iterative peeling,
+    one degree count + two semi co-groups per round, survivor-count
+    fixpoint) over the denser ≥KC_MIN_ORDERS customer↔supplier graph.
+    Output (node, core_deg): the 4-core members with their within-core
+    degree. The oracle unrolls KC_UNROLL peel rounds — peeling is
+    monotone and idempotent at the fixpoint, so over-unrolling is exact;
+    the measured fixpoint is ≤5 rounds at every shipped sf (2× margin)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct, grouped_agg
+    from whoiswho_ray.stages.graph import kcore
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    triples = distinct(shuffle_hash_join(orders, li, on="o_orderkey"),
+                       ["o_custkey", "l_suppkey", "o_orderkey"],
+                       final="shuffle")
+    counts = grouped_agg(triples, ["o_custkey", "l_suppkey"],
+                         {"n": (None, "count")}, final="shuffle")
+
+    def to_sym(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n"] >= KC_MIN_ORDERS]
+        c = "c" + keep["o_custkey"].astype(str)
+        s = "s" + keep["l_suppkey"].astype(str)
+        return pd.DataFrame({"src": pd.concat([c, s], ignore_index=True),
+                             "dst": pd.concat([s, c], ignore_index=True)})
+
+    return kcore(counts.map_batches(to_sym, batch_format="pandas"), k=KC_K)
+
+
+def _q_graph_kcore_oracle_sql() -> str:
+    """Unrolled peel chain: s_i = nodes of e_i with degree ≥ k,
+    e_{i+1} = edges of e_i with both endpoints in s_i."""
+    parts = [f"""
+        p AS (
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                   's' || CAST(l_suppkey AS VARCHAR) AS b,
+                   count(DISTINCT o_orderkey) AS n
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2),
+        ee AS (SELECT a, b FROM p WHERE n >= {KC_MIN_ORDERS}),
+        e0 AS MATERIALIZED (SELECT a, b FROM ee UNION SELECT b, a FROM ee)"""]
+    # every CTE MATERIALIZED: e_{{i+1}} references e_i three times, so
+    # inlining would expand the chain 3^KC_UNROLL-fold
+    for i in range(KC_UNROLL):
+        parts.append(f"""
+        s{i} AS MATERIALIZED (SELECT a AS x, count(*) AS d FROM e{i}
+                 GROUP BY 1 HAVING count(*) >= {KC_K}),
+        e{i + 1} AS MATERIALIZED (SELECT a, b FROM e{i}
+                     WHERE a IN (SELECT x FROM s{i})
+                       AND b IN (SELECT x FROM s{i}))""")
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM e{KC_UNROLL} GROUP BY 1 HAVING count(*) >= {KC_K}""")
+
+
+DIFF_A_MOD, DIFF_B_MOD, DIFF_BUMP_MOD = 3, 5, 7
+
+
+def q_orders_snapshot_diff(sf_dir: str):
+    """Keyed snapshot reconciliation (stages/diff.py snapshot_diff):
+    version A = orders with orderkey % 3 != 0; version B = orders with
+    orderkey % 5 != 0 and a +100-cent price bump on orderkey % 7 == 0 —
+    classify every key as added / removed / changed (IS DISTINCT FROM
+    payload compare), unchanged keys dropped so the result is
+    delta-sized. One typed-null bucketed exchange + vectorized outer
+    merge per bucket. Absent-side sentinels: price → -1, status → ''."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.diff import snapshot_diff
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def snap(df: pd.DataFrame, keep_mod: int, bump: bool) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        m = k % keep_mod != 0
+        cents = _cents(df["o_totalprice"])[m]
+        if bump:
+            cents = cents + 100 * (k[m] % DIFF_BUMP_MOD == 0)
+        return pd.DataFrame({"o_orderkey": k[m],
+                             "price_cents": cents.astype(np.int64),
+                             "status": df["o_orderstatus"].to_numpy()[m]})
+
+    a = orders.map_batches(lambda df: snap(df, DIFF_A_MOD, False),
+                           batch_format="pandas")
+    b = orders.map_batches(lambda df: snap(df, DIFF_B_MOD, True),
+                           batch_format="pandas")
+    d = snapshot_diff(a, b, "o_orderkey", ["price_cents", "status"])
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "change_type": df["change_type"],
+            "old_price_cents": df["old_price_cents"].fillna(-1).astype(np.int64),
+            "new_price_cents": df["new_price_cents"].fillna(-1).astype(np.int64),
+            "old_status": df["old_status"].fillna(""),
+            "new_status": df["new_status"].fillna(""),
+        })
+
+    return d.map_batches(fmt, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver grades queries in dict order (observed cap
     # ~50 per round). Round-5 rotation (VERDICT r4 #2): every exact-oracled
@@ -2976,6 +3088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_interval_merge": q_events_interval_merge,
         "q_events_markov": q_events_markov,
         "q_profile_columns": q_profile_columns,
+        "q_orders_snapshot_diff": q_orders_snapshot_diff,
+        "q_graph_kcore": q_graph_kcore,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -3756,6 +3870,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                    / sum(n) OVER (PARTITION BY prev_state) AS p
             FROM cnt
+        """,
+        "q_graph_kcore": _q_graph_kcore_oracle_sql(),
+        "q_orders_snapshot_diff": f"""
+            WITH a AS (
+                SELECT o_orderkey, {cents.format(x='o_totalprice')} AS pc,
+                       o_orderstatus AS st
+                FROM orders WHERE o_orderkey % {DIFF_A_MOD} != 0),
+            b AS (
+                SELECT o_orderkey,
+                       {cents.format(x='o_totalprice')}
+                       + CASE WHEN o_orderkey % {DIFF_BUMP_MOD} = 0
+                              THEN 100 ELSE 0 END AS pc,
+                       o_orderstatus AS st
+                FROM orders WHERE o_orderkey % {DIFF_B_MOD} != 0),
+            j AS (
+                SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       a.o_orderkey IS NULL AS miss_a,
+                       b.o_orderkey IS NULL AS miss_b,
+                       (a.pc IS DISTINCT FROM b.pc
+                        OR a.st IS DISTINCT FROM b.st) AS differs,
+                       a.pc AS old_pc, b.pc AS new_pc,
+                       a.st AS old_st, b.st AS new_st
+                FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+            SELECT o_orderkey,
+                   CASE WHEN miss_a THEN 'added'
+                        WHEN miss_b THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   coalesce(old_pc, -1) AS old_price_cents,
+                   coalesce(new_pc, -1) AS new_price_cents,
+                   coalesce(old_st, '') AS old_status,
+                   coalesce(new_st, '') AS new_status
+            FROM j WHERE miss_a OR miss_b OR differs
         """,
         "q_profile_columns": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col, count(*) AS n_rows,

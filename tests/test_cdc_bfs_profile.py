@@ -250,3 +250,52 @@ class TestProfileColumns:
         row = out[out["col"] == "a"].iloc[0]
         assert row["n_null"] == 2 and row["n_distinct"] == 0
         assert pd.isna(row["min_value"]) and pd.isna(row["max_value"])
+
+
+class TestKcore:
+    def _brute(self, sym_pairs, k):
+        adj = {}
+        for u, v in sym_pairs:
+            adj.setdefault(u, set()).add(v)
+        nodes = set(adj)
+        while True:
+            drop = {u for u in nodes if len(adj[u] & nodes) < k}
+            if not drop:
+                break
+            nodes -= drop
+        return pd.DataFrame(
+            {"node": sorted(nodes),
+             "core_deg": [len(adj[u] & nodes) for u in sorted(nodes)]})
+
+    def _run(self, sym_pairs, k):
+        from whoiswho_ray.stages.graph import kcore
+        edges = pd.DataFrame(sorted(sym_pairs), columns=["src", "dst"])
+        return kcore(rd.from_pandas(edges), k=k).to_pandas()
+
+    def test_random_parity(self):
+        rng = np.random.default_rng(29)
+        a = rng.integers(0, 90, 500)
+        b = rng.integers(0, 90, 500)
+        keep = a != b
+        pairs = {(f"n{u}", f"n{v}") for u, v in zip(a[keep], b[keep])}
+        sym = pairs | {(v, u) for u, v in pairs}
+        out = self._run(sym, 4)
+        _assert_frames(out, self._brute(sym, 4))
+
+    def test_path_graph_multi_round_peel(self):
+        # path a0-a1-...-a9 with k=2 peels 2 ends per round — 5 rounds
+        # to an empty core (the long-peel regime the unrolled oracle's
+        # margin guards against)
+        pairs = {(f"a{i}", f"a{i+1}") for i in range(9)}
+        sym = pairs | {(v, u) for u, v in pairs}
+        out = self._run(sym, 2)
+        assert len(out) == 0
+
+    def test_core_with_tail(self):
+        # K4 clique + a pendant chain: the 3-core is exactly the clique
+        clique = {(f"c{i}", f"c{j}") for i in range(4) for j in range(4)
+                  if i != j}
+        tail = {("c0", "t1"), ("t1", "c0"), ("t1", "t2"), ("t2", "t1")}
+        out = self._run(clique | tail, 3)
+        assert sorted(out["node"]) == ["c0", "c1", "c2", "c3"]
+        assert set(out["core_deg"]) == {3}

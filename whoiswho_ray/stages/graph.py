@@ -742,3 +742,59 @@ def bfs_distances(
         frontier = new
 
     return visited
+
+
+def kcore(
+    edges: "rd.Dataset",
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> "rd.Dataset":
+    """k-core decomposition by iterative peeling (pass both directions
+    for undirected): repeatedly drop nodes with degree < k and the edges
+    touching them until a fixpoint. Returns the surviving nodes with
+    their WITHIN-CORE degree: (node, core_deg).
+
+    The iterative-prune graph workload (vs pagerank's dense rounds and
+    BFS's frontier expansion). Per round: one grouped degree count +
+    two bucketed semi co-groups filtering the edge list — each round's
+    shuffles shrink with the surviving edge set, so late rounds are
+    nearly free. Peeling is monotone (survivor sets only shrink), so an
+    unchanged survivor COUNT is the fixpoint; rounds past it are no-ops
+    — which is also what makes an over-unrolled SQL oracle exact.
+    """
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_semi_join
+
+    ed = edges.select_columns([src_col, dst_col]).materialize()
+    deg = None
+    prev_n: int | None = None
+    for _ in range(max_rounds):
+        def survivors(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["core_deg"].to_numpy(np.int64) >= k
+            return pd.DataFrame(
+                {"node": df[src_col].to_numpy()[keep],
+                 "core_deg": df["core_deg"].to_numpy(np.int64)[keep]})
+
+        deg = grouped_agg(ed, src_col, {"core_deg": (None, "count")},
+                          final="shuffle").map_batches(
+            survivors, batch_format="pandas").materialize()
+        n = deg.count()
+        if n == 0:
+            return rd.from_pandas(pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "core_deg": pd.Series([], dtype=np.int64)}))
+        if n == prev_n:
+            break
+        prev_n = n
+        surv = deg.select_columns(["node"])
+        half = shuffle_semi_join(
+            ed, surv.map_batches(
+                lambda df: df.rename(columns={"node": src_col}),
+                batch_format="pandas"), on=src_col)
+        ed = shuffle_semi_join(
+            half, surv.map_batches(
+                lambda df: df.rename(columns={"node": dst_col}),
+                batch_format="pandas"), on=dst_col).materialize()
+    return deg
