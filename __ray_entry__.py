@@ -2957,6 +2957,25 @@ def q_profile_columns(sf_dir: str):
     return profile_columns(li, PROFILE_COLS)
 
 
+KEYWORDS_K = 3
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction (stages/text_analysis.py
+    doc_keywords): top-3 tokens per doc by tf/df (the fixed-N monotone
+    TF-IDF surrogate — no engine-dependent log), ties by token. The
+    explode reuses the inverted-index front-end; df is a skinny
+    token-bucketed count; one token co-group attach + one doc-bucketed
+    top-k pass. score = one double division of exact ints → bit-exact
+    oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import doc_keywords
+
+    return doc_keywords(read_table(sf_dir, "documents",
+                                   columns=["doc_id", "text"]),
+                        k=KEYWORDS_K)
+
+
 KC_MIN_ORDERS = 2   # k-core graph keeps cust↔supp edges with ≥2 shared orders
 KC_K = 4            # the core order
 KC_UNROLL = 10      # oracle peel rounds; measured fixpoint ≤5 at sf≤0.1 (2×)
@@ -3090,6 +3109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile_columns": q_profile_columns,
         "q_orders_snapshot_diff": q_orders_snapshot_diff,
         "q_graph_kcore": q_graph_kcore,
+        "q_doc_keywords": q_doc_keywords,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -3872,6 +3892,29 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
         """,
         "q_graph_kcore": _q_graph_kcore_oracle_sql(),
+        "q_doc_keywords": f"""
+            WITH tok AS (
+                SELECT doc_id, t.token
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS t(token)
+                WHERE t.token <> ''),
+            pairs AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+            dfc AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+            scored AS (
+                SELECT p.doc_id, p.token, p.tf, d.df,
+                       CAST(p.tf AS DOUBLE) / d.df AS score
+                FROM pairs p JOIN dfc d USING (token)),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, token)
+                          AS rank
+                FROM scored)
+            SELECT doc_id, rank, token, tf, df, score
+            FROM ranked WHERE rank <= {KEYWORDS_K}
+        """,
         "q_orders_snapshot_diff": f"""
             WITH a AS (
                 SELECT o_orderkey, {cents.format(x='o_totalprice')} AS pc,

@@ -299,3 +299,56 @@ class TestKcore:
         out = self._run(clique | tail, 3)
         assert sorted(out["node"]) == ["c0", "c1", "c2", "c3"]
         assert set(out["core_deg"]) == {3}
+
+
+class TestDocKeywords:
+    def _check(self, docs: pd.DataFrame, k: int):
+        import duckdb
+
+        from whoiswho_ray.stages.text_analysis import doc_keywords
+        out = doc_keywords(rd.from_pandas(docs), k=k).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        orc = con.sql(f"""
+            WITH tok AS (
+                SELECT doc_id, t.token
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS t(token)
+                WHERE t.token <> ''),
+            pairs AS (SELECT doc_id, token, count(*) AS tf
+                      FROM tok GROUP BY 1, 2),
+            dfc AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+            scored AS (SELECT p.doc_id, p.token, p.tf, d.df,
+                              CAST(p.tf AS DOUBLE) / d.df AS score
+                       FROM pairs p JOIN dfc d USING (token)),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token) AS rank
+                       FROM scored)
+            SELECT doc_id, rank, token, tf, df, score
+            FROM ranked WHERE rank <= {k}
+        """).df()
+        _assert_frames(out, orc)
+
+    def test_random_corpus_parity(self):
+        rng = np.random.default_rng(31)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = pd.DataFrame({
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, rng.integers(1, 40)))
+                     for _ in range(120)],
+        })
+        self._check(docs, 3)
+
+    def test_short_docs_and_ties(self):
+        # doc 1 has 2 distinct tokens (< k); docs 2/3 make 'b' and 'c'
+        # equal-df so doc 1's tie breaks on token order
+        docs = pd.DataFrame({
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["b c", "b x x", "c y y"],
+        })
+        self._check(docs, 3)
+        from whoiswho_ray.stages.text_analysis import doc_keywords
+        out = doc_keywords(rd.from_pandas(docs), k=3).to_pandas()
+        d1 = out[out["doc_id"] == 1].sort_values("rank")
+        assert d1["token"].tolist() == ["b", "c"]  # tie -> token asc

@@ -1580,3 +1580,63 @@ def token_cooccurrence(
     return (out.sort_values(["cnt", "tok_a", "tok_b"],
                             ascending=[False, True, True], kind="stable")
             .head(k).reset_index(drop=True))
+
+
+def doc_keywords(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document keyword extraction: the top-``k`` tokens of each doc
+    by document-frequency-normalized term weight ``score = tf / df``
+    (the fixed-N monotone surrogate of TF-IDF — same ranking, no
+    engine-dependent log), ties broken by token ascending.
+
+    Returns (doc_id, rank, token, tf, df, score); rank is 1-based and
+    dense per doc. score is ONE IEEE double division of exact int64
+    counts, so the SQL oracle matches bitwise.
+
+    Scale shape: the (token, doc, tf) explode reuses the inverted-index
+    front-end (one Arrow split per batch, per-batch-distinct pairs);
+    df is a skinny token-bucketed count; df attaches back with one
+    token-hash co-group; the final per-doc top-k is one doc-bucketed
+    lexsort + boundary-rank pass — every exchange moves (token, id, int)
+    triples, never text.
+    """
+    from whoiswho_ray.stages.agg import group_apply, grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    pairs = ds.map_batches(_index_pairs(id_col, text_col),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    df_counts = grouped_agg(pairs, "token", {"df": (None, "count")},
+                            final="shuffle")
+    scored = shuffle_hash_join(
+        pairs, df_counts, on="token",
+        project=lambda m: pd.DataFrame({
+            id_col: m["__id"],
+            "token": m["token"],
+            "tf": m["tf"].astype(np.int64),
+            "df": m["df"].astype(np.int64),
+            "score": m["tf"].to_numpy(np.int64).astype(np.float64)
+                     / m["df"].to_numpy(np.int64),
+        }))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            g["rank"] = pd.Series([], dtype=np.int64)
+            return g[[id_col, "rank", "token", "tf", "df", "score"]]
+        order = np.lexsort((g["token"].to_numpy(str),
+                            -g["score"].to_numpy(np.float64),
+                            g[id_col].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        new_doc = np.r_[True, ids[1:] != ids[:-1]]
+        start = np.maximum.accumulate(
+            np.where(new_doc, np.arange(len(g), dtype=np.int64), 0))
+        rank = np.arange(len(g), dtype=np.int64) - start + 1
+        g["rank"] = rank
+        return g[rank <= k][[id_col, "rank", "token", "tf", "df", "score"]]
+
+    return group_apply(scored, id_col, topk, batch_format="pandas",
+                       whole_bucket=True)
