@@ -2941,7 +2941,7 @@ def q_events_markov(sf_dir: str):
                              state_col="event_type")
 
 
-PROFILE_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+PROFILE_COLS_LI = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
 
 
 def q_profile_columns(sf_dir: str):
@@ -2953,8 +2953,8 @@ def q_profile_columns(sf_dir: str):
     from whoiswho_ray.sources.tables import read_table
     from whoiswho_ray.stages.profile import profile_columns
 
-    li = read_table(sf_dir, "lineitem", columns=PROFILE_COLS)
-    return profile_columns(li, PROFILE_COLS)
+    li = read_table(sf_dir, "lineitem", columns=PROFILE_COLS_LI)
+    return profile_columns(li, PROFILE_COLS_LI)
 
 
 KEYWORDS_K = 3
@@ -3953,7 +3953,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min({c}) AS VARCHAR) AS min_value,
                        CAST(max({c}) AS VARCHAR) AS max_value
                 FROM lineitem"""
-            for c in PROFILE_COLS),
+            for c in PROFILE_COLS_LI),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -566,56 +566,31 @@ def grouped_quantiles_cont(
 
 
 def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> pd.DataFrame:
-    """Per-column data profile — the data-engineering staple (n, nulls,
-    exact distinct count, lexicographic min/max as strings) over a
-    streaming pass per statistic family:
-
-    * n / nulls / min / max: one ``map_batches`` partial per batch (four
-      numbers per column per batch), driver combine — no shuffle;
-    * n_distinct: EXACT, one bucketed ``distinct(final='shuffle')`` count
-      per column (unbounded cardinality never lands on the driver; swap
-      in ``sketch.hll_count`` when approximate is acceptable at scale).
-
-    min/max are reported as strings via ``str()`` of the native value —
-    callers needing typed extremes should read the column directly; for
-    cross-engine exactness use integer/string/date columns (float
-    formatting differs between engines).
+    """Per-column data profile — driver-DataFrame wrapper over the
+    distributed :func:`whoiswho_ray.stages.profile.profile_columns`
+    (one scalar-partial pass + ONE shared distinct exchange for all
+    columns — the previous version rescanned the dataset once per
+    column for its distinct counts). Output schema kept for existing
+    callers: (column, n, nulls, n_distinct, min_s, max_s); min/max
+    stringified only after combining in the native domain ("10" > "9"
+    stays numeric). Swap in ``sketch.hll_count`` when approximate
+    distinct is acceptable at scale.
     """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # WIDE layout — one row per batch, per-statistic columns stay in
-        # each source column's native type (min/max must combine in the
-        # native domain: stringifying first would compare "10" < "9",
-        # and a tall object column would mix types across source columns
-        # and break the Arrow block conversion)
-        row = {}
-        for c in cols:
-            s = df[c]
-            nn = s.notna()
-            vals = s[nn]
-            row[f"n__{c}"] = [len(s)]
-            row[f"z__{c}"] = [int((~nn).sum())]
-            row[f"lo__{c}"] = [vals.min() if len(vals) else None]
-            row[f"hi__{c}"] = [vals.max() if len(vals) else None]
-        return pd.DataFrame(row)
+    from whoiswho_ray.stages.profile import profile_columns as _profile
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = []
-    for c in cols:
-        mins = parts[f"lo__{c}"].dropna()
-        maxs = parts[f"hi__{c}"].dropna()
-        nd = distinct(
-            ds.map_batches(lambda df, _c=c: df.loc[df[_c].notna(), [_c]],
-                           batch_format="pandas"),
-            [c], final="shuffle").count()
-        out.append({
-            "column": c,
-            "n": int(parts[f"n__{c}"].sum()),
-            "nulls": int(parts[f"z__{c}"].sum()),
-            "n_distinct": int(nd),
-            "min_s": str(mins.min()) if len(mins) else None,
-            "max_s": str(maxs.max()) if len(maxs) else None,
-        })
-    return pd.DataFrame(out)
+    out = _profile(ds, cols).to_pandas()
+    res = pd.DataFrame({
+        "column": out["col"],
+        "n": out["n_rows"].astype(np.int64),
+        "nulls": out["n_null"].astype(np.int64),
+        "n_distinct": out["n_distinct"].astype(np.int64),
+        "min_s": out["min_value"].astype(object),
+        "max_s": out["max_value"].astype(object),
+    })
+    for c in ("min_s", "max_s"):
+        res[c] = res[c].where(res[c].notna(), None)
+    # preserve the caller's column order (the join result is unordered)
+    return res.set_index("column").loc[cols].reset_index()
 
 def rollup(
     ds: "ray.data.Dataset",

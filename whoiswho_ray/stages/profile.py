@@ -6,9 +6,15 @@ pass computes all scalar partials for every profiled column at once
 (O(cols) tiny rows per batch leave the scan); the exact distinct counts
 ride a second skinny exchange of per-batch-unique (col, value) pairs —
 the shuffle moves each distinct value once per batch it appears in,
-never the raw rows. Supports int64 and string columns (the fixture's
-types); min/max are formatted to VARCHAR only at the very end so
-partials combine under the NATIVE type order ('9' < '10' stays numeric).
+never the raw rows.
+
+The tall partial layout (one row per column) cannot keep each source
+column's native dtype in one shared min/max column, so extremes travel
+through three TYPED channels — int64, float64, and string — and only
+the final formatter stringifies. The string channel is only correct for
+types whose ``str()`` is order-preserving (strings, ISO timestamps);
+ints and floats use their numeric channels, so '9' < '10' stays
+numeric (the classic stringified-min trap).
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Datase
     n_distinct excluding NULLs (SQL ``count(DISTINCT x)`` semantics).
     """
     from whoiswho_ray.stages.agg import distinct, grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_hash_join
 
     def scalar_partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -33,18 +40,24 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Datase
             s = df[c]
             nn = s.dropna()
             is_int = pd.api.types.is_integer_dtype(s)
+            is_flt = pd.api.types.is_float_dtype(s)
+            has = len(nn) > 0
             rows.append({
                 "col": c,
                 "n_rows": np.int64(len(s)),
                 "n_null": np.int64(s.isna().sum()),
-                "vmin_i": np.int64(nn.min()) if is_int and len(nn) else None,
-                "vmax_i": np.int64(nn.max()) if is_int and len(nn) else None,
-                "vmin_s": None if is_int else (str(nn.min()) if len(nn) else None),
-                "vmax_s": None if is_int else (str(nn.max()) if len(nn) else None),
+                "vmin_i": np.int64(nn.min()) if is_int and has else None,
+                "vmax_i": np.int64(nn.max()) if is_int and has else None,
+                "vmin_f": np.float64(nn.min()) if is_flt and has else None,
+                "vmax_f": np.float64(nn.max()) if is_flt and has else None,
+                "vmin_s": str(nn.min()) if not (is_int or is_flt) and has else None,
+                "vmax_s": str(nn.max()) if not (is_int or is_flt) and has else None,
             })
         out = pd.DataFrame(rows)
         out["vmin_i"] = out["vmin_i"].astype("Int64")
         out["vmax_i"] = out["vmax_i"].astype("Int64")
+        out["vmin_f"] = out["vmin_f"].astype("float64")
+        out["vmax_f"] = out["vmax_f"].astype("float64")
         return out
 
     scalars = grouped_agg(
@@ -53,6 +66,7 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Datase
         "col",
         {"n_rows": ("n_rows", "sum"), "n_null": ("n_null", "sum"),
          "vmin_i": ("vmin_i", "min"), "vmax_i": ("vmax_i", "max"),
+         "vmin_f": ("vmin_f", "min"), "vmax_f": ("vmax_f", "max"),
          "vmin_s": ("vmin_s", "min"), "vmax_s": ("vmax_s", "max")},
         final="shuffle")
 
@@ -70,13 +84,16 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Datase
                  ["col", "value"], final="shuffle"),
         "col", {"n_distinct": (None, "count")}, final="shuffle")
 
-    from whoiswho_ray.stages.joins import shuffle_hash_join
-
     def fmt(m: pd.DataFrame) -> pd.DataFrame:
-        vi = m["vmin_i"]
-        min_v = np.where(vi.notna(), vi.astype("Int64").astype(str), m["vmin_s"])
-        max_v = np.where(m["vmax_i"].notna(),
-                         m["vmax_i"].astype("Int64").astype(str), m["vmax_s"])
+        def pick(i_col: str, f_col: str, s_col: str) -> pd.Series:
+            iv, fv, sv = m[i_col], m[f_col], m[s_col]
+            out = np.where(iv.notna(), iv.astype("Int64").astype(str),
+                           np.where(fv.notna(),
+                                    fv.astype("float64").astype(str),
+                                    sv))
+            return pd.Series(out, index=m.index, dtype=object).where(
+                iv.notna() | fv.notna() | sv.notna(), None)
+
         return pd.DataFrame({
             "col": m["col"],
             "n_rows": m["n_rows"].astype("int64"),
@@ -84,8 +101,8 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Datase
             # an entirely-NULL column has no distinct rows to join —
             # count(DISTINCT x) is 0, not absent
             "n_distinct": m["n_distinct"].fillna(0).astype("int64"),
-            "min_value": pd.Series(min_v, dtype=object),
-            "max_value": pd.Series(max_v, dtype=object),
+            "min_value": pick("vmin_i", "vmin_f", "vmin_s"),
+            "max_value": pick("vmax_i", "vmax_f", "vmax_s"),
         })
 
     return shuffle_hash_join(scalars, ndist, on="col", how="left",
