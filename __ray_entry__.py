@@ -2806,10 +2806,11 @@ BFS_SRC_MOD = 10   # BFS sources: customer nodes with custkey % this == 0
 BFS_MAX_HOPS = 6
 
 
-def _sparsified_sym_edges(sf_dir: str):
+def _sparsified_sym_edges(sf_dir: str, min_orders: int | None = None):
     """The shared customer↔supplier graph (edge when the pair shares ≥
-    CC_MIN_ORDERS distinct orders), SYMMETRIC (src, dst) string rows —
-    the same fused-join front-end as q_graph_components."""
+    ``min_orders`` distinct orders, default CC_MIN_ORDERS), SYMMETRIC
+    (src, dst) string rows — the same fused-join front-end as
+    q_graph_components."""
     from whoiswho_ray.sources.tables import read_table
     from whoiswho_ray.stages.agg import distinct, grouped_agg
     from whoiswho_ray.stages.joins import shuffle_hash_join
@@ -2825,8 +2826,10 @@ def _sparsified_sym_edges(sf_dir: str):
     counts = grouped_agg(triples, ["o_custkey", "l_suppkey"],
                          {"n": (None, "count")}, final="shuffle")
 
+    thresh = CC_MIN_ORDERS if min_orders is None else min_orders
+
     def to_sym(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[df["n"] >= CC_MIN_ORDERS]
+        keep = df[df["n"] >= thresh]
         c = "c" + keep["o_custkey"].astype(str)
         s = "s" + keep["l_suppkey"].astype(str)
         return pd.DataFrame({"src": pd.concat([c, s], ignore_index=True),
@@ -2845,7 +2848,7 @@ def q_graph_bfs(sf_dir: str):
     from whoiswho_ray.stages.agg import distinct
     from whoiswho_ray.stages.graph import bfs_distances
 
-    edges = _sparsified_sym_edges(sf_dir)
+    edges = _sparsified_sym_edges(sf_dir, min_orders=KC_MIN_ORDERS)
 
     def pick_sources(df: pd.DataFrame) -> pd.DataFrame:
         src = df["src"]
@@ -2856,7 +2859,12 @@ def q_graph_bfs(sf_dir: str):
 
     sources = distinct(edges.map_batches(pick_sources, batch_format="pandas"),
                        ["node"], final="shuffle")
-    return bfs_distances(edges, sources, max_hops=BFS_MAX_HOPS)
+    out = bfs_distances(edges, sources, max_hops=BFS_MAX_HOPS)
+    if not out.count():  # metadata on the materialized result
+        # Ray to_pandas drops columns on 0 rows — hand back a typed frame
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype=np.int64)})
+    return out
 
 
 CDC_TOMBSTONE = "error"  # an 'error' as a user's LAST event deletes the row
@@ -2957,6 +2965,95 @@ def q_profile_columns(sf_dir: str):
     return profile_columns(li, PROFILE_COLS_LI)
 
 
+HITS_ITERS = 3
+
+
+def q_graph_hits(sf_dir: str):
+    """HITS hubs-and-authorities (stages/graph.py hits — Kleinberg's
+    mutual reinforcement, L2-normalized each half-step, broadcast-state
+    bincount iterations) over the DIRECTED customer→supplier graph
+    (distinct order-sharing pairs, same fused front-end as pagerank).
+    Hubs are customers, authorities suppliers. Output in integer
+    nano-units (rint(x·1e9)) — exactly comparable across engines under
+    the verified grid margin (pagerank discipline)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.graph import hits
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = shuffle_hash_join(
+        orders, li, on="o_orderkey",
+        project=lambda m: m[["o_custkey", "l_suppkey"]].drop_duplicates())
+    pairs = distinct(joined, ["o_custkey", "l_suppkey"], final="shuffle")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "c" + df["o_custkey"].astype(str),
+            "dst": "s" + df["l_suppkey"].astype(str)})
+
+    out = hits(pairs.map_batches(to_edges, batch_format="pandas"),
+               iters=HITS_ITERS)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"],
+            "hub_e9": np.rint(df["hub"].to_numpy() * 1e9).astype(np.int64),
+            "auth_e9": np.rint(df["auth"].to_numpy() * 1e9).astype(np.int64),
+        })
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_graph_hits_oracle_sql() -> str:
+    """Unrolled SQL replay of the HITS rounds — every CTE MATERIALIZED
+    (each level is referenced by the next AND by its normalization
+    subquery)."""
+    parts = ["""
+        eb AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS MATERIALIZED (
+            SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                   's' || CAST(s AS VARCHAR) AS dst FROM eb),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+        h0 AS (SELECT node, 1.0 AS h FROM nodes)"""]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(f"""
+        ap{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(x.sm, 0.0) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.h) AS sm
+                FROM edges e JOIN h{i - 1} p ON p.node = e.src
+                GROUP BY 1) x ON x.node = n.node),
+        a{i} AS MATERIALIZED (
+            SELECT node, v / sqrt((SELECT sum(v * v) FROM ap{i})) AS a
+            FROM ap{i}),
+        hp{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(x.sm, 0.0) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, sum(p.a) AS sm
+                FROM edges e JOIN a{i} p ON p.node = e.dst
+                GROUP BY 1) x ON x.node = n.node),
+        h{i} AS MATERIALIZED (
+            SELECT node, v / sqrt((SELECT sum(v * v) FROM hp{i})) AS h
+            FROM hp{i})""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT h{HITS_ITERS}.node,
+               CAST(round(h{HITS_ITERS}.h * 1e9, 0) AS BIGINT) AS hub_e9,
+               CAST(round(a{HITS_ITERS}.a * 1e9, 0) AS BIGINT) AS auth_e9
+        FROM h{HITS_ITERS} JOIN a{HITS_ITERS}
+          ON h{HITS_ITERS}.node = a{HITS_ITERS}.node
+    """
+
+
 KEYWORDS_K = 3
 
 
@@ -3012,7 +3109,11 @@ def q_graph_kcore(sf_dir: str):
         return pd.DataFrame({"src": pd.concat([c, s], ignore_index=True),
                              "dst": pd.concat([s, c], ignore_index=True)})
 
-    return kcore(counts.map_batches(to_sym, batch_format="pandas"), k=KC_K)
+    out = kcore(counts.map_batches(to_sym, batch_format="pandas"), k=KC_K)
+    if not out.count():  # metadata on the materialized result
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "core_deg": pd.Series([], dtype=np.int64)})
+    return out
 
 
 def _q_graph_kcore_oracle_sql() -> str:
@@ -3110,6 +3211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_snapshot_diff": q_orders_snapshot_diff,
         "q_graph_kcore": q_graph_kcore,
         "q_doc_keywords": q_doc_keywords,
+        "q_graph_hits": q_graph_hits,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -3819,18 +3921,18 @@ def _rnd_assign_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     cents = "CAST(floor({x}*100+0.5) AS BIGINT)"
-    sym_edges = f"""
+    sym_edges_bfs = f"""
         p AS (
             SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
                    's' || CAST(l_suppkey AS VARCHAR) AS b,
                    count(DISTINCT o_orderkey) AS n
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY 1, 2),
-        e AS MATERIALIZED (SELECT a, b FROM p WHERE n >= {CC_MIN_ORDERS}),
+        e AS MATERIALIZED (SELECT a, b FROM p WHERE n >= {KC_MIN_ORDERS}),
         sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e)"""
     return {
         "q_graph_bfs": f"""
-            WITH RECURSIVE {sym_edges},
+            WITH RECURSIVE {sym_edges_bfs},
             src AS (SELECT DISTINCT a AS x FROM sym
                     WHERE a LIKE 'c%'
                       AND CAST(substr(a, 2) AS BIGINT) % {BFS_SRC_MOD} = 0),
@@ -3892,6 +3994,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
         """,
         "q_graph_kcore": _q_graph_kcore_oracle_sql(),
+        "q_graph_hits": _q_graph_hits_oracle_sql(),
         "q_doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, t.token

@@ -352,3 +352,49 @@ class TestDocKeywords:
         out = doc_keywords(rd.from_pandas(docs), k=3).to_pandas()
         d1 = out[out["doc_id"] == 1].sort_values("rank")
         assert d1["token"].tolist() == ["b", "c"]  # tie -> token asc
+
+
+class TestHits:
+    def _brute(self, edges_df, iters=3):
+        nodes = np.array(sorted(set(edges_df["src"]) | set(edges_df["dst"])),
+                         dtype=object)
+        pos = {v: i for i, v in enumerate(nodes)}
+        si = edges_df["src"].map(pos).to_numpy()
+        di = edges_df["dst"].map(pos).to_numpy()
+        n = len(nodes)
+        h = np.ones(n)
+        for _ in range(iters):
+            a = np.zeros(n)
+            np.add.at(a, di, h[si])
+            a = a / np.sqrt((a * a).sum())
+            h = np.zeros(n)
+            np.add.at(h, si, a[di])
+            h = h / np.sqrt((h * h).sum())
+        return pd.DataFrame({"node": nodes, "hub": h, "auth": a})
+
+    def test_random_directed_parity(self):
+        from whoiswho_ray.stages.graph import hits
+        rng = np.random.default_rng(37)
+        m = 300
+        edges = pd.DataFrame({
+            "src": [f"u{i}" for i in rng.integers(0, 50, m)],
+            "dst": [f"v{i}" for i in rng.integers(0, 40, m)],
+        }).drop_duplicates(ignore_index=True)
+        out = hits(rd.from_pandas(edges), iters=3).to_pandas()
+        exp = self._brute(edges)
+        out = out.sort_values("node", ignore_index=True)
+        assert out["node"].tolist() == exp["node"].tolist()
+        # same math, only sum order differs
+        assert np.allclose(out["hub"], exp["hub"], rtol=1e-12, atol=1e-14)
+        assert np.allclose(out["auth"], exp["auth"], rtol=1e-12, atol=1e-14)
+
+    def test_star_graph_semantics(self):
+        # u points at 3 sinks: u is the only hub, sinks share authority
+        from whoiswho_ray.stages.graph import hits
+        edges = pd.DataFrame({"src": ["u", "u", "u"],
+                              "dst": ["a", "b", "c"]})
+        out = hits(rd.from_pandas(edges), iters=2).to_pandas(
+        ).set_index("node")
+        assert out.loc["u", "hub"] == 1.0
+        assert np.isclose(out.loc["a", "auth"], 1 / np.sqrt(3))
+        assert out.loc["a", "hub"] == 0.0 and out.loc["u", "auth"] == 0.0

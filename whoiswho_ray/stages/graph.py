@@ -714,6 +714,14 @@ def bfs_distances(
 
     frontier = distinct(sources.select_columns([node_col]), [node_col],
                         final="shuffle").materialize()
+    if not frontier.count():
+        # empty source set (e.g. the sparsified graph has no edges at
+        # this scale): a typed empty result, not a schema-less crash
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table(
+            {node_col: pa.array([], pa.string()),
+             "dist": pa.array([], pa.int64())}))
     visited = with_dist(frontier, 0).materialize()
 
     for hop in range(1, max_hops + 1):
@@ -798,3 +806,87 @@ def kcore(
                 lambda df: df.rename(columns={"node": dst_col}),
                 batch_format="pandas"), on=dst_col).materialize()
     return deg
+
+
+def hits(
+    edges: "rd.Dataset",
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_broadcast_nodes: int = 2_000_000,
+) -> "rd.Dataset":
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    table, ``iters`` mutual-reinforcement rounds from the all-ones hub
+    start with L2 normalization each half-step:
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u)   (then a_t /= ‖a_t‖₂)
+        h_t(u) = Σ_{u→v} a_t(v)       (then h_t /= ‖h_t‖₂)
+
+    Returns (node, hub, auth). Broadcast-state path (the pagerank
+    ``max_broadcast_nodes`` pattern): edges int-encode once and stream
+    in place; each iteration is two bincount map passes with the h / a
+    vectors shipped via ``ray.put`` — no shuffle ever. Node sets beyond
+    the broadcast bound would take pagerank's co-group shape (rank state
+    ⋈ edges, one bucketed reduce per half-step); asserted rather than
+    silently degraded here since every shipped graph is ≪ the bound.
+
+    Float regime: per-edge terms are identical IEEE ops; only sum order
+    differs across engines (~1e-16 relative), absorbed by the callers'
+    1e-9-grid rounding with verified margins (pagerank discipline).
+    """
+    import ray
+
+    from whoiswho_ray.stages.agg import distinct
+
+    nodes = distinct(
+        edges.map_batches(lambda df: pd.DataFrame(
+            {"node": pd.concat([df[src_col], df[dst_col]])}),
+            batch_format="pandas"),
+        ["node"], final="shuffle").materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "hub": pd.Series([], dtype=np.float64),
+             "auth": pd.Series([], dtype=np.float64)}))
+    assert n <= max_broadcast_nodes, (
+        f"hits: {n} nodes exceeds the broadcast bound; wire the "
+        "pagerank co-group path for larger graphs")
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=object))
+    pos = {v: i for i, v in enumerate(node_arr)}
+
+    def encode(df: pd.DataFrame, _pos=pos) -> pd.DataFrame:
+        return pd.DataFrame({
+            "si": df[src_col].map(_pos).to_numpy(np.int64),
+            "di": df[dst_col].map(_pos).to_numpy(np.int64),
+        })
+
+    eidx = edges.map_batches(encode, batch_format="pandas").materialize()
+
+    def pull(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        ref = ray.put(vec)
+
+        def partial(df: pd.DataFrame, _ref=ref, _n=n) -> pd.DataFrame:
+            v = ray.get(_ref)
+            sums = np.bincount(df[to_col].to_numpy(),
+                               weights=v[df[from_col].to_numpy()],
+                               minlength=_n)
+            nz = np.flatnonzero(sums)
+            return pd.DataFrame({"i": nz.astype(np.int64), "c": sums[nz]})
+
+        parts = eidx.map_batches(partial, batch_format="pandas").to_pandas()
+        out = np.zeros(n, dtype=np.float64)
+        np.add.at(out, parts["i"].to_numpy(), parts["c"].to_numpy())
+        return out
+
+    h = np.ones(n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        a = pull(h, "si", "di")
+        a = a / np.sqrt((a * a).sum())
+        h = pull(a, "di", "si")
+        h = h / np.sqrt((h * h).sum())
+
+    return rd.from_pandas(pd.DataFrame(
+        {"node": node_arr, "hub": h, "auth": a}))
