@@ -2965,6 +2965,28 @@ def q_profile_columns(sf_dir: str):
     return profile_columns(li, PROFILE_COLS_LI)
 
 
+FD_CANDIDATES = [("o_orderkey", "o_custkey"),
+                 ("o_custkey", "o_orderstatus"),
+                 ("o_orderkey", "o_orderpriority")]
+
+
+def q_orders_fd_check(sf_dir: str):
+    """Functional-dependency validation (stages/profile.py
+    fd_violations — Deequ-style consistency constraints): for each
+    candidate det→dep over orders, count determinant groups, violating
+    groups (>1 distinct dependent), and whether the FD holds.
+    o_orderkey→* hold by key-ness; o_custkey→o_orderstatus is violated.
+    Per-batch distinct-pair combiner + one bucketed exchange per
+    candidate."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.profile import fd_violations
+
+    cols = sorted({c for pair in FD_CANDIDATES for c in pair})
+    orders = read_table(sf_dir, "orders", columns=cols)
+    return pd.concat([fd_violations(orders, det, dep)
+                      for det, dep in FD_CANDIDATES], ignore_index=True)
+
+
 HITS_ITERS = 3
 
 
@@ -3212,6 +3234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_kcore": q_graph_kcore,
         "q_doc_keywords": q_doc_keywords,
         "q_graph_hits": q_graph_hits,
+        "q_orders_fd_check": q_orders_fd_check,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -3995,6 +4018,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_kcore": _q_graph_kcore_oracle_sql(),
         "q_graph_hits": _q_graph_hits_oracle_sql(),
+        "q_orders_fd_check": "\nUNION ALL\n".join(
+            f"""SELECT '{det}' AS det, '{dep}' AS dep,
+                       count(*) AS n_groups,
+                       CAST(count(*) FILTER (nd > 1) AS BIGINT)
+                           AS n_violations,
+                       count(*) FILTER (nd > 1) = 0 AS holds
+                FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+                      FROM orders GROUP BY 1)"""
+            for det, dep in FD_CANDIDATES),
         "q_doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, t.token

@@ -398,3 +398,25 @@ class TestHits:
         assert out.loc["u", "hub"] == 1.0
         assert np.isclose(out.loc["a", "auth"], 1 / np.sqrt(3))
         assert out.loc["a", "hub"] == 0.0 and out.loc["u", "auth"] == 0.0
+
+
+class TestFdViolations:
+    def test_holds_and_violations(self):
+        from whoiswho_ray.stages.profile import fd_violations
+        df = pd.DataFrame({
+            "k": [1, 1, 2, 2, 3],
+            "v": ["a", "a", "b", "c", "d"],   # k=2 violates k->v
+        })
+        out = fd_violations(rd.from_pandas(df), "k", "v")
+        assert out.iloc[0]["n_groups"] == 3
+        assert out.iloc[0]["n_violations"] == 1
+        assert not out.iloc[0]["holds"]
+        out2 = fd_violations(rd.from_pandas(df), "v", "k")
+        assert out2.iloc[0]["holds"]  # v->k holds (a,b,c,d map uniquely)
+
+    def test_null_dep_counts_as_value(self):
+        from whoiswho_ray.stages.profile import fd_violations
+        df = pd.DataFrame({"k": [1, 1, 2], "v": ["a", None, "b"]})
+        out = fd_violations(rd.from_pandas(df), "k", "v")
+        # k=1 carries {a, NULL} — two distinct dependents, a violation
+        assert out.iloc[0]["n_violations"] == 1

@@ -107,3 +107,47 @@ def profile_columns(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Datase
 
     return shuffle_hash_join(scalars, ndist, on="col", how="left",
                              project=fmt)
+
+
+def fd_violations(
+    ds: "ray.data.Dataset",
+    det: str,
+    dep: str,
+) -> pd.DataFrame:
+    """Functional-dependency check ``det → dep`` (Deequ's uniqueness /
+    consistency constraint, the profiling counterpart of the learned-IND
+    detector): one row —
+    (det, dep, n_groups, n_violations, holds) where n_violations counts
+    determinant groups carrying >1 distinct dependent value.
+
+    Scale shape: per-batch distinct (det, dep) projection (the combiner
+    — repeated pairs never leave the scan), one bucketed distinct
+    exchange, one grouped distinct-dep count, one tiny reduce. NULLs:
+    both NULL determinants and NULL dependents participate as ordinary
+    values (SQL ``GROUP BY`` groups NULLs; a NULL dep among non-NULLs
+    is a real inconsistency).
+    """
+    from whoiswho_ray.stages.agg import distinct, grouped_agg
+
+    pairs = distinct(ds.select_columns([det, dep]), [det, dep],
+                     final="shuffle")
+    per_det = grouped_agg(pairs, det, {"nd": (None, "count")},
+                          final="shuffle")
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["nd"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_groups": [np.int64(len(nd))],
+            "n_violations": [np.int64((nd > 1).sum())],
+        })
+
+    parts = per_det.map_batches(summarize, batch_format="pandas"
+                                ).to_pandas()
+    n_groups = int(parts["n_groups"].sum())
+    n_viol = int(parts["n_violations"].sum())
+    return pd.DataFrame({
+        "det": [det], "dep": [dep],
+        "n_groups": np.array([n_groups], np.int64),
+        "n_violations": np.array([n_viol], np.int64),
+        "holds": [n_viol == 0],
+    })
