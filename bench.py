@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "q_lineitem_melt",
     "q_orders_price_band",
     "q_doc_editjoin",
+    "q_doc_keywords",
+    "q_orders_snapshot_diff",
+    "q_events_cdc_apply",
+    "q_graph_kcore",
+    "q_graph_hits",
     "rnd_assign",
     "ind_detect",
 ]
