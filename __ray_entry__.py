@@ -2965,6 +2965,45 @@ def q_profile_columns(sf_dir: str):
     return profile_columns(li, PROFILE_COLS_LI)
 
 
+GOLDEN_RULES = {"doc_id": "min", "lang": "mode",
+                "source": "longest", "n_chars": "max"}
+
+
+def q_doc_golden(sf_dir: str):
+    """Survivorship / golden-record fusion (stages/fusion.py
+    golden_records — the consolidation step after dedup/ER): collapse
+    each duplicate cluster (blocked on the leading token of the text —
+    the fixture has ~no exact-text dups, so the blocking key stands in
+    for the dedup cluster id) to one canonical row under per-field
+    rules — min doc_id (survivor id), mode lang (ties → smallest),
+    longest source (ties → smallest), max n_chars. One cluster-bucket
+    shuffle, vectorized per-rule passes; the deterministic tie-breaks
+    make every rule exactly replayable in SQL."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.fusion import golden_records
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang", "source",
+                               "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        first = (df["text"].str.lower()
+                 .str.split(r"[^a-z0-9]+", n=1, regex=True).str[0]
+                 .fillna(""))
+        return pd.DataFrame({"cluster": first,
+                             "doc_id": df["doc_id"].astype(np.int64),
+                             "lang": df["lang"], "source": df["source"],
+                             "n_chars": df["n_chars"].astype(np.int64)})
+
+    fused = golden_records(
+        docs.map_batches(prep, batch_format="pandas"),
+        "cluster", GOLDEN_RULES)
+    return fused.map_batches(
+        lambda df: df.assign(doc_id=df["doc_id"].astype(np.int64),
+                             n_chars=df["n_chars"].astype(np.int64)),
+        batch_format="pandas")
+
+
 FD_CANDIDATES = [("o_orderkey", "o_custkey"),
                  ("o_custkey", "o_orderstatus"),
                  ("o_orderkey", "o_orderpriority")]
@@ -3235,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_keywords": q_doc_keywords,
         "q_graph_hits": q_graph_hits,
         "q_orders_fd_check": q_orders_fd_check,
+        "q_doc_golden": q_doc_golden,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -4018,6 +4058,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_kcore": _q_graph_kcore_oracle_sql(),
         "q_graph_hits": _q_graph_hits_oracle_sql(),
+        "q_doc_golden": """
+            WITH d AS MATERIALIZED (
+                SELECT regexp_extract(lower(text), '^[a-z0-9]+')
+                           AS cluster,
+                       doc_id, lang, source, n_chars
+                FROM documents),
+            mn AS (SELECT cluster, min(doc_id) AS doc_id,
+                          max(n_chars) AS n_chars
+                   FROM d GROUP BY 1),
+            lm AS (SELECT cluster, lang, count(*) AS n FROM d GROUP BY 1, 2),
+            lw AS (SELECT cluster, lang FROM (
+                       SELECT cluster, lang,
+                              row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, lang) AS rn
+                       FROM lm) WHERE rn = 1),
+            sw AS (SELECT cluster, source FROM (
+                       SELECT cluster, source,
+                              row_number() OVER (PARTITION BY cluster
+                                  ORDER BY length(source) DESC, source)
+                              AS rn
+                       FROM (SELECT DISTINCT cluster, source FROM d))
+                   WHERE rn = 1)
+            SELECT mn.cluster, mn.doc_id, lw.lang, sw.source, mn.n_chars
+            FROM mn JOIN lw USING (cluster) JOIN sw USING (cluster)
+        """,
         "q_orders_fd_check": "\nUNION ALL\n".join(
             f"""SELECT '{det}' AS det, '{dep}' AS dep,
                        count(*) AS n_groups,

@@ -420,3 +420,69 @@ class TestFdViolations:
         out = fd_violations(rd.from_pandas(df), "k", "v")
         # k=1 carries {a, NULL} — two distinct dependents, a violation
         assert out.iloc[0]["n_violations"] == 1
+
+
+class TestGoldenRecords:
+    def test_duckdb_parity_all_rules(self):
+        from whoiswho_ray.stages.fusion import golden_records
+        rng = np.random.default_rng(41)
+        n = 3000
+        df = pd.DataFrame({
+            "c": rng.integers(0, 80, n),
+            "id": np.arange(n, dtype=np.int64),
+            "lab": rng.choice(["x", "y", "zz"], n),
+            "name": rng.choice(["al", "bob", "carol", "dan"], n),
+            "sz": rng.integers(0, 1000, n),
+        })
+        out = golden_records(
+            rd.from_pandas(df), "c",
+            {"id": "min", "lab": "mode", "name": "longest", "sz": "max"}
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("d", df)
+        orc = con.sql("""
+            WITH mn AS (SELECT c, min(id) AS id, max(sz) AS sz
+                        FROM d GROUP BY 1),
+            lm AS (SELECT c, lab, count(*) AS n FROM d GROUP BY 1, 2),
+            lw AS (SELECT c, lab FROM (
+                     SELECT c, lab, row_number() OVER (PARTITION BY c
+                         ORDER BY n DESC, lab) AS rn FROM lm) WHERE rn = 1),
+            sw AS (SELECT c, name FROM (
+                     SELECT c, name, row_number() OVER (PARTITION BY c
+                         ORDER BY length(name) DESC, name) AS rn
+                     FROM (SELECT DISTINCT c, name FROM d)) WHERE rn = 1)
+            SELECT mn.c, mn.id, lw.lab, sw.name, mn.sz
+            FROM mn JOIN lw USING (c) JOIN sw USING (c)
+        """).df()
+        _assert_frames(out, orc)
+
+    def test_null_handling(self):
+        from whoiswho_ray.stages.fusion import golden_records
+        df = pd.DataFrame({
+            "c": [1, 1, 1, 2, 2],
+            "v": ["a", "a", None, None, None],     # mode skips NULLs
+            "s": [None, "xy", "z", None, None],    # longest skips NULLs
+            "m": pd.array([3, None, 1, None, None], dtype="Int64"),
+        })
+        out = golden_records(rd.from_pandas(df), "c",
+                             {"v": "mode", "s": "longest", "m": "min"}
+                             ).to_pandas().set_index("c")
+        assert out.loc[1, "v"] == "a" and out.loc[1, "s"] == "xy"
+        assert out.loc[1, "m"] == 1
+        # all-null fields survive as NULL
+        assert pd.isna(out.loc[2, "v"]) and pd.isna(out.loc[2, "s"])
+        assert pd.isna(out.loc[2, "m"])
+
+    def test_mode_tie_breaks_smallest(self):
+        from whoiswho_ray.stages.fusion import golden_records
+        df = pd.DataFrame({"c": [1, 1, 1, 1], "v": ["b", "b", "a", "a"]})
+        out = golden_records(rd.from_pandas(df), "c", {"v": "mode"}
+                             ).to_pandas()
+        assert out["v"].tolist() == ["a"]
+
+    def test_unknown_rule_raises(self):
+        from whoiswho_ray.stages.fusion import golden_records
+        import pytest
+        with pytest.raises(ValueError):
+            golden_records(rd.from_pandas(pd.DataFrame({"c": [1], "v": [1]})),
+                           "c", {"v": "newest"})
