@@ -486,3 +486,34 @@ class TestGoldenRecords:
         with pytest.raises(ValueError):
             golden_records(rd.from_pandas(pd.DataFrame({"c": [1], "v": [1]})),
                            "c", {"v": "newest"})
+
+
+class TestNullKeyAndEmptyEdgeRegressions:
+    def test_kcore_hub_outlives_its_edges(self):
+        # star: hub deg 3 survives round 1 at k=2, all spokes die — the
+        # edge set empties while a survivor remains; the 2-core is empty
+        from whoiswho_ray.stages.graph import kcore
+        pairs = {("h", "a"), ("h", "b"), ("h", "c")}
+        sym = pairs | {(v, u) for u, v in pairs}
+        edges = pd.DataFrame(sorted(sym), columns=["src", "dst"])
+        out = kcore(rd.from_pandas(edges), k=2).to_pandas()
+        assert len(out) == 0
+
+    def test_transitions_null_keys_group_together(self):
+        # SQL PARTITION BY groups NULLs: two NULL-key rows form a pair
+        df = pd.DataFrame({"k": [np.nan, np.nan, 1.0],
+                           "o": [0, 1, 2],
+                           "st": ["a", "b", "c"]})
+        out = transition_counts(rd.from_pandas(df), "k", ["o"], "st"
+                                ).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["prev_state"] == "a"
+        assert out.iloc[0]["next_state"] == "b"
+
+    def test_merge_intervals_null_key_islands_split(self):
+        # NULL-key intervals partition together but gaps still split
+        df = pd.DataFrame({"k": [np.nan, np.nan, np.nan],
+                           "s": [0, 5, 100], "e": [10, 7, 110]})
+        out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
+        assert len(out) == 2
+        assert sorted(out["n_intervals"]) == [1, 2]

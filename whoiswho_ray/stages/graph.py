@@ -805,6 +805,14 @@ def kcore(
             half, surv.map_batches(
                 lambda df: df.rename(columns={"node": dst_col}),
                 batch_format="pandas"), on=dst_col).materialize()
+        # survivors can outlive their edges (a hub whose spokes all
+        # died): with no edges left, no node can reach degree ≥ k ≥ 1,
+        # so the core is empty — and the next round's agg would choke
+        # on the schema-less empty edge set
+        if not ed.count():
+            return rd.from_pandas(pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "core_deg": pd.Series([], dtype=np.int64)}))
     return deg
 
 

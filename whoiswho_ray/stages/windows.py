@@ -515,8 +515,10 @@ def merge_intervals(
                                  for c, v in out_cols.items()})
         g = g.sort_values([key, start_col, end_col],
                           kind="stable").reset_index(drop=True)
-        # running max end over the key's EARLIER rows (strictly preceding)
-        pmax = g.groupby(key, sort=False)[end_col].cummax().shift()
+        # running max end over the key's EARLIER rows (strictly
+        # preceding); dropna=False — NULL keys form one ordinary
+        # partition (SQL PARTITION BY), their cummax must not vanish
+        pmax = g.groupby(key, sort=False, dropna=False)[end_col].cummax().shift()
         same_key = g[key].eq(g[key].shift()) | (g[key].isna() & g[key].shift().isna())
         new_island = (~same_key) | (g[start_col] > pmax)
         g["__island"] = new_island.cumsum()
@@ -564,7 +566,11 @@ def transition_counts(
         if len(g) < 2:
             return empty
         g = g.sort_values([key, *order_cols], kind="stable").reset_index(drop=True)
-        same_key = g[key].eq(g[key].shift(-1))
+        k, kn = g[key], g[key].shift(-1)
+        # NULL-stable: SQL PARTITION BY groups NULL keys together, so
+        # adjacent NULL-keyed rows DO form a transition (ADVICE r4
+        # NULL discipline); NaN.eq(NaN) alone would silently drop them
+        same_key = k.eq(kn) | (k.isna() & kn.isna())
         pairs = pd.DataFrame({prev_out: g[state_col],
                               next_out: g[state_col].shift(-1)})[same_key.to_numpy()]
         if not len(pairs):
