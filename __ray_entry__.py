@@ -3004,6 +3004,71 @@ def q_doc_golden(sf_dir: str):
         batch_format="pandas")
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Duplicated-span detection (Lee et al., ACL 2022 substring-dedup
+    signal at 5-token granularity): per document, total 5-gram spans and
+    spans shared with >= 1 other document. Gram explode is shuffle-free
+    (one binary_join_element_wise kernel); (gram, doc) occurrence counts
+    collapse per batch BEFORE the one gram-keyed exchange; dup flags come
+    from a whole-bucket run-length pass (stages/text_analysis.py
+    dup_span_stats)."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import dup_span_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_span_stats(docs, n=5)
+
+
+def _metablock(sf_dir: str, prune: str):
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.blocking import meta_blocking
+    from whoiswho_ray.stages.text_analysis import ngram_explode
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    memb = ngram_explode(docs, n=5)
+    return meta_blocking(memb, "doc_id", "gram", max_block_size=64,
+                         prune=prune)
+
+
+def q_doc_metablock_wep(sf_dir: str):
+    """Meta-blocking with Weighted Edge Pruning (Papadakis et al., TKDE
+    2014): 5-gram blocks over documents, CBS edge weights (# shared
+    blocks), keep edges strictly above the global mean — evaluated as
+    integer cross-products (cbs·n > Σcbs) so the avg() SQL replay is
+    exact with no float mean. Oversized/singleton blocks purge inside
+    the per-block task; pair weights pre-aggregate per batch before the
+    one pair-keyed exchange (stages/blocking.py meta_blocking)."""
+    return _metablock(sf_dir, "wep")
+
+
+def q_doc_metablock_wnp(sf_dir: str):
+    """Meta-blocking with Weighted Node Pruning (same blocking graph as
+    q_doc_metablock_wep): keep edges >= the mean incident weight of
+    EITHER endpoint — per-node integer (sum, count) attached via two
+    bucketed joins, integer comparisons throughout
+    (stages/blocking.py meta_blocking)."""
+    return _metablock(sf_dir, "wnp")
+
+
+# shared 5-gram CTE replaying ngram_explode's tokenizer + window math
+_GRAM5_CTE = """
+    ts AS (SELECT doc_id, list_filter(string_split_regex(
+                lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+           FROM documents),
+    g AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+          FROM ts, unnest(range(1, len(t)-3)) AS u(i))"""
+
+_METABLOCK_EDGE_CTE = _GRAM5_CTE + """,
+    m AS (SELECT DISTINCT gram, doc_id FROM g),
+    bs AS (SELECT gram FROM m GROUP BY gram
+           HAVING count(*) BETWEEN 2 AND 64),
+    mm AS (SELECT m.* FROM m JOIN bs USING (gram)),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cbs
+          FROM mm a JOIN mm b
+            ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)"""
+
+
 FD_CANDIDATES = [("o_orderkey", "o_custkey"),
                  ("o_custkey", "o_orderstatus"),
                  ("o_orderkey", "o_orderpriority")]
@@ -3275,6 +3340,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_hits": q_graph_hits,
         "q_orders_fd_check": q_orders_fd_check,
         "q_doc_golden": q_doc_golden,
+        # r5 session-4 batch: substring-dedup signal + meta-blocking
+        "q_doc_dup_spans": q_doc_dup_spans,
+        "q_doc_metablock_wep": q_doc_metablock_wep,
+        "q_doc_metablock_wnp": q_doc_metablock_wnp,
         "q_cube_lineitem": q_cube_lineitem,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
@@ -4058,6 +4127,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_kcore": _q_graph_kcore_oracle_sql(),
         "q_graph_hits": _q_graph_hits_oracle_sql(),
+        "q_doc_dup_spans": f"""
+            WITH {_GRAM5_CTE},
+            dup AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+                    GROUP BY gram HAVING count(*) >= 2)
+            SELECT doc_id, count(*) AS n_spans,
+                   count(*) FILTER (WHERE gram IN (SELECT gram FROM dup))
+                       AS n_dup
+            FROM g GROUP BY doc_id
+        """,
+        "q_doc_metablock_wep": f"""
+            WITH {_METABLOCK_EDGE_CTE},
+            tot AS (SELECT count(*) AS n, sum(cbs) AS s FROM e)
+            SELECT id_a, id_b, cbs FROM e, tot WHERE cbs * n > s
+        """,
+        "q_doc_metablock_wnp": f"""
+            WITH {_METABLOCK_EDGE_CTE},
+            na AS (SELECT nid, count(*) AS n, sum(cbs) AS s FROM
+                       (SELECT id_a AS nid, cbs FROM e
+                        UNION ALL SELECT id_b, cbs FROM e) GROUP BY 1)
+            SELECT e.id_a, e.id_b, e.cbs
+            FROM e JOIN na a ON a.nid = e.id_a JOIN na b ON b.nid = e.id_b
+            WHERE e.cbs * a.n >= a.s OR e.cbs * b.n >= b.s
+        """,
         "q_doc_golden": """
             WITH d AS MATERIALIZED (
                 SELECT regexp_extract(lower(text), '^[a-z0-9]+')

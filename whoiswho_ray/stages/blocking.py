@@ -155,3 +155,111 @@ def multipass_sorted_neighborhood(
 
     u = u.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
     return distinct(u, ["id_a", "id_b"], final="shuffle")
+
+
+def meta_blocking(
+    memberships: "ray.data.Dataset",
+    id_col: str,
+    key_col: str,
+    max_block_size: int = 64,
+    prune: str = "wep",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Meta-blocking (Papadakis et al., "Meta-Blocking: Taking Entity
+    Resolution to the Next Level", TKDE 2014 — see PAPERS.md): restructure
+    a redundancy-positive block collection into a pruned comparison set.
+    Records co-occurring in more blocks are more likely matches, so the
+    blocking graph's edges are weighted by CBS (Common Blocks Scheme =
+    number of shared blocks) and pruned:
+
+    - ``prune='wep'`` (Weighted Edge Pruning): keep edges strictly above
+      the global mean weight;
+    - ``prune='wnp'`` (Weighted Node Pruning): keep edges >= the mean
+      weight of EITHER endpoint's incident edges.
+
+    Input: ``(id, key)`` block-membership rows (duplicates tolerated).
+    Output: ``(id_a, id_b, cbs)`` canonical pairs (``id_a < id_b``).
+
+    Both prune rules are evaluated in INTEGER arithmetic
+    (``cbs * n > / >= sum``), so a SQL replay with ``avg()`` semantics is
+    exact by construction — no float mean ever materializes. (Bound:
+    ``cbs * degree`` must fit int64 — cbs <= blocks-per-record, so this
+    holds until a record shares ~1e9 blocks with 1e9 neighbors.)
+
+    Scale shape: block purging (size < 2 or > ``max_block_size``) happens
+    INSIDE the per-block group task — oversized stop-blocks never
+    enumerate a pair; pair weights come from one bucketed pre-aggregated
+    exchange (``grouped_agg`` partials collapse per-batch duplicates
+    first); WEP's global (sum, count) is a two-scalar driver reduce; WNP's
+    per-node sums ride the existing bucketed join machinery. The edge set
+    is materialized once (it is the operator's OUTPUT-sized set, already
+    pruned by block purging) because both rules need a second pass over
+    it.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept for callers)
+
+    from .agg import distinct, group_apply, grouped_agg
+    from .joins import shuffle_hash_join
+
+    if prune not in ("wep", "wnp"):
+        raise ValueError(f"meta_blocking: prune must be wep|wnp, got {prune!r}")
+    cap = int(max_block_size)
+
+    m = distinct(memberships.select_columns([key_col, id_col]),
+                 [key_col, id_col], final="shuffle")
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        ids_col = t.column(id_col)
+        if nrows < 2 or nrows > cap:
+            return pa.table({"id_a": ids_col.slice(0, 0),
+                             "id_b": ids_col.slice(0, 0)})
+        ids = np.sort(ids_col.to_numpy(zero_copy_only=False))
+        iu, ju = np.triu_indices(nrows, k=1)
+        return pa.table({"id_a": pa.array(ids[iu]),
+                         "id_b": pa.array(ids[ju])})
+
+    pairs = group_apply(m, key_col, pairs_fn, batch_format="pyarrow",
+                        num_buckets=num_buckets)
+    edges = grouped_agg(pairs, ["id_a", "id_b"], {"cbs": (None, "count")},
+                        final="shuffle").materialize()
+
+    if prune == "wep":
+        parts = edges.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["cbs"].sum())],
+                                     "n": [np.int64(len(df))]}),
+            batch_format="pandas").to_pandas()
+        if parts.empty or "n" not in parts.columns:
+            return edges  # zero edge blocks — typed-empty passthrough
+        n_tot, s_tot = int(parts["n"].sum()), int(parts["s"].sum())
+        if n_tot == 0:
+            return edges
+        return edges.map_batches(
+            lambda df: df[df["cbs"].to_numpy(np.int64) * n_tot > s_tot],
+            batch_format="pandas")
+
+    # WNP: per-node (sum, count) over incident edges, attached twice
+    both = edges.map_batches(
+        lambda df: pd.concat(
+            [df[["id_a", "cbs"]].rename(columns={"id_a": "nid"}),
+             df[["id_b", "cbs"]].rename(columns={"id_b": "nid"})],
+            ignore_index=True),
+        batch_format="pandas")
+    navg = grouped_agg(both, "nid", {"s": ("cbs", "sum"),
+                                     "n": (None, "count")}, final="shuffle")
+    na = navg.map_batches(
+        lambda df: df.rename(columns={"nid": "id_a", "s": "s_a", "n": "n_a"}),
+        batch_format="pandas")
+    nb = navg.map_batches(
+        lambda df: df.rename(columns={"nid": "id_b", "s": "s_b", "n": "n_b"}),
+        batch_format="pandas")
+    j = shuffle_hash_join(edges, na, on="id_a")
+    j = shuffle_hash_join(j, nb, on="id_b")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cbs"].to_numpy(np.int64)
+        ok = ((c * df["n_a"].to_numpy(np.int64) >= df["s_a"].to_numpy(np.int64))
+              | (c * df["n_b"].to_numpy(np.int64) >= df["s_b"].to_numpy(np.int64)))
+        return df.loc[ok, ["id_a", "id_b", "cbs"]]
+
+    return j.map_batches(keep, batch_format="pandas")

@@ -1640,3 +1640,130 @@ def doc_keywords(
 
     return group_apply(scored, id_col, topk, batch_format="pandas",
                        whole_bucket=True)
+
+
+def ngram_explode(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> "ray.data.Dataset":
+    """Explode each document into its adjacent ``n``-token grams as
+    strings: tokens are ``lower → split /[^a-z0-9]+/ → drop empties``
+    (the corpus-wide tokenizer every text oracle replays), gram =
+    space-joined token window. One row per gram OCCURRENCE (a document
+    with ``L`` tokens yields ``max(0, L-n+1)`` rows).
+
+    Fully vectorized and shuffle-free: one Arrow regex split per batch,
+    empty-token compaction by mask, window validity by comparing the
+    flat row-of vector against its ``n-1`` shift (windows never cross a
+    document boundary), and ONE ``binary_join_element_wise`` C kernel
+    builds every gram string from ``n`` shifted takes — no Python loop.
+
+    SQL replay (DuckDB)::
+
+        WITH ts AS (SELECT id, list_filter(string_split_regex(
+                        lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+                    FROM docs)
+        SELECT id, array_to_string(t[i:i+n-1], ' ') AS gram
+        FROM ts, unnest(range(1, len(t) - n + 2)) AS u(i)
+    """
+    if n < 1:
+        raise ValueError("ngram_explode: n must be >= 1")
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = pc.fill_null(t.column(text_col), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep = np.asarray(keep, dtype=bool)
+        flat_k, row_k = flat.filter(pa.array(keep)), row_of[keep]
+        m = len(row_k)
+        empty = pa.table({id_col: ids.slice(0, 0),
+                          "gram": pa.array([], pa.string())})
+        if m < n:
+            return empty
+        # a window starting at flat position i is valid iff its first and
+        # last tokens belong to the same document
+        valid = row_k[: m - n + 1] == row_k[n - 1:]
+        starts = np.flatnonzero(valid)
+        if not starts.size:
+            return empty
+        cols = [flat_k.take(pa.array(starts + j)) for j in range(n)]
+        gram = (cols[0] if n == 1
+                else pc.binary_join_element_wise(*cols, " "))
+        return pa.table({id_col: ids.take(pa.array(row_k[starts])),
+                         "gram": gram})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+
+
+def dup_span_stats(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Duplicated-span detection (the substring-dedup signal of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, at n-token granularity — see PAPERS.md): for every
+    document, how many of its ``n``-gram spans also occur in at least
+    one OTHER document. Output: ``(id, n_spans, n_dup)`` per document
+    with >= 1 span; ``n_dup/n_spans`` is the doc's duplicated fraction,
+    the usual filter/penalty signal for training corpora.
+
+    Scale shape — three bounded stages, no gram string ever leaves its
+    hash bucket un-aggregated:
+
+    1. gram explode (:func:`ngram_explode`, shuffle-free) is collapsed
+       per (gram, id) with occurrence counts BEFORE any exchange
+       (``grouped_agg`` partials), so the one gram-keyed shuffle moves
+       at most corpus-distinct (gram, id) rows;
+    2. one ``group_apply`` whole-bucket pass over the gram key flags
+       grams seen in >= 2 distinct docs (run-length over the key-sorted
+       bucket — vectorized, no per-gram task);
+    3. per-doc totals via one id-keyed bucketed aggregate.
+
+    A stop-gram shared by every document concentrates only its
+    (gram, id) COUNT rows (bounded by corpus doc count), never its
+    occurrence stream.
+    """
+    from whoiswho_ray.stages.agg import group_apply, grouped_agg
+
+    grams = ngram_explode(ds, id_col=id_col, text_col=text_col, n=n)
+    c = grouped_agg(grams, ["gram", id_col], {"c": (None, "count")},
+                    final="shuffle")
+
+    def flag(t: pa.Table) -> pa.Table:
+        # whole bucket arrives gram-sorted; rows are (gram, id) unique,
+        # so a gram's distinct-doc count is its run length
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "c_dup": pa.array([], pa.int64())})
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.r_[True, g[1:] != g[:-1], True])
+        lens = np.diff(bounds)
+        dup = np.repeat(lens >= 2, lens)
+        cv = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "c": pa.array(cv),
+                         "c_dup": pa.array(np.where(dup, cv, 0))})
+
+    flagged = group_apply(c, "gram", flag, batch_format="pyarrow",
+                          num_buckets=num_buckets, whole_bucket=True)
+    return grouped_agg(flagged, id_col,
+                       {"n_spans": ("c", "sum"), "n_dup": ("c_dup", "sum")},
+                       final="shuffle")
