@@ -3315,6 +3315,75 @@ def q_orders_snapshot_diff(sf_dir: str):
     return d.map_batches(fmt, batch_format="pandas")
 
 
+def q_orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS((status, priority), (priority), ()) over
+    orders — the explicit-set generalization of rollup/cube
+    (stages/agg.py grouping_sets): ONE distributed partial pass at the
+    finest grain, every set re-aggregated from the finest result;
+    `grouping` = SQL GROUPING_ID bitmask over (status, priority).
+    Note the (priority) set is NOT a rollup prefix of (status, priority)
+    — that's what distinguishes this from q_rollup_revenue."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouping_sets
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(df):
+        return pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "o_orderpriority": df["o_orderpriority"],
+            "cents": _cents(df["o_totalprice"]),
+        })
+
+    return grouping_sets(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        {"revenue_cents": ("cents", "sum"), "n_orders": (None, "count")})
+
+
+def q_events_scd2(sf_dir: str):
+    """SCD Type-2 dimension build (stages/cdc.py scd2_build): treat
+    events as a change stream of each user's event_type "state" — a new
+    version opens only when the type CHANGES under the (ts, event_id)
+    order; runs collapse; each version carries [valid_from, valid_to)
+    in epoch-microseconds (-1 = open/current) and is_current. One
+    key-hash bucketed exchange, vectorized run-collapse + lead kernel."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.cdc import scd2_build
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "ts_us": df["ts"].to_numpy(dtype="datetime64[us]")
+                     .astype(np.int64),
+            "event_id": df["event_id"].astype(np.int64),
+            "event_type": df["event_type"],
+        })
+
+    dim = scd2_build(ev.map_batches(prep, batch_format="pandas"),
+                     key="user_id", order_col="ts_us",
+                     payload_cols=["event_type"],
+                     tiebreak_cols=["event_id"],
+                     current_sentinel=np.int64(-1))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "valid_from_us": df["valid_from"].astype(np.int64),
+            "valid_to_us": df["valid_to"].astype(np.int64),
+            "is_current": df["is_current"].astype(np.int64),
+            "event_type": df["event_type"],
+        })
+
+    return dim.map_batches(fmt, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver grades queries in dict order (observed cap
     # ~50 per round). Round-5 rotation (VERDICT r4 #2): every exact-oracled
@@ -3331,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q_graph_bfs": q_graph_bfs,
         "q_events_cdc_apply": q_events_cdc_apply,
+        "q_events_scd2": q_events_scd2,
         "q_events_interval_merge": q_events_interval_merge,
         "q_events_markov": q_events_markov,
         "q_profile_columns": q_profile_columns,
@@ -3345,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_metablock_wep": q_doc_metablock_wep,
         "q_doc_metablock_wnp": q_doc_metablock_wnp,
         "q_cube_lineitem": q_cube_lineitem,
+        "q_orders_grouping_sets": q_orders_grouping_sets,
         "q_lineitem_melt": q_lineitem_melt,
         "q_orders_dense_rank": q_orders_dense_rank,
         "q_embedding_unnest": q_embedding_unnest,
@@ -4089,6 +4160,27 @@ def oracle_sql() -> dict[str, str]:
                    value_cents AS last_value_cents
             FROM ranked
             WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
+        """,
+        "q_events_scd2": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                       lag(event_type) OVER w AS prev_type,
+                       row_number() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), v AS (
+                SELECT user_id, ts_us, event_id, event_type FROM o
+                WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+            )
+            SELECT user_id,
+                   CAST(ts_us AS BIGINT) AS valid_from_us,
+                   CAST(coalesce(lead(ts_us) OVER w2, -1) AS BIGINT)
+                       AS valid_to_us,
+                   CAST(CASE WHEN lead(ts_us) OVER w2 IS NULL
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+                   event_type
+            FROM v
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         """,
         "q_events_interval_merge": f"""
             WITH iv AS (
@@ -5210,6 +5302,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q_orders_grouping_sets": f"""
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT)
+                       AS grouping,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderpriority), ())
         """,
         "q_doc_simjoin_tables": """
             WITH tokL AS (

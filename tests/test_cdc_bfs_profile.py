@@ -517,3 +517,87 @@ class TestNullKeyAndEmptyEdgeRegressions:
         out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
         assert len(out) == 2
         assert sorted(out["n_intervals"]) == [1, 2]
+
+
+class TestScd2Build:
+    """SCD Type-2 build: run-collapse + validity ranges vs a DuckDB
+    window-function replay and hand fixtures."""
+
+    def _run(self, df, sentinel=-1, ties=("tid",)):
+        from whoiswho_ray.stages.cdc import scd2_build
+        out = scd2_build(rd.from_pandas(df).repartition(5), key="k",
+                         order_col="o", payload_cols=["state"],
+                         tiebreak_cols=list(ties),
+                         current_sentinel=sentinel)
+        return out.to_pandas()
+
+    def test_duckdb_parity_random(self):
+        rng = np.random.default_rng(17)
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 60, n),
+            "o": rng.integers(0, 10**6, n).astype(np.int64),
+            "tid": np.arange(n, dtype=np.int64),
+            "state": rng.choice(["a", "b", "c"], n),
+        })
+        got = self._run(df)
+        want = duckdb.connect().execute("""
+            WITH o AS (
+                SELECT k, o AS ts, tid, state,
+                       lag(state) OVER w AS prev, row_number() OVER w AS rn
+                FROM df WINDOW w AS (PARTITION BY k ORDER BY o, tid)
+            ), v AS (
+                SELECT k, ts, tid, state FROM o
+                WHERE rn = 1 OR prev IS DISTINCT FROM state
+            )
+            SELECT k, ts AS valid_from,
+                   coalesce(lead(ts) OVER w2, -1) AS valid_to,
+                   CAST(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0
+                        END AS BIGINT) AS is_current,
+                   state
+            FROM v WINDOW w2 AS (PARTITION BY k ORDER BY ts, tid)
+        """).df()
+        _assert_frames(got, want)
+
+    def test_run_collapse_and_current(self):
+        df = pd.DataFrame({
+            "k": ["u", "u", "u", "u", "v"],
+            "o": np.array([1, 2, 3, 4, 9], dtype=np.int64),
+            "tid": np.arange(5, dtype=np.int64),
+            "state": ["a", "a", "b", "b", "a"],
+        })
+        got = self._run(df).sort_values(["k", "valid_from"],
+                                        ignore_index=True)
+        # u: [1,3) a, [3,-1) b current; v: [9,-1) a current
+        assert got["valid_from"].tolist() == [1, 3, 9]
+        assert got["valid_to"].tolist() == [3, -1, -1]
+        assert got["is_current"].tolist() == [0, 1, 1]
+        assert got["state"].tolist() == ["a", "b", "a"]
+
+    def test_null_payload_is_stable(self):
+        # NULL -> NULL is NOT a change; NULL -> 'a' and 'a' -> NULL are.
+        df = pd.DataFrame({
+            "k": ["u"] * 4,
+            "o": np.array([1, 2, 3, 4], dtype=np.int64),
+            "tid": np.arange(4, dtype=np.int64),
+            "state": [None, None, "a", None],
+        })
+        got = self._run(df).sort_values("valid_from", ignore_index=True)
+        assert got["valid_from"].tolist() == [1, 3, 4]
+        assert got["is_current"].tolist() == [0, 0, 1]
+
+    def test_empty_and_partition_invariance(self):
+        from whoiswho_ray.stages.cdc import scd2_build
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 9, 300),
+            "o": rng.permutation(300).astype(np.int64),
+            "tid": np.arange(300, dtype=np.int64),
+            "state": rng.choice(["x", "y"], 300),
+        })
+        a = self._run(df)
+        b = scd2_build(rd.from_pandas(df).repartition(31), key="k",
+                       order_col="o", payload_cols=["state"],
+                       tiebreak_cols=["tid"],
+                       current_sentinel=-1).to_pandas()
+        _assert_frames(a, b)

@@ -15,6 +15,7 @@ import ray.data as rd
 from whoiswho_ray.stages.agg import (
     cube,
     dense_rank_grouped,
+    grouping_sets,
     histogram,
     melt,
     mode_per_group,
@@ -292,6 +293,54 @@ class TestCube:
         ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "v": [1]}))
         with pytest.raises(ValueError):
             cube(ds, ["a"], {"m": ("v", "mean")})
+
+
+class TestGroupingSets:
+    def test_explicit_sets_match_duckdb(self):
+        import duckdb
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y", "z"], 500),
+            "b": rng.choice(["p", "q"], 500),
+            "v": rng.randint(0, 100, 500).astype(np.int64),
+        })
+        out = grouping_sets(
+            rd.from_pandas(df).repartition(7), ["a", "b"],
+            [["a", "b"], ["b"], []],
+            {"s": ("v", "sum"), "n": (None, "count")})
+        want = duckdb.connect().execute("""
+            SELECT coalesce(a, 'ALL') AS a, coalesce(b, 'ALL') AS b,
+                   CAST(grouping(a, b) AS BIGINT) AS grouping,
+                   CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+            FROM df GROUP BY GROUPING SETS ((a, b), (b), ())
+            ORDER BY grouping, a, b
+        """).df()
+        pd.testing.assert_frame_equal(
+            out.sort_values(["grouping", "a", "b"], ignore_index=True),
+            want.sort_values(["grouping", "a", "b"], ignore_index=True))
+
+    def test_non_prefix_set_and_bitmask(self):
+        df = pd.DataFrame({
+            "a": ["x", "x", "y"], "b": ["p", "q", "p"],
+            "v": np.array([1, 2, 4], dtype=np.int64),
+        })
+        out = grouping_sets(rd.from_pandas(df), ["a", "b"],
+                            [["b"], []], {"s": ("v", "sum")})
+        assert len(out) == 2 + 1
+        by_b = out[(out["grouping"] == 2) & (out["b"] == "p")]
+        assert by_b["s"].iloc[0] == 5 and by_b["a"].iloc[0] == "ALL"
+        assert out[out["grouping"] == 3]["s"].iloc[0] == 7
+
+    def test_rejects_bad_sets(self):
+        ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "v": [1]}))
+        with pytest.raises(ValueError):
+            grouping_sets(ds, ["a"], [["zzz"]], {"s": ("v", "sum")})
+        with pytest.raises(ValueError):
+            grouping_sets(ds, ["a"], [["a"], ["a"]], {"s": ("v", "sum")})
+        with pytest.raises(ValueError):
+            grouping_sets(ds, ["a"], [], {"s": ("v", "sum")})
+        with pytest.raises(ValueError):
+            grouping_sets(ds, ["a"], [["a"]], {"m": ("v", "mean")})
 
 
 class TestMelt:

@@ -707,6 +707,86 @@ def cube(
                            ignore_index=True)
 
 
+def grouping_sets(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sets: list[list[str]],
+    spec: dict[str, tuple[str | None, str]],
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS((...), ...)`` for DISTRIBUTIVE aggregates
+    — the generalization :func:`rollup` (prefixes) and :func:`cube` (all
+    subsets) specialize. ``sets`` lists the grouping sets explicitly;
+    each must be a subset of ``keys`` (``[]`` = grand total). Rolled-up
+    key columns carry ``total_label`` (keys are stringified so the
+    sentinel types cleanly); ``grouping`` is the SQL GROUPING_ID bitmask
+    over ``keys`` in order (bit ``k-1-i`` set means ``keys[i]`` rolled
+    up), so results compare directly against DuckDB's
+    ``grouping(keys...)``. Duplicate sets are rejected — the bitmask
+    could not disambiguate their rows (SQL emits duplicate rows there;
+    use UNION ALL of two calls if you truly want that).
+
+    Scale shape: identical to rollup/cube — ONE distributed
+    partial-combine pass at the finest grain (the union of all sets'
+    keys), then every set re-aggregates the finest RESULT, which is
+    |finest groups| rows and already driver-sized by the
+    grouped_agg('driver') contract. Sets that need a key OUTSIDE the
+    finest union cannot occur (sets ⊆ keys is validated).
+    """
+    if not keys:
+        raise ValueError("grouping_sets needs at least one key")
+    seen = set()
+    for s in sets:
+        bad = [c for c in s if c not in keys]
+        if bad:
+            raise ValueError(f"grouping set {s} uses non-key columns {bad}")
+        if len(set(s)) != len(s):
+            raise ValueError(f"grouping set {s} repeats a key")
+        fs = frozenset(s)
+        if fs in seen:
+            raise ValueError(
+                f"duplicate grouping set {sorted(fs)} — the grouping "
+                "bitmask cannot disambiguate duplicate-set rows")
+        seen.add(fs)
+    if not sets:
+        raise ValueError("grouping_sets needs at least one set")
+    for out, (_src, op) in spec.items():
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"grouping_sets supports distributive ops only, got "
+                f"{op!r} for {out!r} (decompose mean into sum + count)")
+    k = len(keys)
+    finest = grouped_agg(ds, keys, spec, final="driver")
+    re_op = {out: ("sum" if op == "count" else op)
+             for out, (_s, op) in spec.items()}
+    frames = []
+    for s in sets:
+        kept = [key for key in keys if key in s]  # canonical key order
+        mask = sum(1 << (k - 1 - i)
+                   for i in range(k) if keys[i] not in s)
+        if len(kept) == k:
+            f = finest.copy()
+        elif kept:
+            f = (finest.groupby(kept, sort=False, dropna=False)
+                 .agg(re_op).reset_index())
+        else:
+            f = pd.DataFrame({out: [finest[out].agg(op)]
+                              for out, op in re_op.items()})
+        for key in keys:
+            f[key] = f[key].astype(str) if key in kept else total_label
+        f["grouping"] = np.int64(mask)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out = out[keys + ["grouping"] + list(spec)]
+    for col, (_s, op) in spec.items():
+        if (op in ("sum", "count") and out[col].dtype.kind in "iu"
+                or op == "count" and not out[col].isna().any()):
+            out[col] = out[col].astype(np.int64)
+    out["grouping"] = out["grouping"].astype(np.int64)
+    return out.sort_values(["grouping"] + keys, kind="stable",
+                           ignore_index=True)
+
+
 def melt(
     ds: "ray.data.Dataset",
     id_cols: list[str],
