@@ -3344,6 +3344,48 @@ def q_orders_grouping_sets(sf_dir: str):
         {"revenue_cents": ("cents", "sum"), "n_orders": (None, "count")})
 
 
+SSSP_MAX_ROUNDS = 4   # ≤4-edge paths: bounds the oracle's CTE state space
+SSSP_W_MOD = 9        # edge weight = (custkey + suppkey) % 9 + 1
+
+
+def q_graph_sssp(sf_dir: str):
+    """Weighted multi-source shortest paths (stages/graph.py sssp —
+    frontier Bellman-Ford: per round one relax co-group with in-task
+    per-dst min combiner, one grouped-min exchange, one tagged-union
+    dist merge) over the sparsified customer↔supplier graph with
+    deterministic int weights (custkey+suppkey) % 9 + 1; sources are the
+    BFS source set, capped at ≤4-edge paths so the recursive-CTE oracle's
+    (node, d, hops) state space stays bounded (d ≤ 36)."""
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.graph import sssp
+
+    edges = _sparsified_sym_edges(sf_dir, min_orders=KC_MIN_ORDERS)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.to_numeric(df["src"].str.slice(1)).astype(np.int64)
+        b = pd.to_numeric(df["dst"].str.slice(1)).astype(np.int64)
+        return pd.DataFrame({"src": df["src"], "dst": df["dst"],
+                             "w": (a + b) % SSSP_W_MOD + 1})
+
+    wedges = edges.map_batches(weigh, batch_format="pandas")
+
+    def pick_sources(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"]
+        is_c = src.str.startswith("c")
+        keys = pd.to_numeric(src.str.slice(1), errors="coerce")
+        keep = is_c & (keys % BFS_SRC_MOD == 0)
+        return pd.DataFrame({"node": src[keep]})
+
+    sources = distinct(edges.map_batches(pick_sources,
+                                         batch_format="pandas"),
+                       ["node"], final="shuffle")
+    out = sssp(wedges, sources, max_rounds=SSSP_MAX_ROUNDS)
+    if not out.count():
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype=np.int64)})
+    return out
+
+
 def q_events_scd2(sf_dir: str):
     """SCD Type-2 dimension build (stages/cdc.py scd2_build): treat
     events as a change stream of each user's event_type "state" — a new
@@ -3399,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # watched), and r4-only-green queries back-filled for a second row.
         "q1_pricing_summary": q1_pricing_summary,
         "q_graph_bfs": q_graph_bfs,
+        "q_graph_sssp": q_graph_sssp,
         "q_events_cdc_apply": q_events_cdc_apply,
         "q_events_scd2": q_events_scd2,
         "q_events_interval_merge": q_events_interval_merge,
@@ -4145,6 +4188,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.b, w.d + 1
                 FROM walk w JOIN sym s ON w.x = s.a
                 WHERE w.d < {BFS_MAX_HOPS})
+            SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1
+        """,
+        "q_graph_sssp": f"""
+            WITH RECURSIVE {sym_edges_bfs},
+            wsym AS MATERIALIZED (
+                SELECT a, b,
+                       (CAST(substr(a, 2) AS BIGINT)
+                        + CAST(substr(b, 2) AS BIGINT))
+                           % {SSSP_W_MOD} + 1 AS w
+                FROM sym),
+            src AS (SELECT DISTINCT a AS x FROM sym
+                    WHERE a LIKE 'c%'
+                      AND CAST(substr(a, 2) AS BIGINT) % {BFS_SRC_MOD} = 0),
+            walk(x, d, h) AS (
+                SELECT x, CAST(0 AS BIGINT), 0 FROM src
+                UNION
+                SELECT s.b, w.d + s.w, w.h + 1
+                FROM walk w JOIN wsym s ON w.x = s.a
+                WHERE w.h < {SSSP_MAX_ROUNDS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
         """,

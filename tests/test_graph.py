@@ -220,3 +220,71 @@ class TestLabelPropagation:
                               max_broadcast_nodes=0
                               ).to_pandas().sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSssp:
+    """Weighted multi-source shortest paths vs a brute hop-capped
+    Bellman-Ford DP (d_k[v] = min over paths of <= k edges)."""
+
+    @staticmethod
+    def _brute(edges: pd.DataFrame, sources, k: int) -> dict:
+        dist = {s: 0 for s in sources}
+        for _ in range(k):
+            nxt = dict(dist)
+            for r in edges.itertuples():
+                if r.src in dist:
+                    nd = dist[r.src] + r.w
+                    if r.dst not in nxt or nd < nxt[r.dst]:
+                        nxt[r.dst] = nd
+            dist = nxt
+        return dist
+
+    def _run(self, edges: pd.DataFrame, sources, k: int,
+             nparts: int = 5) -> dict:
+        from whoiswho_ray.stages.graph import sssp
+        out = sssp(rd.from_pandas(edges).repartition(nparts),
+                   rd.from_pandas(pd.DataFrame({"node": list(sources)})),
+                   max_rounds=k)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return dict(zip(df["node"], df["dist"]))
+
+    def test_random_parity(self, ray_session):
+        rng = np.random.RandomState(7)
+        n_nodes, n_edges = 40, 300
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, n_nodes, n_edges)],
+            "dst": [f"n{v}" for v in rng.randint(0, n_nodes, n_edges)],
+            "w": rng.randint(1, 10, n_edges).astype(np.int64),
+        })
+        sources = {"n0", "n1"}
+        for k in (1, 3, 6):
+            got = self._run(edges, sources, k)
+            want = self._brute(edges, sources, k)
+            assert got == want, (k, got, want)
+
+    def test_weighted_beats_hops(self, ray_session):
+        # a->b direct costs 10; a->c->b costs 2+2=4: min-WEIGHT must win
+        # over min-hop once enough rounds are allowed.
+        edges = pd.DataFrame({
+            "src": ["a", "a", "c"], "dst": ["b", "c", "b"],
+            "w": np.array([10, 2, 2], dtype=np.int64)})
+        assert self._run(edges, {"a"}, 1)["b"] == 10
+        assert self._run(edges, {"a"}, 2)["b"] == 4
+
+    def test_early_stop_and_unreachable(self, ray_session):
+        edges = pd.DataFrame({
+            "src": ["a", "x"], "dst": ["b", "y"],
+            "w": np.array([1, 1], dtype=np.int64)})
+        got = self._run(edges, {"a"}, 50)  # fixpoint after 1 round
+        assert got == {"a": 0, "b": 1}  # x,y unreachable -> absent
+
+    def test_empty_sources_and_negative_weight(self, ray_session):
+        from whoiswho_ray.stages.graph import sssp
+        edges = pd.DataFrame({"src": ["a"], "dst": ["b"],
+                              "w": np.array([-1], dtype=np.int64)})
+        empty = sssp(rd.from_pandas(edges),
+                     rd.from_pandas(pd.DataFrame({"node": []})),
+                     max_rounds=3)
+        assert empty.count() == 0
+        with pytest.raises(Exception):  # surfaced through Ray's task error
+            self._run(edges, {"a"}, 2)

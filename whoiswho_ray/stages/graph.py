@@ -898,3 +898,121 @@ def hits(
 
     return rd.from_pandas(pd.DataFrame(
         {"node": node_arr, "hub": h, "auth": a}))
+
+
+def sssp(
+    edges: "rd.Dataset",
+    sources: "rd.Dataset",
+    max_rounds: int,
+    weight_col: str = "w",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> "rd.Dataset":
+    """Weighted multi-source shortest paths — frontier-driven
+    Bellman-Ford, capped at ``max_rounds`` relaxation rounds, so the
+    result is exactly "min path weight over paths of ≤ max_rounds edges
+    from any source" (with non-negative int weights and max_rounds ≥
+    graph diameter that IS the shortest-path distance; the capped
+    semantics are what the bounded recursive-CTE oracle replays).
+
+    BFS's "first visit wins" doesn't hold under weights, so each round is
+    relax-then-min instead of expand-then-anti-visit:
+
+    * ``frontier ⋈ edges`` on the source endpoint (one hash-bucketed
+      co-group) emits ``d(src) + w`` per out-edge; the join task
+      pre-reduces to ONE min per destination before anything leaves the
+      bucket (the combiner — the shuffle moves O(distinct dst per
+      bucket), not O(frontier-adjacent edges));
+    * a global per-dst min (grouped partial-combine shuffle);
+    * candidates merge with the running dist table in one bucketed
+      tagged-union co-group — a node improves iff its candidate is
+      strictly below its current dist (or it was unseen); improved nodes
+      form the next frontier.
+
+    The dist table is one skinny (node, d) column pair re-bucketed per
+    round; rounds stop early when no node improves. Pass both edge
+    directions for an undirected graph. Unreachable nodes are absent.
+    Weights must be non-negative int64 (negative weights would need the
+    full |V|-1 rounds AND a negative-cycle check — reject loudly).
+    """
+    import pyarrow as pa
+
+    from whoiswho_ray.stages.agg import distinct, group_apply, grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    empty = rd.from_arrow(pa.table(
+        {node_col: pa.array([], pa.string()),
+         "dist": pa.array([], pa.int64())}))
+
+    frontier = distinct(sources.select_columns([node_col]), [node_col],
+                        final="shuffle").map_batches(
+        lambda df: pd.DataFrame({node_col: df[node_col],
+                                 "d": np.zeros(len(df), np.int64)}),
+        batch_format="pandas").materialize()
+    if not frontier.count():
+        return empty
+    dist = frontier
+
+    def _check_weights(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy()
+        if len(w) and w.min() < 0:
+            raise ValueError("sssp requires non-negative weights")
+        return df
+
+    edges = edges.map_batches(_check_weights, batch_format="pandas")
+
+    for _ in range(max_rounds):
+        hop = frontier.map_batches(
+            lambda df: pd.DataFrame({src_col: df[node_col], "fd": df["d"]}),
+            batch_format="pandas")
+
+        def relax(m: pd.DataFrame) -> pd.DataFrame:
+            nd = (m["fd"].to_numpy(np.int64)
+                  + m[weight_col].to_numpy(np.int64))
+            t = pd.DataFrame({dst_col: m[dst_col], "nd": nd})
+            return t.groupby(dst_col, sort=False, as_index=False).min()
+
+        cand = shuffle_hash_join(edges, hop, on=src_col, project=relax)
+        cand = grouped_agg(cand, [dst_col], {"nd": ("nd", "min")},
+                           final="shuffle").map_batches(
+            lambda df: pd.DataFrame({node_col: df[dst_col],
+                                     "d": df["nd"].astype(np.int64),
+                                     "is_new": np.ones(len(df), np.int8)}),
+            batch_format="pandas").materialize()
+        if not cand.count():
+            break
+
+        old = dist.map_batches(
+            lambda df: pd.DataFrame({node_col: df[node_col], "d": df["d"],
+                                     "is_new": np.zeros(len(df), np.int8)}),
+            batch_format="pandas")
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            # per node: min over each side; improved iff new < old or unseen
+            g = (df.groupby([node_col, "is_new"], sort=False)["d"].min()
+                 .unstack("is_new"))
+            o = g[0] if 0 in g.columns else pd.Series(np.nan, index=g.index)
+            n = g[1] if 1 in g.columns else pd.Series(np.nan, index=g.index)
+            improved = n.notna() & (o.isna() | (n < o))
+            d = o.where(~improved, n)
+            out = pd.DataFrame({node_col: g.index.to_numpy(),
+                                "d": d.to_numpy(np.float64).astype(np.int64),
+                                "improved":
+                                    improved.to_numpy().astype(np.int8)})
+            return out
+
+        merged = group_apply(old.union(cand), node_col, merge,
+                             batch_format="pandas",
+                             whole_bucket=True).materialize()
+        frontier = merged.map_batches(
+            lambda df: df.loc[df["improved"] == 1, [node_col, "d"]],
+            batch_format="pandas")
+        dist = merged.select_columns([node_col, "d"])
+        if not frontier.count():
+            break
+
+    return dist.map_batches(
+        lambda df: pd.DataFrame({node_col: df[node_col],
+                                 "dist": df["d"].astype(np.int64)}),
+        batch_format="pandas")
