@@ -3344,6 +3344,37 @@ def q_orders_grouping_sets(sf_dir: str):
         {"revenue_cents": ("cents", "sum"), "n_orders": (None, "count")})
 
 
+def q_cust_supp_mutual_best(sf_dir: str):
+    """Reciprocal-best-match 1:1 linkage (stages/joins.py
+    mutual_best_match): score every (customer, supplier) candidate by
+    distinct shared orders, keep the pairs where each side is the
+    other's argmax (ties → smallest partner id) — the symmetric-best
+    filter ER applies to enforce 1:1 assignments. Two winner-per-entity
+    combiner passes + one entity-sized composite join; all-integer
+    scores so the row_number() oracle is exact."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct, grouped_agg
+    from whoiswho_ray.stages.joins import mutual_best_match, shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    triples = distinct(shuffle_hash_join(orders, li, on="o_orderkey"),
+                       ["o_custkey", "l_suppkey", "o_orderkey"],
+                       final="shuffle")
+    counts = grouped_agg(triples, ["o_custkey", "l_suppkey"],
+                         {"n_shared": (None, "count")}, final="shuffle")
+    out = mutual_best_match(counts, "o_custkey", "l_suppkey", "n_shared")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype(np.int64),
+            "l_suppkey": df["l_suppkey"].astype(np.int64),
+            "n_shared": df["n_shared"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 SSSP_MAX_ROUNDS = 4   # ≤4-edge paths: bounds the oracle's CTE state space
 SSSP_W_MOD = 9        # edge weight = (custkey + suppkey) % 9 + 1
 
@@ -3442,6 +3473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q_graph_bfs": q_graph_bfs,
         "q_graph_sssp": q_graph_sssp,
+        "q_cust_supp_mutual_best": q_cust_supp_mutual_best,
         "q_events_cdc_apply": q_events_cdc_apply,
         "q_events_scd2": q_events_scd2,
         "q_events_interval_merge": q_events_interval_merge,
@@ -4190,6 +4222,28 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_cust_supp_mutual_best": """
+            WITH p AS (
+                SELECT o_custkey, l_suppkey,
+                       count(DISTINCT o_orderkey) AS n
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+            bl AS (
+                SELECT o_custkey, l_suppkey, n FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY n DESC, l_suppkey) AS rn FROM p)
+                WHERE rn = 1),
+            br AS (
+                SELECT o_custkey, l_suppkey FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY l_suppkey
+                        ORDER BY n DESC, o_custkey) AS rn FROM p)
+                WHERE rn = 1)
+            SELECT bl.o_custkey, bl.l_suppkey,
+                   CAST(bl.n AS BIGINT) AS n_shared
+            FROM bl JOIN br USING (o_custkey, l_suppkey)
         """,
         "q_graph_sssp": f"""
             WITH RECURSIVE {sym_edges_bfs},

@@ -90,3 +90,46 @@ class TestSndPrCurve:
             + ") t(tau)")
         m = con.execute(scored_prefix).fetchone()[0]
         assert m is not None and m > 1e-9
+
+
+class TestMutualBestMatch:
+    """Reciprocal-best-match 1:1 filter vs brute double-argmax."""
+
+    @staticmethod
+    def _brute(df: pd.DataFrame):
+        best_l, best_r = {}, {}
+        # per-left best: max score, tie -> smallest partner
+        for r in df.sort_values(["a", "score", "b"],
+                                ascending=[True, False, True]
+                                ).drop_duplicates("a").itertuples():
+            best_l[r.a] = r.b
+        for r in df.sort_values(["b", "score", "a"],
+                                ascending=[True, False, True]
+                                ).drop_duplicates("b").itertuples():
+            best_r[r.b] = r.a
+        return {(a, b) for a, b in best_l.items() if best_r.get(b) == a}
+
+    def test_random_parity(self, ray_session):
+        from whoiswho_ray.stages.joins import mutual_best_match
+        rng = np.random.RandomState(13)
+        df = pd.DataFrame({
+            "a": rng.randint(0, 30, 400),
+            "b": rng.randint(100, 140, 400),
+            "score": rng.randint(1, 50, 400).astype(np.int64),
+        }).drop_duplicates(["a", "b"])
+        out = mutual_best_match(
+            rd.from_pandas(df).repartition(7), "a", "b", "score"
+        ).to_pandas()
+        got = set(zip(out["a"], out["b"]))
+        assert got == self._brute(df)
+        # 1:1 property: no entity appears twice
+        assert out["a"].is_unique and out["b"].is_unique
+
+    def test_tie_pins_smallest_partner(self, ray_session):
+        from whoiswho_ray.stages.joins import mutual_best_match
+        df = pd.DataFrame({"a": [1, 1, 2], "b": [7, 5, 5],
+                           "score": np.array([3, 3, 1], dtype=np.int64)})
+        out = mutual_best_match(rd.from_pandas(df), "a", "b", "score"
+                                ).to_pandas()
+        # a=1 ties between b=7 and b=5 -> picks 5; b=5's best is a=1
+        assert set(zip(out["a"], out["b"])) == {(1, 5)}

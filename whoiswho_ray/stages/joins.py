@@ -905,3 +905,40 @@ def skyline_2d(
                                 batch_size=131072)
     return candidates.repartition(1).map_batches(
         front, batch_format="pandas", batch_size=None)
+
+
+def mutual_best_match(
+    pairs: "ray.data.Dataset",
+    left_col: str,
+    right_col: str,
+    score_col: str,
+    mode: str = "max",
+) -> "ray.data.Dataset":
+    """Reciprocal-best-match 1:1 linkage: from scored candidate pairs,
+    keep exactly the pairs where EACH side is the other's best partner
+    (ties pinned deterministically to the smallest partner id, the
+    ``ROW_NUMBER() OVER (... ORDER BY score DESC, partner) = 1`` order)
+    — the standard symmetric-best-match filter entity resolution applies
+    after candidate scoring to enforce a 1:1 assignment without solving
+    a global matching problem. Mutual-best is a subset of the greedy
+    max-weight matching and never assigns one record twice.
+
+    Scale shape: two :func:`~whoiswho_ray.stages.agg.arg_extreme_grouped`
+    passes (per-batch one-winner-per-key combiner, then one key-hash
+    bucketed exchange each — at most |distinct keys| rows move) + one
+    composite-key hash join of the two winner sets (each at most one row
+    per entity, so the join input is entity-sized, not pair-sized).
+    Output: (left_col, right_col, score_col) for surviving pairs.
+    """
+    from whoiswho_ray.stages.agg import arg_extreme_grouped
+
+    best_l = arg_extreme_grouped(pairs, left_col, score_col,
+                                 [right_col], mode)
+    best_r = arg_extreme_grouped(pairs, right_col, score_col,
+                                 [left_col], mode)
+    lhs = best_l.map_batches(
+        lambda df: df[[left_col, right_col, score_col]],
+        batch_format="pandas")
+    rhs = best_r.map_batches(
+        lambda df: df[[left_col, right_col]], batch_format="pandas")
+    return shuffle_hash_join(lhs, rhs, on=[left_col, right_col])
