@@ -3375,6 +3375,51 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+SKEW_TOP_N = 20
+DEBOUNCE_GAP_US = 3_600_000_000  # 1 h in microseconds
+
+
+def q_lineitem_key_skew(sf_dir: str):
+    """Key-distribution skew report (stages/profile.py key_skew) over
+    lineitem.l_suppkey — top-20 heaviest keys with rank / share /
+    cumulative share plus global totals; the shuffle-planning diagnostic.
+    Per-batch count combiner + one key combine, then driver-bounded
+    top-k merge; shares are single divisions of exact int64 counts."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.profile import key_skew
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+    return key_skew(li, "l_suppkey", top_n=SKEW_TOP_N)
+
+
+def q_events_debounce(sf_dir: str):
+    """Windowed ingest dedup (stages/windows.py debounce): drop an event
+    when the same user's closest EARLIER event is within 1 h — bounded-
+    window duplicate suppression, exactly one lag under the
+    (user, ts, event_id) order; one key-hash bucketed exchange."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import debounce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "ts_us": df["ts"].to_numpy(dtype="datetime64[us]")
+                     .astype(np.int64),
+            "event_id": df["event_id"].astype(np.int64),
+            "event_type": df["event_type"],
+        })
+
+    out = debounce(ev.map_batches(prep, batch_format="pandas"),
+                   key_cols=["user_id"], order_col="ts_us",
+                   min_gap=DEBOUNCE_GAP_US, tiebreak_cols=["event_id"])
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "ts_us", "event_type"]],
+        batch_format="pandas")
+
+
 SSSP_MAX_ROUNDS = 4   # ≤4-edge paths: bounds the oracle's CTE state space
 SSSP_W_MOD = 9        # edge weight = (custkey + suppkey) % 9 + 1
 
@@ -3474,6 +3519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_bfs": q_graph_bfs,
         "q_graph_sssp": q_graph_sssp,
         "q_cust_supp_mutual_best": q_cust_supp_mutual_best,
+        "q_lineitem_key_skew": q_lineitem_key_skew,
+        "q_events_debounce": q_events_debounce,
         "q_events_cdc_apply": q_events_cdc_apply,
         "q_events_scd2": q_events_scd2,
         "q_events_interval_merge": q_events_interval_merge,
@@ -4222,6 +4269,35 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_lineitem_key_skew": f"""
+            WITH c AS (SELECT l_suppkey, count(*) AS n
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                         count(*) AS nk FROM c),
+            r AS (SELECT l_suppkey, n,
+                         row_number() OVER
+                             (ORDER BY n DESC, l_suppkey) AS rnk,
+                         sum(n) OVER (ORDER BY n DESC, l_suppkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c)
+            SELECT r.l_suppkey, CAST(r.n AS BIGINT) AS n,
+                   CAST(r.rnk AS BIGINT) AS rank,
+                   CAST(r.n AS DOUBLE) / t.tot AS share,
+                   CAST(r.cum AS DOUBLE) / t.tot AS cum_share,
+                   t.tot AS total_rows, CAST(t.nk AS BIGINT) AS n_keys
+            FROM r, t WHERE r.rnk <= {SKEW_TOP_N}
+        """,
+        "q_events_debounce": f"""
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       event_type,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+                   CAST(ts_us AS BIGINT) AS ts_us, event_type
+            FROM o WHERE prev IS NULL OR ts_us - prev > {DEBOUNCE_GAP_US}
         """,
         "q_cust_supp_mutual_best": """
             WITH p AS (

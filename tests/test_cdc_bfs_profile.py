@@ -601,3 +601,84 @@ class TestScd2Build:
                        tiebreak_cols=["tid"],
                        current_sentinel=-1).to_pandas()
         _assert_frames(a, b)
+
+
+class TestKeySkew:
+    def test_matches_duckdb(self):
+        from whoiswho_ray.stages.profile import key_skew
+        rng = np.random.default_rng(2)
+        # zipf-ish: key 0 is hot
+        keys = np.concatenate([np.zeros(500, np.int64),
+                               rng.integers(1, 40, 1500)])
+        df = pd.DataFrame({"k": keys})
+        got = key_skew(rd.from_pandas(df).repartition(9), "k", top_n=5)
+        want = duckdb.connect().execute("""
+            WITH c AS (SELECT k, count(*) AS n FROM df GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) tot, count(*) nk FROM c),
+            r AS (SELECT k, n,
+                         row_number() OVER (ORDER BY n DESC, k) rnk,
+                         sum(n) OVER (ORDER BY n DESC, k
+                                      ROWS UNBOUNDED PRECEDING) cum
+                  FROM c)
+            SELECT r.k, CAST(r.n AS BIGINT) n, CAST(r.rnk AS BIGINT) rank,
+                   CAST(r.n AS DOUBLE)/t.tot AS share,
+                   CAST(r.cum AS DOUBLE)/t.tot AS cum_share,
+                   t.tot AS total_rows, CAST(t.nk AS BIGINT) AS n_keys
+            FROM r, t WHERE rnk <= 5 ORDER BY rank
+        """).df()
+        _assert_frames(got, want)
+        assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+        assert got.iloc[0]["k"] == 0 and got.iloc[0]["n"] == 500
+
+    def test_fewer_keys_than_topn_and_empty(self):
+        from whoiswho_ray.stages.profile import key_skew
+        df = pd.DataFrame({"k": ["a", "a", "b"]})
+        got = key_skew(rd.from_pandas(df), "k", top_n=10)
+        assert len(got) == 2
+        assert got["cum_share"].iloc[-1] == 1.0
+        assert (got["total_rows"] == 3).all() and (got["n_keys"] == 2).all()
+        empty = key_skew(rd.from_pandas(pd.DataFrame({"k": []})), "k")
+        assert len(empty) == 0 and "cum_share" in empty.columns
+
+
+class TestDebounce:
+    def _run(self, df, gap):
+        from whoiswho_ray.stages.windows import debounce
+        out = debounce(rd.from_pandas(df).repartition(4), ["k"], "o",
+                       min_gap=gap, tiebreak_cols=["tid"])
+        return out.to_pandas().sort_values(["k", "o", "tid"],
+                                           ignore_index=True)
+
+    def test_matches_duckdb_lag(self):
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 25, 2000),
+            "o": rng.integers(0, 500, 2000).astype(np.int64),
+            "tid": np.arange(2000, dtype=np.int64),
+        })
+        got = self._run(df, gap=10)
+        want = duckdb.connect().execute("""
+            WITH x AS (SELECT k, o, tid,
+                              lag(o) OVER (PARTITION BY k
+                                           ORDER BY o, tid) AS prev
+                       FROM df)
+            SELECT k, o, tid FROM x WHERE prev IS NULL OR o - prev > 10
+            ORDER BY k, o, tid
+        """).df()
+        _assert_frames(got, want)
+
+    def test_semantics_non_greedy(self):
+        # t=0,5,9 gap=6: 5 dropped (<=6 from 0); 9 dropped too — the lag
+        # references the raw previous row (5), NOT the last kept row.
+        df = pd.DataFrame({"k": ["u"] * 3,
+                           "o": np.array([0, 5, 9], dtype=np.int64),
+                           "tid": np.arange(3, dtype=np.int64)})
+        got = self._run(df, gap=6)
+        assert got["o"].tolist() == [0]
+
+    def test_ties_keep_first_only(self):
+        df = pd.DataFrame({"k": ["u", "u", "v"],
+                           "o": np.array([3, 3, 3], dtype=np.int64),
+                           "tid": np.array([2, 1, 9], dtype=np.int64)})
+        got = self._run(df, gap=0)
+        assert list(zip(got["k"], got["tid"])) == [("u", 1), ("v", 9)]

@@ -151,3 +151,69 @@ def fd_violations(
         "n_violations": np.array([n_viol], np.int64),
         "holds": [n_viol == 0],
     })
+
+
+def key_skew(
+    ds: "ray.data.Dataset",
+    key: str,
+    top_n: int = 20,
+) -> pd.DataFrame:
+    """Key-distribution skew report — the diagnostic a shuffle planner
+    reads before picking a partitioning key: the ``top_n`` heaviest keys
+    with count, rank (``ORDER BY n DESC, key``), share of all rows, and
+    running cumulative share, plus the global row/distinct-key totals on
+    every row so the frame is self-describing. A top-1 share near
+    1/num_buckets means the hottest key saturates one bucket task — salt
+    it (joins.shuffle_hash_join ``salt=``) or pre-aggregate.
+
+    Scale shape: per-batch partial key counts (combiner) + one key-hash
+    bucketed combine produce the global per-key count table, which is
+    materialized ONCE (it is O(distinct keys) and already lives in the
+    object store post-shuffle); then two driver-bounded passes over it —
+    per-batch (sum, len) scalar partials for the totals, and per-batch
+    top-``top_n`` candidates (complete because every key appears exactly
+    once after the global combine) merged on the driver. Shares are
+    single divisions of exact int64 counts (bit-identical to SQL
+    ``CAST(n AS DOUBLE) / tot``).
+    """
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    empty = pd.DataFrame({key: pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64),
+                          "share": pd.Series([], dtype=np.float64),
+                          "cum_share": pd.Series([], dtype=np.float64),
+                          "total_rows": pd.Series([], dtype=np.int64),
+                          "n_keys": pd.Series([], dtype=np.int64)})
+
+    counts = grouped_agg(ds.select_columns([key]), [key],
+                         {"n": (None, "count")},
+                         final="shuffle").materialize()
+
+    tot = counts.map_batches(
+        lambda df: pd.DataFrame({"r": [np.int64(df["n"].sum())],
+                                 "k": [np.int64(len(df))]}),
+        batch_format="pandas").to_pandas()
+    if not len(tot):
+        return empty
+    tot_rows, n_keys = int(tot["r"].sum()), int(tot["k"].sum())
+
+    cand = counts.map_batches(
+        lambda df: df.sort_values(["n", key], ascending=[False, True],
+                                  kind="stable").head(top_n),
+        batch_format="pandas").to_pandas()
+    head = (cand.sort_values(["n", key], ascending=[False, True],
+                             kind="stable").head(top_n)
+            .reset_index(drop=True))
+    n = head["n"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        key: head[key],
+        "n": n,
+        "rank": np.arange(1, len(head) + 1, dtype=np.int64),
+        "share": n.astype(np.float64) / np.float64(tot_rows),
+        "cum_share": np.cumsum(n).astype(np.float64)
+                     / np.float64(tot_rows),
+        "total_rows": np.full(len(head), tot_rows, np.int64),
+        "n_keys": np.full(len(head), n_keys, np.int64),
+    })
+    return out

@@ -589,3 +589,52 @@ def transition_counts(
         return g
 
     return group_apply(counts, prev_out, attach_p, batch_format="pandas")
+
+
+def debounce(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_col: str,
+    min_gap: int,
+    tiebreak_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Windowed ingest dedup ("debounce"): drop a row when ANY earlier
+    row with the same key lies within ``min_gap`` of it along
+    ``order_col`` — the bounded-window duplicate suppression a 100 TB
+    ingest runs on (content-hash, event-time) streams where true
+    re-sends cluster in time but legitimate repeats recur later.
+
+    NOT the greedy "gap from the last KEPT row" debounce (that is an
+    inherently sequential scan per key): here the predicate references
+    the closest EARLIER row, so it is exactly one lag — a row survives
+    iff it is its key's first row or ``order - lag(order) > min_gap``
+    under the (key, order, tiebreaks) total order. Order ties within a
+    key are duplicates by definition (gap 0): only the first of a tie
+    group survives. SQL-exact via ``lag()``.
+
+    Scale shape: ONE key-hash bucketed exchange; inside each bucket the
+    kernel is one sort + NULL-stable boundary masks across ALL keys —
+    no per-key Python. Rows pass through with all their columns.
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    ties = list(tiebreak_cols or [])
+    if len(key_cols) != 1:
+        # group_apply buckets on one column; fold multi-keys upstream
+        raise ValueError("debounce takes exactly one key column — "
+                         "concatenate composite keys upstream")
+    key = key_cols[0]
+    sort_cols = [key, order_col, *ties]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(sort_cols, kind="stable")
+        k, o = df[key], df[order_col]
+        kp = k.shift()
+        new_key = ~(k.eq(kp) | (k.isna() & kp.isna()))
+        gap_ok = (o - o.shift()) > min_gap
+        return df[new_key | (~new_key & gap_ok)]
+
+    return group_apply(ds, key, bucket, batch_format="pandas",
+                       whole_bucket=True)
