@@ -3375,6 +3375,71 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+FS_TAU_CAND = 0.2   # candidate-pair floor; the EM separates from here
+FS_TAU_SIM = 0.5    # γ1: strong n-gram agreement
+FS_LEN_RATIO = 0.8  # γ3: length agreement
+
+
+def q_doc_fs_linkage(sf_dir: str):
+    """Fellegi–Sunter probabilistic linkage (stages/linkage.py): exact
+    n-gram candidate pairs at a low floor (τ=0.2), three binary
+    comparison features (strong-similarity, same-lang, length-ratio),
+    EM-fit m/u/p on the 2^3-pattern table (ONE distributed
+    pattern-count pass; EM is driver-side numpy, cost independent of
+    pair count), then a streaming classify pass attaching the log2
+    likelihood-ratio weight, posterior and match flag. Rows-only by
+    design (iterative float fit, like the other learned operators);
+    pinned by brute-EM-parity + planted-recovery tests."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.dedup import ngram_jaccard_pairs
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+    from whoiswho_ray.stages.linkage import fs_classify, fs_em
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source", "lang"])
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text", "source"]),
+        threshold=FS_TAU_CAND)
+
+    def attrs(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        return pd.DataFrame({
+            f"key_{side}": df["doc_id"].astype(np.int64),
+            f"lang_{side}": df["lang"],
+            f"len_{side}": df["text"].str.len().astype(np.int64)})
+
+    at_a = docs.map_batches(lambda df: attrs(df, "a"),
+                            batch_format="pandas")
+    at_b = docs.map_batches(lambda df: attrs(df, "b"),
+                            batch_format="pandas")
+    j = shuffle_hash_join(pairs, at_a, on="key_a")
+    j = shuffle_hash_join(j, at_b, on="key_b")
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        la = df["len_a"].to_numpy(np.int64)
+        lb = df["len_b"].to_numpy(np.int64)
+        ratio = np.minimum(la, lb) / np.maximum(
+            np.maximum(la, lb), 1)
+        return pd.DataFrame({
+            "source": df["source"],
+            "key_a": df["key_a"].astype(np.int64),
+            "key_b": df["key_b"].astype(np.int64),
+            "f_sim": (df["jacc"].to_numpy(np.float64)
+                      >= FS_TAU_SIM).astype(np.int64),
+            "f_lang": (df["lang_a"] == df["lang_b"])
+                      .to_numpy().astype(np.int64),
+            "f_len": (ratio >= FS_LEN_RATIO).astype(np.int64),
+        })
+
+    feat = j.map_batches(featurize, batch_format="pandas").materialize()
+    params = fs_em(feat, ["f_sim", "f_lang", "f_len"], n_iters=100)
+    out = fs_classify(feat, ["f_sim", "f_lang", "f_len"], params,
+                      threshold=0.5)
+    return out.map_batches(
+        lambda df: df[["source", "key_a", "key_b", "f_sim", "f_lang",
+                       "f_len", "weight", "match"]],
+        batch_format="pandas")
+
+
 SKEW_TOP_N = 20
 DEBOUNCE_GAP_US = 3_600_000_000  # 1 h in microseconds
 
@@ -3520,6 +3585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_sssp": q_graph_sssp,
         "q_cust_supp_mutual_best": q_cust_supp_mutual_best,
         "q_lineitem_key_skew": q_lineitem_key_skew,
+        "q_doc_fs_linkage": q_doc_fs_linkage,
         "q_events_debounce": q_events_debounce,
         "q_events_cdc_apply": q_events_cdc_apply,
         "q_events_scd2": q_events_scd2,
