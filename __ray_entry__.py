@@ -3375,6 +3375,41 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+def q_part_soundex(sf_dir: str):
+    """Phonetic blocking-key profile (functions/phonetic.py — vectorized
+    simplified American Soundex, zero per-row Python: one Arrow buffer,
+    LUT byte mapping, boundary-mask run collapse, searchsorted ranks):
+    soundex of each part name's first token → per code, how many names
+    land in the block and how many distinct tokens it conflates. Exact
+    oracle replays the encoding in DuckDB (translate + indexed
+    list_filter collapse). Two token-dictionary-sized combines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.functions.phonetic import soundex_array
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    part = read_table(sf_dir, "part", columns=["p_name"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(t.column("p_name"), " "), 0)
+        if isinstance(first, pa.ChunkedArray):
+            first = first.combine_chunks()
+        return pa.table({"sx": soundex_array(first), "tok": first})
+
+    ds = part.map_batches(enc, batch_format="pyarrow")
+    per_tok = grouped_agg(ds, ["sx", "tok"], {"n": (None, "count")},
+                          final="shuffle")
+    out = grouped_agg(per_tok, ["sx"],
+                      {"n_names": ("n", "sum"),
+                       "n_tokens": (None, "count")}, final="driver")
+    out["n_names"] = out["n_names"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out
+
+
 FS_TAU_CAND = 0.2   # candidate-pair floor; the EM separates from here
 FS_TAU_SIM = 0.5    # γ1: strong n-gram agreement
 FS_LEN_RATIO = 0.8  # γ3: length agreement
@@ -3586,6 +3621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cust_supp_mutual_best": q_cust_supp_mutual_best,
         "q_lineitem_key_skew": q_lineitem_key_skew,
         "q_doc_fs_linkage": q_doc_fs_linkage,
+        "q_part_soundex": q_part_soundex,
         "q_events_debounce": q_events_debounce,
         "q_events_cdc_apply": q_events_cdc_apply,
         "q_events_scd2": q_events_scd2,
@@ -4311,6 +4347,8 @@ def _rnd_assign_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from whoiswho_ray.functions.phonetic import soundex_sql
+
     cents = "CAST(floor({x}*100+0.5) AS BIGINT)"
     sym_edges_bfs = f"""
         p AS (
@@ -4335,6 +4373,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_part_soundex": f"""
+            WITH f AS (SELECT string_split(p_name, ' ')[1] AS tok
+                       FROM part),
+            s AS (SELECT {soundex_sql('tok')} AS sx, tok FROM f)
+            SELECT sx, count(*) AS n_names,
+                   count(DISTINCT tok) AS n_tokens
+            FROM s GROUP BY 1
         """,
         "q_lineitem_key_skew": f"""
             WITH c AS (SELECT l_suppkey, count(*) AS n
