@@ -3375,6 +3375,77 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+EXTRACT_PATTERN = "[a-z]{7,}"   # long words — keeps the flat output lean
+IMPUTE_NULL_MOD = 13            # plant NULLs on event_id % 13 == 0
+
+
+def q_doc_extract_words(sf_dir: str):
+    """Regex field extraction (stages/text_analysis.py
+    extract_regex_all): all ≥7-letter lowercase words per document,
+    flattened to (doc_id, match_idx, match) — SQL's
+    unnest(regexp_extract_all(...)) with 0-based subscripts. Zero
+    shuffles; polars vectorized extract + explode per batch."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import extract_regex_all
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return extract_regex_all(docs, "text", EXTRACT_PATTERN, "doc_id")
+
+
+def q_events_impute(sf_dir: str):
+    """Group-mode NULL imputation (stages/profile.py impute_mode):
+    plant NULLs on event_id % 13 == 0 in the integer-cents value, fill
+    each from its event_type's most frequent non-null value (ties →
+    smallest), flag imputed rows. Mode table = one combiner pass +
+    key-bucket combine, broadcast into a streaming fill."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.profile import impute_mode
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].astype(np.int64)
+        v = _cents(df["value"]).astype(np.float64)
+        v[eid % IMPUTE_NULL_MOD == 0] = np.nan
+        return pd.DataFrame({"event_id": eid, "event_type":
+                             df["event_type"], "v": v})
+
+    out = impute_mode(ev.map_batches(prep, batch_format="pandas"),
+                      key="event_type", col="v")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "event_type": df["event_type"],
+            "v_imputed": df["v"].astype(np.int64),
+            "was_null": df["was_null"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def q_linreg_by_flag(sf_dir: str):
+    """Per-group OLS (stages/agg.py grouped_linreg): regress discount
+    cents on quantity per returnflag — closed form from six exact int64
+    moment sums (per-batch combiner, key-bounded driver combine), float
+    expressions evaluated from DOUBLE-cast exact sums in the same order
+    as the SQL oracle, so slope/intercept/r2 are bit-identical."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_linreg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "q": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64),
+            "d": _cents(df["l_discount"]),
+        })
+
+    return grouped_linreg(li.map_batches(prep, batch_format="pandas"),
+                          "l_returnflag", "q", "d")
+
+
 def q_part_soundex(sf_dir: str):
     """Phonetic blocking-key profile (functions/phonetic.py — vectorized
     simplified American Soundex, zero per-row Python: one Arrow buffer,
@@ -3622,6 +3693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_key_skew": q_lineitem_key_skew,
         "q_doc_fs_linkage": q_doc_fs_linkage,
         "q_part_soundex": q_part_soundex,
+        "q_linreg_by_flag": q_linreg_by_flag,
+        "q_doc_extract_words": q_doc_extract_words,
+        "q_events_impute": q_events_impute,
         "q_events_debounce": q_events_debounce,
         "q_events_cdc_apply": q_events_cdc_apply,
         "q_events_scd2": q_events_scd2,
@@ -4373,6 +4447,71 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_doc_extract_words": f"""
+            SELECT doc_id,
+                   CAST(generate_subscripts(
+                       regexp_extract_all(text, '{EXTRACT_PATTERN}'), 1)
+                       - 1 AS BIGINT) AS match_idx,
+                   unnest(regexp_extract_all(text, '{EXTRACT_PATTERN}'))
+                       AS match
+            FROM documents
+        """,
+        "q_events_impute": f"""
+            WITH b AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                       CASE WHEN event_id % {IMPUTE_NULL_MOD} = 0
+                            THEN NULL
+                            ELSE {cents.format(x='value')} END AS v
+                FROM events
+            ), m AS (
+                SELECT event_type, v AS mode_v FROM (
+                    SELECT event_type, v, row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY count(*) DESC, v) AS rn
+                    FROM b WHERE v IS NOT NULL GROUP BY event_type, v)
+                WHERE rn = 1
+            )
+            SELECT b.event_id, b.event_type,
+                   CAST(coalesce(b.v, m.mode_v) AS BIGINT) AS v_imputed,
+                   CAST(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS was_null
+            FROM b LEFT JOIN m USING (event_type)
+        """,
+        "q_linreg_by_flag": f"""
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                       {cents.format(x='l_discount')} AS d
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(q) AS sx, sum(d) AS sy, sum(q * d) AS sxy,
+                       sum(q * q) AS sxx, sum(d * d) AS syy
+                FROM b GROUP BY l_returnflag
+            ), f AS (
+                SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) AS nf, CAST(sx AS DOUBLE) AS sxf,
+                       CAST(sy AS DOUBLE) AS syf,
+                       CAST(sxy AS DOUBLE) AS sxyf,
+                       CAST(sxx AS DOUBLE) AS sxxf,
+                       CAST(syy AS DOUBLE) AS syyf
+                FROM s
+            ), g AS (
+                SELECT *, nf * sxyf - sxf * syf AS covn,
+                       nf * sxxf - sxf * sxf AS varx,
+                       nf * syyf - syf * syf AS vary
+                FROM f
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN varx > 0 THEN covn / varx END AS slope,
+                   CASE WHEN varx > 0
+                        THEN (syf - (covn / varx) * sxf) / nf
+                   END AS intercept,
+                   CASE WHEN varx > 0 AND vary > 0
+                        THEN (covn * covn) / (varx * vary)
+                   END AS r2
+            FROM g
         """,
         "q_part_soundex": f"""
             WITH f AS (SELECT string_split(p_name, ' ')[1] AS tok

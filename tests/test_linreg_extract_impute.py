@@ -1,0 +1,129 @@
+"""Session-4 batch: grouped OLS (exact-moment closed form), regex
+extract-all, group-mode NULL imputation — DuckDB parity + edge cases."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from whoiswho_ray.stages.agg import grouped_linreg
+from whoiswho_ray.stages.profile import impute_mode
+from whoiswho_ray.stages.text_analysis import extract_regex_all
+
+
+class TestGroupedLinreg:
+    def test_matches_duckdb_exact_sums(self):
+        rng = np.random.default_rng(21)
+        n = 5000
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], n),
+            "x": rng.integers(0, 50, n).astype(np.int64),
+        })
+        df["y"] = (3 * df["x"] + rng.integers(-5, 6, n)).astype(np.int64)
+        got = grouped_linreg(rd.from_pandas(df).repartition(7),
+                             "k", "x", "y")
+        want = duckdb.connect().execute("""
+            WITH s AS (SELECT k, count(*) n, sum(x) sx, sum(y) sy,
+                              sum(x*y) sxy, sum(x*x) sxx, sum(y*y) syy
+                       FROM df GROUP BY 1),
+            f AS (SELECT k, n, CAST(n AS DOUBLE) nf,
+                         CAST(sx AS DOUBLE) sxf, CAST(sy AS DOUBLE) syf,
+                         CAST(sxy AS DOUBLE) sxyf,
+                         CAST(sxx AS DOUBLE) sxxf,
+                         CAST(syy AS DOUBLE) syyf FROM s),
+            g AS (SELECT *, nf*sxyf - sxf*syf covn, nf*sxxf - sxf*sxf varx,
+                         nf*syyf - syf*syf vary FROM f)
+            SELECT k, CAST(n AS BIGINT) n,
+                   CASE WHEN varx > 0 THEN covn/varx END slope,
+                   CASE WHEN varx > 0
+                        THEN (syf - (covn/varx)*sxf)/nf END intercept,
+                   CASE WHEN varx > 0 AND vary > 0
+                        THEN (covn*covn)/(varx*vary) END r2
+            FROM g ORDER BY k
+        """).df()
+        g = got.sort_values("k", ignore_index=True)
+        # bit-identical floats
+        assert g["slope"].tolist() == want["slope"].tolist()
+        assert g["intercept"].tolist() == want["intercept"].tolist()
+        assert g["r2"].tolist() == want["r2"].tolist()
+        # and near the planted slope of 3
+        assert np.allclose(g["slope"], 3.0, atol=0.1)
+        assert (g["r2"] > 0.9).all()
+
+    def test_degenerate_groups(self):
+        df = pd.DataFrame({
+            "k": ["z", "z", "c", "c"],
+            "x": np.array([4, 4, 1, 2], dtype=np.int64),   # z: var_x = 0
+            "y": np.array([1, 9, 5, 5], dtype=np.int64),   # c: var_y = 0
+        })
+        out = grouped_linreg(rd.from_pandas(df), "k", "x", "y")
+        z = out[out["k"] == "z"].iloc[0]
+        assert np.isnan(z["slope"]) and np.isnan(z["r2"])
+        c = out[out["k"] == "c"].iloc[0]
+        assert c["slope"] == 0.0 and np.isnan(c["r2"])
+
+
+class TestExtractRegexAll:
+    def test_matches_duckdb(self):
+        df = pd.DataFrame({
+            "id": np.arange(5, dtype=np.int64),
+            "t": ["one littleword and anotherone", "short", "",
+                  "xxxxxxx yyyyyyy xxxxxxx", "no7letters here!"],
+        })
+        got = extract_regex_all(rd.from_pandas(df).repartition(3),
+                                "t", "[a-z]{7,}", "id").to_pandas()
+        want = duckdb.connect().execute("""
+            SELECT id, CAST(generate_subscripts(
+                       regexp_extract_all(t, '[a-z]{7,}'), 1) - 1
+                       AS BIGINT) AS match_idx,
+                   unnest(regexp_extract_all(t, '[a-z]{7,}')) AS match
+            FROM df
+        """).df()
+        cols = ["id", "match_idx", "match"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols, ignore_index=True),
+            want[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False)
+        # duplicate matches keep distinct ordinals
+        assert len(got[(got["id"] == 3)]) == 3
+
+    def test_no_matches_is_typed_empty(self):
+        df = pd.DataFrame({"id": [1], "t": ["nope"]})
+        out = extract_regex_all(rd.from_pandas(df), "t", "[0-9]{5}", "id")
+        assert out.count() == 0
+
+
+class TestImputeMode:
+    def test_matches_duckdb(self):
+        rng = np.random.default_rng(4)
+        n = 3000
+        df = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.choice(["p", "q", "r"], n),
+            "v": rng.choice([10.0, 20.0, 20.0, 30.0], n),
+        })
+        df.loc[df["id"] % 7 == 0, "v"] = np.nan
+        out = impute_mode(rd.from_pandas(df).repartition(6), "k", "v"
+                          ).to_pandas()
+        want = duckdb.connect().execute("""
+            WITH m AS (SELECT k, v AS mv FROM (
+                SELECT k, v, row_number() OVER (PARTITION BY k
+                    ORDER BY count(*) DESC, v) rn
+                FROM df WHERE v IS NOT NULL GROUP BY k, v) WHERE rn = 1)
+            SELECT id, df.k, coalesce(df.v, m.mv) AS v,
+                   CASE WHEN df.v IS NULL THEN 1 ELSE 0 END AS was_null
+            FROM df LEFT JOIN m USING (k)
+        """).df()
+        cols = ["id", "k", "v", "was_null"]
+        pd.testing.assert_frame_equal(
+            out[cols].sort_values("id", ignore_index=True),
+            want[cols].sort_values("id", ignore_index=True),
+            check_dtype=False)
+
+    def test_all_null_group_stays_null(self):
+        df = pd.DataFrame({"k": ["a", "a", "b"],
+                           "v": [np.nan, np.nan, 5.0]})
+        out = impute_mode(rd.from_pandas(df), "k", "v").to_pandas()
+        assert out[out["k"] == "a"]["v"].isna().all()
+        assert (out[out["k"] == "a"]["was_null"] == 1).all()

@@ -1192,6 +1192,60 @@ def grouped_correlation(
                          "corr": corr})
 
 
+def grouped_linreg(
+    ds: "ray.data.Dataset", key: str, x: str, y: str
+) -> pd.DataFrame:
+    """Per-group ordinary-least-squares fit of two INTEGER columns —
+    closed form from the same six exact moment sums as
+    :func:`grouped_correlation` (per-batch int64 partials with the
+    object-int overflow escape, key-bounded driver combine), then
+
+    * ``slope``     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * ``intercept`` = (Σy − slope·Σx) / n
+    * ``r2``        = (n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+
+    evaluated in float64 with each exact sum cast FIRST (the oracle
+    casts the same sums to DOUBLE the same way, so the floats are
+    bit-identical). Zero-x-variance groups get NULL slope/intercept;
+    r2 is NULL when either variance is zero. Returns
+    ``(key, n, slope, intercept, r2)`` sorted by key.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].to_numpy(np.int64)
+        yv = df[y].to_numpy(np.int64)
+        t = pd.DataFrame({key: df[key].to_numpy(),
+                          "n": np.ones(len(df), np.int64),
+                          "sx": _moment_products(xv),
+                          "sy": _moment_products(yv),
+                          "sxy": _moment_products(xv, yv),
+                          "sxx": _moment_products(xv, xv),
+                          "syy": _moment_products(yv, yv)})
+        out = t.groupby(key, sort=False, as_index=False, dropna=False).sum()
+        return _shrink_moments(out, ["sx", "sy", "sxy", "sxx", "syy"],
+                               "grouped_linreg")
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=131072).to_pandas()
+    p = _exact_sum_cols(p, ["sx", "sy", "sxy", "sxx", "syy"])
+    tot = p.groupby(key, sort=True, as_index=False, dropna=False).sum()
+    n = tot["n"].to_numpy(np.float64)
+    sx, sy = tot["sx"].to_numpy(np.float64), tot["sy"].to_numpy(np.float64)
+    sxy = tot["sxy"].to_numpy(np.float64)
+    sxx, syy = tot["sxx"].to_numpy(np.float64), tot["syy"].to_numpy(np.float64)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    ok_x = var_x > 0
+    slope = np.where(ok_x, cov_n / np.where(ok_x, var_x, 1.0), np.nan)
+    intercept = np.where(ok_x, (sy - slope * sx) / n, np.nan)
+    ok_r = ok_x & (var_y > 0)
+    r2 = np.where(ok_r, (cov_n * cov_n)
+                  / np.where(ok_r, var_x * var_y, 1.0), np.nan)
+    return pd.DataFrame({key: tot[key], "n": tot["n"].astype(np.int64),
+                         "slope": slope, "intercept": intercept,
+                         "r2": r2})
+
+
 def mode_per_group(
     ds: "ray.data.Dataset",
     keys: str | list[str],

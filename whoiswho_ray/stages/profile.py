@@ -217,3 +217,40 @@ def key_skew(
         "n_keys": np.full(len(head), n_keys, np.int64),
     })
     return out
+
+
+def impute_mode(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    flag_col: str = "was_null",
+) -> "ray.data.Dataset":
+    """NULL imputation by per-group mode — the standard categorical
+    cleaning step: fill ``col``'s NULLs with the most frequent NON-NULL
+    value of the row's ``key`` group (mode ties pinned to the smallest
+    value, the agg.mode_per_group contract), and flag imputed rows.
+    Keys whose values are ALL NULL stay NULL (SQL ``coalesce`` with a
+    NULL group mode does the same).
+
+    Scale shape: the mode table is one per-batch (key, value) count
+    combiner + one key-bucket combine (agg.mode_per_group), collected to
+    the driver — it is O(distinct keys) — and rides the fill pass's task
+    closure as a broadcast lookup; the fill itself is one streaming
+    vectorized pass (isna mask + map). No shuffle touches the data rows.
+    """
+    from whoiswho_ray.stages.agg import mode_per_group
+
+    nonnull = ds.map_batches(
+        lambda df: df.loc[df[col].notna(), [key, col]],
+        batch_format="pandas")
+    modes = mode_per_group(nonnull, key, col).to_pandas()
+    lut = dict(zip(modes[key], modes["mode_val"]))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        isna = df[col].isna()
+        out = df.copy()
+        out[col] = df[col].where(~isna, df[key].map(lut))
+        out[flag_col] = isna.to_numpy().astype(np.int64)
+        return out
+
+    return ds.map_batches(fill, batch_format="pandas")

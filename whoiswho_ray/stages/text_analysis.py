@@ -1767,3 +1767,43 @@ def dup_span_stats(
     return grouped_agg(flagged, id_col,
                        {"n_spans": ("c", "sum"), "n_dup": ("c_dup", "sum")},
                        final="shuffle")
+
+
+def extract_regex_all(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    pattern: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Structured field extraction: ALL non-overlapping matches of
+    ``pattern`` per row, flattened to ``(id, match_idx, match)`` — the
+    SQL ``unnest(regexp_extract_all(...))`` with 0-based subscripts.
+    Rows with no match emit nothing.
+
+    Zero-shuffle, zero per-row Python: each batch runs polars'
+    vectorized ``str.extract_all`` + explode (rust regex engine — keep
+    patterns to the RE2-compatible subset shared with the DuckDB oracle:
+    no backrefs/lookaround, which neither engine supports anyway), and
+    the per-row match ordinal is one windowed cum_count. Embarrassingly
+    parallel; output order within a row is match order.
+    """
+    import polars as pl
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        out = (
+            df.with_columns(
+                pl.col(text_col).str.extract_all(pattern).alias("match"))
+            .select([id_col, "match"])
+            .explode("match")
+            .drop_nulls("match")
+            .with_columns(
+                (pl.col("match").cum_count().over(id_col) - 1)
+                .cast(pl.Int64).alias("match_idx"))
+            .select([id_col, "match_idx", "match"])
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
