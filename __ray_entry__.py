@@ -3680,75 +3680,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # displaced multi-round-green stalwarts keep their r3+r4 rows and move
     # to the oracled tail, all still verified locally by tools/check_oracles.py.
     return {
-        # GRADED WINDOW (first 50, driver cap): slot 1 the headline scan-agg;
-        # slots 2-17 the 16 exact-oracled queries never yet driver-graded
-        # (VERDICT r4 #2 rotation: the r4 late batch + the two r5-new ops);
-        # then the SND flagship family incl. the r5 learned-refinement and
-        # learned RND/IND variants (rows-only by design), pagerank (perf-
-        # watched), and r4-only-green queries back-filled for a second row.
+        # GRADED WINDOW (first 50, driver cap ~50/round).
+        # Round-5 final rotation: slot 1 the headline; then 45
+        # exact-oracled queries NEVER driver-graded in r1-r4
+        # (incl. every query VERDICT r4 ask #2 names), the
+        # flagship snd_clusters + exact-dedup re-checks (their
+        # code changed in r5 session 1), and the two new
+        # rows-only learned deliverables (fs_linkage,
+        # sgc_learned). 9 locally-verified variants moved to
+        # the tail to make room; tools/check_oracles.py covers
+        # the whole registry at sf0.01 either way.
         "q1_pricing_summary": q1_pricing_summary,
-        "q_graph_bfs": q_graph_bfs,
-        "q_graph_sssp": q_graph_sssp,
-        "q_cust_supp_mutual_best": q_cust_supp_mutual_best,
-        "q_lineitem_key_skew": q_lineitem_key_skew,
         "q_doc_fs_linkage": q_doc_fs_linkage,
+        "q_cust_supp_mutual_best": q_cust_supp_mutual_best,
         "q_part_soundex": q_part_soundex,
-        "q_linreg_by_flag": q_linreg_by_flag,
-        "q_doc_extract_words": q_doc_extract_words,
-        "q_events_impute": q_events_impute,
-        "q_events_debounce": q_events_debounce,
-        "q_events_cdc_apply": q_events_cdc_apply,
-        "q_events_scd2": q_events_scd2,
-        "q_events_interval_merge": q_events_interval_merge,
-        "q_events_markov": q_events_markov,
-        "q_profile_columns": q_profile_columns,
-        "q_orders_snapshot_diff": q_orders_snapshot_diff,
-        "q_graph_kcore": q_graph_kcore,
-        "q_doc_keywords": q_doc_keywords,
-        "q_graph_hits": q_graph_hits,
-        "q_orders_fd_check": q_orders_fd_check,
-        "q_doc_golden": q_doc_golden,
-        # r5 session-4 batch: substring-dedup signal + meta-blocking
-        "q_doc_dup_spans": q_doc_dup_spans,
-        "q_doc_metablock_wep": q_doc_metablock_wep,
-        "q_doc_metablock_wnp": q_doc_metablock_wnp,
-        "q_cube_lineitem": q_cube_lineitem,
-        "q_orders_grouping_sets": q_orders_grouping_sets,
-        "q_lineitem_melt": q_lineitem_melt,
-        "q_orders_dense_rank": q_orders_dense_rank,
-        "q_embedding_unnest": q_embedding_unnest,
-        "q_corr_by_flag": q_corr_by_flag,
-        "q_events_quantiles_cont": q_events_quantiles_cont,
-        "q_quantity_zscore": q_quantity_zscore,
-        "q_orders_price_band": q_orders_price_band,
-        "q_customer_best_order": q_customer_best_order,
-        "q_events_type_quantiles_cont": q_events_type_quantiles_cont,
-        "q_events_running_sum": q_events_running_sum,
-        "q_doc_bm25": q_doc_bm25,
-        "q_doc_phrase": q_doc_phrase,
-        "q_orders_in_ship_window": q_orders_in_ship_window,
-        "q_orders_overlap_windows": q_orders_overlap_windows,
-        "q_doc_bm25_lang": q_doc_bm25_lang,
-        "q_events_first_last": q_events_first_last,
-        "q_events_retention": q_events_retention,
-        "q_orders_pareto": q_orders_pareto,
-        "q_doc_cooccur": q_doc_cooccur,
         "q_part_jw_join": q_part_jw_join,
         "q_part_snb": q_part_snb,
         "snd_blocking_quality": snd_blocking_quality,
         "snd_cluster_eval": snd_cluster_eval,
         "snd_pair_ari": snd_pair_ari,
         "snd_pr_curve": snd_pr_curve,
+        "q_doc_golden": q_doc_golden,
+        "q_doc_dup_spans": q_doc_dup_spans,
+        "q_doc_metablock_wep": q_doc_metablock_wep,
+        "q_doc_metablock_wnp": q_doc_metablock_wnp,
+        "q_doc_editjoin": q_doc_editjoin,
+        "q_doc_edit_dedup": q_doc_edit_dedup,
+        "snd_clusters": snd_clusters,
+        "snd_clusters_sgc_learned": snd_clusters_sgc_learned,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_graph_bfs": q_graph_bfs,
+        "q_graph_sssp": q_graph_sssp,
+        "q_graph_kcore": q_graph_kcore,
+        "q_graph_hits": q_graph_hits,
+        "q_events_cdc_apply": q_events_cdc_apply,
+        "q_events_scd2": q_events_scd2,
+        "q_events_interval_merge": q_events_interval_merge,
+        "q_events_markov": q_events_markov,
+        "q_profile_columns": q_profile_columns,
+        "q_orders_snapshot_diff": q_orders_snapshot_diff,
+        "q_orders_fd_check": q_orders_fd_check,
+        "q_lineitem_key_skew": q_lineitem_key_skew,
+        "q_doc_keywords": q_doc_keywords,
+        "q_doc_bm25": q_doc_bm25,
+        "q_doc_bm25_lang": q_doc_bm25_lang,
+        "q_doc_phrase": q_doc_phrase,
+        "q_doc_cooccur": q_doc_cooccur,
+        "q_cube_lineitem": q_cube_lineitem,
+        "q_orders_dense_rank": q_orders_dense_rank,
+        "q_embedding_unnest": q_embedding_unnest,
+        "q_corr_by_flag": q_corr_by_flag,
+        "q_quantity_zscore": q_quantity_zscore,
+        "q_linreg_by_flag": q_linreg_by_flag,
+        "q_orders_price_band": q_orders_price_band,
+        "q_orders_in_ship_window": q_orders_in_ship_window,
+        "q_orders_overlap_windows": q_orders_overlap_windows,
+        "q_customer_best_order": q_customer_best_order,
+        "q_events_quantiles_cont": q_events_quantiles_cont,
+        "q_events_running_sum": q_events_running_sum,
+        "q_events_retention": q_events_retention,
+        "q_orders_pareto": q_orders_pareto,
+        # ORACLED TAIL (past the cap): every entry has a green
+        # driver row from an earlier round and/or a local
+        # tools/check_oracles.py verification this round.
+        "q_doc_extract_words": q_doc_extract_words,
+        "q_events_impute": q_events_impute,
+        "q_events_debounce": q_events_debounce,
+        "q_orders_grouping_sets": q_orders_grouping_sets,
+        "q_lineitem_melt": q_lineitem_melt,
+        "q_events_type_quantiles_cont": q_events_type_quantiles_cont,
+        "q_events_first_last": q_events_first_last,
         "snd_normalize": snd_normalize,
         "snd_block_stats": snd_block_stats,
         "snd_edges": snd_edges,
         "snd_relational": snd_relational,
-        "snd_clusters": snd_clusters,
         "snd_clusters_rel": snd_clusters_rel,
         "snd_clusters_vote": snd_clusters_vote,
         "snd_clusters_sgc": snd_clusters_sgc,
         "snd_clusters_sgc2": snd_clusters_sgc2,
-        "snd_clusters_sgc_learned": snd_clusters_sgc_learned,
         "ind_detect": ind_detect,
         "rnd_assign": rnd_assign,
         "rnd_assign_learned": rnd_assign_learned,
@@ -3771,13 +3780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_brand_list": q_brand_list,
         "q_quantity_histogram": q_quantity_histogram,
         "q_orders_ntile": q_orders_ntile,
-        "q_doc_editjoin": q_doc_editjoin,
-        # ORACLED TAIL (past the cap): every entry has a green driver row
-        # from r3/r4 and/or a tools/check_oracles.py local verification.
         "q_order_status_matrix": q_order_status_matrix,
         "q_events_pct_rank": q_events_pct_rank,
         "q_doc_editjoin_lang": q_doc_editjoin_lang,
-        "q_doc_edit_dedup": q_doc_edit_dedup,
         "q_events_asof": q_events_asof,
         "q_profile_orders": q_profile_orders,
         "q_left_join_orders": q_left_join_orders,
@@ -3801,7 +3806,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_by_month": q_orders_by_month,
         "q_doc_search_pruned": q_doc_search_pruned,
         "q_events_range_window": q_events_range_window,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_doc_ngram_pairs": q_doc_ngram_pairs,
         "q_doc_surprisal": q_doc_surprisal,
         "q_knn_cosine": q_knn_cosine,
@@ -3828,7 +3832,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_line_dedup": q_doc_line_dedup,
         "q_doc_repetition": q_doc_repetition,
         "q_doc_winnow": q_doc_winnow,
-        # rows-only-by-design tail (LSH/hash/model-driven, no exact SQL)
         "q_doc_minhash_dedup": q_doc_minhash_dedup,
         "q_doc_simhash_dedup": q_doc_simhash_dedup,
         "q_doc_embed": q_doc_embed,

@@ -53,6 +53,15 @@ BENCH_QUERIES = [
     "q_events_cdc_apply",
     "q_graph_kcore",
     "q_graph_hits",
+    # round-5 session-4 batch
+    "q_graph_sssp",
+    "q_events_scd2",
+    "q_cust_supp_mutual_best",
+    "q_lineitem_key_skew",
+    "q_events_debounce",
+    "q_doc_fs_linkage",
+    "q_part_soundex",
+    "q_linreg_by_flag",
     "rnd_assign",
     "ind_detect",
 ]
