@@ -3375,6 +3375,33 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+ROBUST_K = 1.5   # |x − median| > k·MAD flags an outlier
+
+
+def q_quantity_robust(sf_dir: str):
+    """Per-group robust stats (stages/agg.py robust_stats_grouped):
+    interpolated median, MAD and the |x−med| > 1.5·MAD outlier count of
+    lineitem quantity per returnflag — three streaming passes (median →
+    MAD over the derived deviations → partial outlier counts), medians
+    broadcast between passes; float expressions in SQL replay order so
+    the hash is exact."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import robust_stats_grouped
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "q": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64)})
+
+    return robust_stats_grouped(
+        li.map_batches(prep, batch_format="pandas"),
+        "l_returnflag", "q", k=ROBUST_K)
+
+
 EXTRACT_PATTERN = "[a-z]{7,}"   # long words — keeps the flat output lean
 IMPUTE_NULL_MOD = 13            # plant NULLs on event_id % 13 == 0
 
@@ -3743,6 +3770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ORACLED TAIL (past the cap): every entry has a green
         # driver row from an earlier round and/or a local
         # tools/check_oracles.py verification this round.
+        "q_quantity_robust": q_quantity_robust,
         "q_doc_extract_words": q_doc_extract_words,
         "q_events_impute": q_events_impute,
         "q_events_debounce": q_events_debounce,
@@ -4450,6 +4478,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_quantity_robust": f"""
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+                FROM lineitem
+            ), m AS (
+                SELECT l_returnflag, quantile_cont(q, 0.5) AS med
+                FROM b GROUP BY 1
+            ), d AS (
+                SELECT b.l_returnflag, b.q, m.med,
+                       abs(b.q - m.med) AS ad
+                FROM b JOIN m USING (l_returnflag)
+            ), s AS (
+                SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+                FROM d GROUP BY 1
+            )
+            SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   m.med AS median, s.mad,
+                   CAST(sum(CASE WHEN d.ad > {ROBUST_K} * s.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM d JOIN m USING (l_returnflag)
+                   JOIN s USING (l_returnflag)
+            GROUP BY d.l_returnflag, m.med, s.mad
         """,
         "q_doc_extract_words": f"""
             SELECT doc_id,

@@ -127,3 +127,48 @@ class TestImputeMode:
         out = impute_mode(rd.from_pandas(df), "k", "v").to_pandas()
         assert out[out["k"] == "a"]["v"].isna().all()
         assert (out[out["k"] == "a"]["was_null"] == 1).all()
+
+
+class TestRobustStatsGrouped:
+    def test_matches_duckdb(self):
+        from whoiswho_ray.stages.agg import robust_stats_grouped
+        rng = np.random.default_rng(9)
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b"], n),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        })
+        # plant heavy-tail outliers
+        df.loc[df.index % 97 == 0, "v"] = 100000
+        got = robust_stats_grouped(rd.from_pandas(df).repartition(6),
+                                   "k", "v", k=1.5)
+        want = duckdb.connect().execute("""
+            WITH m AS (SELECT k, quantile_cont(v, 0.5) med
+                       FROM df GROUP BY 1),
+            d AS (SELECT df.k, v, med, abs(v - med) ad
+                  FROM df JOIN m USING (k)),
+            s AS (SELECT k, quantile_cont(ad, 0.5) mad FROM d GROUP BY 1)
+            SELECT d.k, CAST(count(*) AS BIGINT) n, m.med AS median,
+                   s.mad,
+                   CAST(sum(CASE WHEN d.ad > 1.5 * s.mad THEN 1 ELSE 0
+                            END) AS BIGINT) n_outliers
+            FROM d JOIN m USING (k) JOIN s USING (k)
+            GROUP BY d.k, m.med, s.mad ORDER BY d.k
+        """).df()
+        g = got.sort_values("k", ignore_index=True)
+        assert g["median"].tolist() == want["median"].tolist()
+        assert g["mad"].tolist() == want["mad"].tolist()
+        assert g["n"].tolist() == want["n"].tolist()
+        assert g["n_outliers"].tolist() == want["n_outliers"].tolist()
+        assert (g["n_outliers"] > 0).all()  # the planted tail is seen
+
+    def test_null_values_excluded_null_keys_rejected(self):
+        import pytest as _pt
+        from whoiswho_ray.stages.agg import robust_stats_grouped
+        df = pd.DataFrame({"k": ["a"] * 5,
+                           "v": [1.0, 2.0, np.nan, 3.0, 4.0]})
+        out = robust_stats_grouped(rd.from_pandas(df), "k", "v")
+        assert out["n"].iloc[0] == 4 and out["median"].iloc[0] == 2.5
+        bad = pd.DataFrame({"k": [None, "a"], "v": [1.0, 2.0]})
+        with _pt.raises(Exception):
+            robust_stats_grouped(rd.from_pandas(bad), "k", "v")

@@ -1433,3 +1433,71 @@ def ntile(
 
     return ranked.map_batches(assign, batch_format="pandas",
                               batch_size=131072)
+
+
+def robust_stats_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    k: float = 1.5,
+) -> pd.DataFrame:
+    """Per-group robust dispersion + outlier screen: interpolated median,
+    MAD (median absolute deviation, itself interpolated), and the count
+    of rows with ``|x − median| > k·MAD`` — the robust alternative to
+    z-scores that a data-quality gate runs on heavy-tailed columns.
+
+    Three streaming passes, each with one bounded-bucket exchange:
+    (1) per-key median via :func:`grouped_quantiles_cont` (bit-parity
+    with SQL ``quantile_cont``), collected to the driver (O(distinct
+    keys)) and broadcast; (2) the same machinery over the derived
+    ``|x − median|`` column for the MAD; (3) per-batch partial
+    (n, n_outliers) counts combined per key. All float expressions are
+    evaluated in the same order a SQL replay computes them from the
+    same interpolated medians, so results hash bit-identical. NULL
+    values are excluded (SQL aggregate semantics); NULL KEYS are
+    rejected loudly — the broadcast median lookup cannot key on NaN.
+    Returns ``(key, n, median, mad, n_outliers)`` sorted by key.
+    """
+    def _no_null_keys(s: pd.Series):
+        if s.isna().any():
+            raise ValueError("robust_stats_grouped: NULL keys are "
+                             "unsupported (broadcast lookup keys on the "
+                             "group value)")
+
+    med = grouped_quantiles_cont(ds, key, col, [0.5]).to_pandas()
+    med_lut = dict(zip(med[key], med["value"]))
+
+    def add_ad(df: pd.DataFrame) -> pd.DataFrame:
+        _no_null_keys(df[key])
+        m = df[key].map(med_lut)
+        return pd.DataFrame({key: df[key],
+                             "ad": (df[col] - m).abs()})
+
+    ad = ds.map_batches(add_ad, batch_format="pandas",
+                        batch_size=131072)
+    mad = grouped_quantiles_cont(ad, key, "ad", [0.5]).to_pandas()
+    mad_lut = dict(zip(mad[key], mad["value"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        _no_null_keys(df[key])
+        v = df[col]
+        ok = v.notna()
+        m = df[key].map(med_lut)
+        d = (v - m).abs()
+        out = (d > k * df[key].map(mad_lut)) & ok
+        t = pd.DataFrame({key: df[key],
+                          "n": ok.to_numpy().astype(np.int64),
+                          "n_outliers": out.to_numpy().astype(np.int64)})
+        return t.groupby(key, sort=False, as_index=False).sum()
+
+    p = ds.map_batches(flag, batch_format="pandas",
+                       batch_size=131072).to_pandas()
+    tot = p.groupby(key, sort=True, as_index=False).sum()
+    out = pd.DataFrame({
+        key: tot[key],
+        "n": tot["n"].astype(np.int64),
+        "median": tot[key].map(med_lut).astype(np.float64),
+        "mad": tot[key].map(mad_lut).astype(np.float64),
+        "n_outliers": tot["n_outliers"].astype(np.int64),
+    })
+    return out

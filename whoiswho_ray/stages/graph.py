@@ -938,7 +938,7 @@ def sssp(
     """
     import pyarrow as pa
 
-    from whoiswho_ray.stages.agg import distinct, group_apply, grouped_agg
+    from whoiswho_ray.stages.agg import distinct, group_apply
     from whoiswho_ray.stages.joins import shuffle_hash_join
 
     empty = rd.from_arrow(pa.table(
@@ -960,7 +960,12 @@ def sssp(
             raise ValueError("sssp requires non-negative weights")
         return df
 
-    edges = edges.map_batches(_check_weights, batch_format="pandas")
+    # materialize ONCE: every relaxation round joins against the edge
+    # table, and an unmaterialized lineage would re-run the caller's
+    # whole edge-building front-end per round (the iterative-graph
+    # contract pagerank/kcore/hits already follow)
+    edges = edges.map_batches(_check_weights,
+                              batch_format="pandas").materialize()
 
     for _ in range(max_rounds):
         hop = frontier.map_batches(
@@ -973,15 +978,16 @@ def sssp(
             t = pd.DataFrame({dst_col: m[dst_col], "nd": nd})
             return t.groupby(dst_col, sort=False, as_index=False).min()
 
-        cand = shuffle_hash_join(edges, hop, on=src_col, project=relax)
-        cand = grouped_agg(cand, [dst_col], {"nd": ("nd", "min")},
-                           final="shuffle").map_batches(
+        # per-dst partial mins from the join task feed the merge co-group
+        # DIRECTLY — its per-(node, side) min makes a dedicated global
+        # grouped-min exchange redundant (one less barrier per round);
+        # an empty candidate side just yields zero improved nodes below
+        cand = shuffle_hash_join(
+            edges, hop, on=src_col, project=relax).map_batches(
             lambda df: pd.DataFrame({node_col: df[dst_col],
                                      "d": df["nd"].astype(np.int64),
                                      "is_new": np.ones(len(df), np.int8)}),
-            batch_format="pandas").materialize()
-        if not cand.count():
-            break
+            batch_format="pandas")
 
         old = dist.map_batches(
             lambda df: pd.DataFrame({node_col: df[node_col], "d": df["d"],

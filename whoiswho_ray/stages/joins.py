@@ -932,6 +932,9 @@ def mutual_best_match(
     """
     from whoiswho_ray.stages.agg import arg_extreme_grouped
 
+    # two consumers (per-left and per-right winners) — materialize once
+    # or the caller's candidate-generation lineage runs twice
+    pairs = pairs.materialize()
     best_l = arg_extreme_grouped(pairs, left_col, score_col,
                                  [right_col], mode)
     best_r = arg_extreme_grouped(pairs, right_col, score_col,
