@@ -3375,6 +3375,53 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+def q_part_fuzzy_dedupe(sf_dir: str):
+    """End-to-end fuzzy deduplication / canonicalization — the composed
+    ER pipeline a catalog-cleaning job runs: distinct part names →
+    first-token-blocked Jaro-Winkler edges (τ=0.875, bit-parity JW) →
+    connected components (star contraction) → canonical = component-min
+    name; singleton names map to themselves (anti-join + union). Every
+    stage is an already-oracled operator; the composition gets its own
+    exact recursive-CTE min-label-closure oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.cluster import connected_components
+    from whoiswho_ray.stages.editjoin import jw_name_join
+    from whoiswho_ray.stages.joins import shuffle_semi_join
+
+    part = read_table(sf_dir, "part", columns=["p_name"])
+    edges = jw_name_join(part, "p_name", tau=0.875).map_batches(
+        lambda df: pd.DataFrame({"u": df["name_a"], "v": df["name_b"]}),
+        batch_format="pandas")
+    labels = connected_components(edges).map_batches(
+        lambda df: pd.DataFrame({"name": df["node"],
+                                 "canon": df["component"]}),
+        batch_format="pandas")
+    names = distinct(part, ["p_name"], final="shuffle").map_batches(
+        lambda df: pd.DataFrame({"name": df["p_name"]}),
+        batch_format="pandas")
+    singles = shuffle_semi_join(
+        names, labels.select_columns(["name"]), on="name",
+        anti=True).map_batches(
+        lambda df: pd.DataFrame({"name": df["name"],
+                                 "canon": df["name"]}),
+        batch_format="pandas")
+    return labels.union(singles)
+
+
+def q_orders_date_gaps(sf_dir: str):
+    """Calendar-spine gap filling (stages/windows.py date_spine_gaps):
+    days with zero orders between the first and last order date — one
+    distinct-day combiner + one skinny exchange; the O(days) spine
+    subtraction runs on the driver. Exact generate_series oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.windows import date_spine_gaps
+
+    return date_spine_gaps(
+        read_table(sf_dir, "orders", columns=["o_orderdate"]),
+        "o_orderdate")
+
+
 ROBUST_K = 1.5   # |x − median| > k·MAD flags an outlier
 
 
@@ -3771,6 +3818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver row from an earlier round and/or a local
         # tools/check_oracles.py verification this round.
         "q_quantity_robust": q_quantity_robust,
+        "q_orders_date_gaps": q_orders_date_gaps,
+        "q_part_fuzzy_dedupe": q_part_fuzzy_dedupe,
         "q_doc_extract_words": q_doc_extract_words,
         "q_events_impute": q_events_impute,
         "q_events_debounce": q_events_debounce,
@@ -4478,6 +4527,43 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_part_fuzzy_dedupe": """
+            WITH RECURSIVE
+            names AS (SELECT DISTINCT p_name AS n FROM part),
+            e AS (
+                SELECT a.n AS ka, b.n AS kb
+                FROM names a JOIN names b
+                  ON split_part(a.n, ' ', 1) = split_part(b.n, ' ', 1)
+                 AND a.n < b.n
+                WHERE jaro_winkler_similarity(a.n, b.n) >= 0.875
+            ),
+            ee AS (SELECT ka AS u, kb AS v FROM e
+                   UNION ALL SELECT kb, ka FROM e),
+            walk AS (
+                SELECT n AS node, n AS lbl FROM names
+                UNION
+                SELECT ee.v AS node, walk.lbl
+                FROM walk JOIN ee ON ee.u = walk.node
+                WHERE walk.lbl < ee.v
+            )
+            SELECT node AS name, min(lbl) AS canon
+            FROM walk GROUP BY node
+        """,
+        "q_orders_date_gaps": """
+            WITH d AS (
+                SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+                                              o_orderdate) AS BIGINT)
+                    AS day
+                FROM orders
+            ), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            spine AS (
+                SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+            )
+            SELECT day AS gap_day,
+                   strftime(DATE '1970-01-01' + INTERVAL (day) DAY,
+                            '%Y-%m-%d') AS gap_date
+            FROM spine WHERE day NOT IN (SELECT day FROM d)
         """,
         "q_quantity_robust": f"""
             WITH b AS (

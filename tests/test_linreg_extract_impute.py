@@ -172,3 +172,53 @@ class TestRobustStatsGrouped:
         bad = pd.DataFrame({"k": [None, "a"], "v": [1.0, 2.0]})
         with _pt.raises(Exception):
             robust_stats_grouped(rd.from_pandas(bad), "k", "v")
+
+
+class TestDateSpineGaps:
+    def test_finds_planted_gaps(self):
+        from whoiswho_ray.stages.windows import date_spine_gaps
+        days = pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-05",
+                               "2020-01-02", "2020-01-07"])
+        out = date_spine_gaps(
+            rd.from_pandas(pd.DataFrame({"d": days})).repartition(3), "d")
+        assert out["gap_date"].tolist() == ["2020-01-03", "2020-01-04",
+                                            "2020-01-06"]
+        base = pd.Timestamp("1970-01-01")
+        assert out["gap_day"].tolist() == [
+            (pd.Timestamp(s) - base).days for s in out["gap_date"]]
+
+    def test_dense_and_empty(self):
+        from whoiswho_ray.stages.windows import date_spine_gaps
+        days = pd.to_datetime(["2021-03-01", "2021-03-02", "2021-03-03"])
+        out = date_spine_gaps(
+            rd.from_pandas(pd.DataFrame({"d": days})), "d")
+        assert len(out) == 0
+        empty = date_spine_gaps(
+            rd.from_pandas(pd.DataFrame(
+                {"d": pd.Series([], dtype="datetime64[us]")})), "d")
+        assert len(empty) == 0 and "gap_day" in empty.columns
+
+
+class TestFuzzyDedupeComposition:
+    def test_transitive_canonicalization(self, ray_session):
+        """JW edges (shared first-token block) -> CC -> canonical min:
+        transitive variants land in one group."""
+        from whoiswho_ray.stages.cluster import connected_components
+        from whoiswho_ray.stages.editjoin import jw_name_join
+        df = pd.DataFrame({"nm": ["acme smith", "acme smyth",
+                                  "acme smithe", "zeta jones",
+                                  "acme smith"]})
+        edges = jw_name_join(rd.from_pandas(df), "nm", tau=0.9
+                             ).map_batches(
+            lambda d: pd.DataFrame({"u": d["name_a"], "v": d["name_b"]}),
+            batch_format="pandas")
+        labels = connected_components(edges).to_pandas()
+        got = dict(zip(labels["node"], labels["component"]))
+        assert (got.get("acme smith") == got.get("acme smyth")
+                == got.get("acme smithe") == "acme smith")
+        assert "zeta jones" not in got  # singleton: no edge
+
+    def test_empty_edge_set_is_safe(self, ray_session):
+        from whoiswho_ray.stages.cluster import connected_components
+        edges = rd.from_pandas(pd.DataFrame({"u": [], "v": []}))
+        assert connected_components(edges).count() == 0

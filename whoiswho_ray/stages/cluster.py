@@ -341,6 +341,9 @@ def connected_components(
             return pd.DataFrame({"n": [len(df)], "s": [np.uint64(s)]})
 
         sig_parts = cur.map_batches(sig_batch, batch_format="pandas").to_pandas()
+        if not len(sig_parts):
+            # empty edge set (all blocks pairless): nothing to contract
+            break
         with np.errstate(over="ignore"):
             sig = (
                 int(sig_parts["n"].sum()),

@@ -638,3 +638,41 @@ def debounce(
 
     return group_apply(ds, key, bucket, batch_format="pandas",
                        whole_bucket=True)
+
+
+def date_spine_gaps(
+    ds: "ray.data.Dataset",
+    date_col: str,
+) -> pd.DataFrame:
+    """Calendar-spine gap filling: the days with ZERO activity between
+    the column's min and max date — the warehouse step that turns an
+    activity log into a dense daily series (here reporting the holes;
+    a left join against the same spine densifies).
+
+    Scale shape: one per-batch distinct-day combiner (at most ~spine
+    days per batch leave it) + one skinny distinct exchange — the
+    distinct-day table is O(days), inherently driver-sized, so the
+    spine subtraction is plain numpy on the driver. Returns
+    ``(gap_day, gap_date)`` with days since 1970-01-01 as int64 and the
+    ISO string (matching SQL ``strftime('%Y-%m-%d')``).
+    """
+    from whoiswho_ray.stages.agg import distinct
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df[date_col].to_numpy(dtype="datetime64[D]")
+             .astype(np.int64))
+        return pd.DataFrame({"day": d})
+
+    days = distinct(ds.map_batches(to_days, batch_format="pandas"),
+                    ["day"], final="driver")
+    if not len(days):
+        return pd.DataFrame({"gap_day": pd.Series([], dtype=np.int64),
+                             "gap_date": pd.Series([], dtype=object)})
+    active = days["day"].to_numpy(np.int64)
+    lo, hi = int(active.min()), int(active.max())
+    spine = np.arange(lo, hi + 1, dtype=np.int64)
+    gaps = spine[~np.isin(spine, active)]
+    return pd.DataFrame({
+        "gap_day": gaps,
+        "gap_date": gaps.astype("datetime64[D]").astype(str),
+    })
