@@ -3375,6 +3375,29 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+def q_part_fingerprint(sf_dir: str):
+    """OpenRefine-style fingerprint blocking (functions/textnorm.py
+    add_fingerprint_key — lowercase → alnum tokens → unique → sort →
+    join, one zero-shuffle polars list-kernel pass): per fingerprint
+    key, how many part rows and distinct raw names collide — the
+    token-permutation dedup signal. Exact lockstep SQL oracle."""
+    from whoiswho_ray.functions.textnorm import add_fingerprint_key
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+
+    part = read_table(sf_dir, "part", columns=["p_name"])
+    keyed = add_fingerprint_key(part, "p_name", out_col="fp")
+    per_name = grouped_agg(keyed, ["fp", "p_name"],
+                           {"n": (None, "count")}, final="shuffle")
+    out = grouped_agg(per_name, ["fp"],
+                      {"n_rows": ("n", "sum"),
+                       "n_distinct_names": (None, "count")},
+                      final="driver")
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_distinct_names"] = out["n_distinct_names"].astype(np.int64)
+    return out
+
+
 def q_part_fuzzy_dedupe(sf_dir: str):
     """End-to-end fuzzy deduplication / canonicalization — the composed
     ER pipeline a catalog-cleaning job runs: distinct part names →
@@ -3820,6 +3843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantity_robust": q_quantity_robust,
         "q_orders_date_gaps": q_orders_date_gaps,
         "q_part_fuzzy_dedupe": q_part_fuzzy_dedupe,
+        "q_part_fingerprint": q_part_fingerprint,
         "q_doc_extract_words": q_doc_extract_words,
         "q_events_impute": q_events_impute,
         "q_events_debounce": q_events_debounce,
@@ -4502,7 +4526,9 @@ def _rnd_assign_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from whoiswho_ray.functions.phonetic import soundex_sql
+    from whoiswho_ray.functions.textnorm import fingerprint_key_sql
 
+    fingerprint_sql = fingerprint_key_sql("p_name")
     cents = "CAST(floor({x}*100+0.5) AS BIGINT)"
     sym_edges_bfs = f"""
         p AS (
@@ -4527,6 +4553,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_part_fingerprint": f"""
+            WITH k AS (
+                SELECT {fingerprint_sql} AS fp, p_name FROM part
+            )
+            SELECT fp, count(*) AS n_rows,
+                   count(DISTINCT p_name) AS n_distinct_names
+            FROM k GROUP BY 1
         """,
         "q_part_fuzzy_dedupe": """
             WITH RECURSIVE

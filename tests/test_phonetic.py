@@ -62,3 +62,32 @@ class TestSoundex:
         ch = pa.chunked_array([["Robert"], ["Lee", None]])
         assert soundex_array(ch).to_pylist() == ["R163", "L000", None]
         assert soundex_array(pa.array([], pa.string())).to_pylist() == []
+
+
+class TestFingerprintKey:
+    def test_permutations_and_case_collide(self, ray_session):
+        import ray.data as rd
+        from whoiswho_ray.functions.textnorm import add_fingerprint_key
+        df = pd.DataFrame({"t": ["Green Tomato", "tomato GREEN",
+                                 "tomato, green, tomato", "red onion"]})
+        out = add_fingerprint_key(rd.from_pandas(df), "t").to_pandas()
+        fps = out["fp"].tolist()
+        assert fps[0] == fps[1] == fps[2] == "green tomato"
+        assert fps[3] == "onion red"
+
+    def test_duckdb_lockstep_fuzz(self, ray_session):
+        import ray.data as rd
+        from whoiswho_ray.functions.textnorm import (
+            add_fingerprint_key, fingerprint_key_sql)
+        rng = random.Random(7)
+        words = ["alpha", "Beta", "GAMMA", "d-e", "12x", "", "  "]
+        texts = [" ".join(rng.choices(words, k=rng.randint(1, 6)))
+                 for _ in range(500)]
+        df = pd.DataFrame({"t": texts})
+        got = add_fingerprint_key(rd.from_pandas(df).repartition(4),
+                                  "t").to_pandas()
+        want = duckdb.connect().execute(
+            f"SELECT t, {fingerprint_key_sql('t')} AS fp FROM df").df()
+        g = got.sort_values(["t", "fp"], ignore_index=True)
+        w = want.sort_values(["t", "fp"], ignore_index=True)
+        assert g["fp"].tolist() == w["fp"].tolist()

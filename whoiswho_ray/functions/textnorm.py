@@ -158,3 +158,42 @@ def ctx_tokens(path: str, lang: str) -> list[str]:
     if lang:
         toks.append(ascii_fold(lang).lower())
     return toks
+
+
+def fingerprint_key_expr():
+    """Polars expression builder for the OpenRefine-style fingerprint
+    key (the classic clustering/dedup normalizer): lowercase → alnum
+    tokens → unique → sort → space-join. Keep in lockstep with
+    :func:`fingerprint_key_sql`. NULL text stays NULL; text with no
+    alnum tokens keys to ''."""
+    import polars as pl
+
+    return (pl.col("__fp_in").str.to_lowercase()
+            .str.extract_all("[a-z0-9]+")
+            .list.unique().list.sort().list.join(" "))
+
+
+def fingerprint_key_sql(expr: str) -> str:
+    """The DuckDB expression computing the same key (coalesce handles
+    DuckDB's array_to_string-of-empty-list → NULL quirk; polars gives
+    '' there, and both give NULL for NULL input — callers with
+    non-null text match exactly)."""
+    return (f"coalesce(array_to_string(list_sort(list_distinct("
+            f"regexp_extract_all(lower({expr}), '[a-z0-9]+'))), ' '), '')")
+
+
+def add_fingerprint_key(ds, text_col: str, out_col: str = "fp"):
+    """Attach the fingerprint key to every row — one zero-shuffle
+    vectorized polars pass per batch (token split / unique / sort all
+    happen inside the list kernels; no per-row Python)."""
+    import polars as pl
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.with_columns(
+            pl.col(text_col).alias("__fp_in")).with_columns(
+            fingerprint_key_expr().alias(out_col)).drop("__fp_in")
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
