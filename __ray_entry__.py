@@ -3375,6 +3375,62 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+def q_orders_infer_types(sf_dir: str):
+    """String-column type inference (stages/profile.py infer_types):
+    three synthesized string columns over orders — pure int ids, fixed
+    2-decimal prices, and a 4-way mixed column (int/float/date/bool
+    rotating on orderkey%4) that must fall back to 'string' (no class
+    reaches half). One streaming pass, one tiny partial row per column
+    per batch; regex classes shared verbatim with the SQL oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.profile import infer_types
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice",
+                                 "o_orderdate"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype(np.int64)
+        cents = pd.Series(_cents(df["o_totalprice"]), index=df.index)
+        ids = k.astype(str)
+        prices = ((cents // 100).astype(str) + "."
+                  + (cents % 100).astype(str).str.zfill(2))
+        dates = pd.Series(
+            df["o_orderdate"].to_numpy(dtype="datetime64[D]").astype(str),
+            index=df.index)
+        bools = np.where(k % 2 == 0, "yes", "no")
+        mixed = pd.Series(
+            np.select([k % 4 == 0, k % 4 == 1, k % 4 == 2],
+                      [ids, prices, dates], default=bools),
+            index=df.index)
+        return pd.DataFrame({"ids": ids, "prices": prices,
+                             "mixed": mixed})
+
+    return infer_types(orders.map_batches(prep, batch_format="pandas"),
+                       ["ids", "prices", "mixed"])
+
+
+def q_lang_top_terms(sf_dir: str):
+    """Per-group distinctive terms (stages/text_analysis.py
+    distinctive_terms_grouped — c-TF-IDF-shaped, INTEGER floor-division
+    scores so ranking is bit-deterministic): each language's top-10
+    terms by tf_lang·10⁶ // tf_corpus. Zero-per-row-Python token
+    explode, one token combine, one token join, per-batch partial
+    top-k + group-bucketed final. Exact row_number() oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.text_analysis import distinctive_terms_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+    out = distinctive_terms_grouped(docs, "lang", "text", k=10)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "lang": df["g"], "term": df["term"],
+            "tf": df["tf"].astype(np.int64),
+            "score": df["score"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def q_part_fingerprint(sf_dir: str):
     """OpenRefine-style fingerprint blocking (functions/textnorm.py
     add_fingerprint_key — lowercase → alnum tokens → unique → sort →
@@ -3844,6 +3900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_date_gaps": q_orders_date_gaps,
         "q_part_fuzzy_dedupe": q_part_fuzzy_dedupe,
         "q_part_fingerprint": q_part_fingerprint,
+        "q_lang_top_terms": q_lang_top_terms,
+        "q_orders_infer_types": q_orders_infer_types,
         "q_doc_extract_words": q_doc_extract_words,
         "q_events_impute": q_events_impute,
         "q_events_debounce": q_events_debounce,
@@ -4524,6 +4582,58 @@ def _rnd_assign_oracle_sql() -> str:
     """
 
 
+def _infer_types_oracle() -> str:
+    """SQL replay of q_orders_infer_types from the SAME regex class
+    table (whoiswho_ray.stages.profile.TYPE_PATTERNS) — lockstep by
+    construction."""
+    from whoiswho_ray.stages.profile import TYPE_PATTERNS
+
+    cents = "CAST(floor(o_totalprice*100+0.5) AS BIGINT)"
+    classes = list(TYPE_PATTERNS)
+
+    def counts(col: str) -> str:
+        parts = [f"count({col}) AS n"]
+        for cls in classes:
+            pat = "^" + TYPE_PATTERNS[cls].replace("'", "''") + "$"
+            parts.append(
+                f"CAST(count(*) FILTER (regexp_matches({col}, '{pat}'))"
+                f" AS BIGINT) AS n_{cls}")
+        return ", ".join(parts)
+
+    greatest = "GREATEST(" + ", ".join(f"n_{c}" for c in classes) + ")"
+    chain = []
+    for i, cls in enumerate(classes):
+        geq = " AND ".join(f"n_{cls} >= n_{o}"
+                           for o in classes[i + 1:]) or "TRUE"
+        chain.append(f"WHEN {geq} THEN '{cls}'")
+    inferred = (f"CASE WHEN 2 * {greatest} <= n THEN 'string' "
+                + " ".join(chain) + " END")
+    per_col = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, {counts(c)} FROM s GROUP BY 1"
+        for c in ("ids", "prices", "mixed"))
+    return f"""
+        WITH s AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS ids,
+                   CAST({cents} // 100 AS VARCHAR) || '.' ||
+                       lpad(CAST({cents} % 100 AS VARCHAR), 2, '0')
+                       AS prices,
+                   CASE
+                     WHEN o_orderkey % 4 = 0
+                       THEN CAST(o_orderkey AS VARCHAR)
+                     WHEN o_orderkey % 4 = 1
+                       THEN CAST({cents} // 100 AS VARCHAR) || '.' ||
+                            lpad(CAST({cents} % 100 AS VARCHAR), 2, '0')
+                     WHEN o_orderkey % 4 = 2
+                       THEN strftime(o_orderdate, '%Y-%m-%d')
+                     ELSE CASE WHEN o_orderkey % 2 = 0
+                               THEN 'yes' ELSE 'no' END
+                   END AS mixed
+            FROM orders
+        ), c AS ({per_col})
+        SELECT *, {inferred} AS inferred FROM c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from whoiswho_ray.functions.phonetic import soundex_sql
     from whoiswho_ray.functions.textnorm import fingerprint_key_sql
@@ -4553,6 +4663,30 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_orders_infer_types": _infer_types_oracle(),
+        "q_lang_top_terms": """
+            WITH tok AS (
+                SELECT lang, unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+'))
+                    AS term
+                FROM documents
+            ), tf AS (
+                SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), tot AS (
+                SELECT term, sum(tf) AS tft FROM tf GROUP BY 1
+            ), sc AS (
+                SELECT lang, term, tf, (tf * 1000000) // tft AS score
+                FROM tf JOIN tot USING (term)
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY score DESC, term) AS rn
+                FROM sc
+            )
+            SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 10
         """,
         "q_part_fingerprint": f"""
             WITH k AS (

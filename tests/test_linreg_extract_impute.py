@@ -222,3 +222,31 @@ class TestFuzzyDedupeComposition:
         from whoiswho_ray.stages.cluster import connected_components
         edges = rd.from_pandas(pd.DataFrame({"u": [], "v": []}))
         assert connected_components(edges).count() == 0
+
+
+class TestInferTypes:
+    def test_classes_and_majority(self, ray_session):
+        from whoiswho_ray.stages.profile import infer_types
+        df = pd.DataFrame({
+            "a": ["1", "-42", "007", None],          # int
+            "b": ["1.5", "-.5", "2e3", "2.5E-1"],    # hmm: '2e3' no dot
+            "c": ["2020-01-01", "1999-12-31", "x", "yes"],
+        })
+        out = infer_types(rd.from_pandas(df).repartition(2),
+                          ["a", "b", "c"])
+        row = out.set_index("column")
+        assert row.loc["a", "inferred"] == "int"
+        assert row.loc["a", "n"] == 3 and row.loc["a", "n_int"] == 3
+        # '2e3' has no decimal point: not float by our class
+        assert row.loc["b", "n_float"] == 3
+        assert row.loc["b", "inferred"] == "float"
+        # c: 2 dates of 4 -> no strict majority -> string
+        assert row.loc["c", "inferred"] == "string"
+        assert row.loc["c", "n_date"] == 2 and row.loc["c", "n_bool"] == 1
+
+    def test_argmax_tiebreak_and_ints_also_match(self, ray_session):
+        from whoiswho_ray.stages.profile import infer_types
+        # every value matches int; none match float -> int wins
+        df = pd.DataFrame({"x": ["1", "2", "3"]})
+        out = infer_types(rd.from_pandas(df), ["x"])
+        assert out["inferred"].iloc[0] == "int"

@@ -254,3 +254,73 @@ def impute_mode(
         return out
 
     return ds.map_batches(fill, batch_format="pandas")
+
+
+# regex type classes — RE2-compatible and kept in LOCKSTEP with the SQL
+# oracle (regexp_full_match / regexp_matches with the same strings)
+TYPE_PATTERNS = {
+    "int": r"[+-]?[0-9]+",
+    "float": r"[+-]?([0-9]+\.[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?",
+    "date": r"[0-9]{4}-[0-9]{2}-[0-9]{2}",
+    "bool": r"(?i)(true|false|yes|no)",
+}
+
+
+def infer_types(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+) -> pd.DataFrame:
+    """String-column type inference — the schema-sniffing pass an
+    ingest runs on CSV-ish string data before assigning real types:
+    for each column, how many non-null values FULLY match each regex
+    type class (int / float / date / bool — :data:`TYPE_PATTERNS`,
+    deliberately regex-based rather than TRY_CAST so the Ray and SQL
+    sides share one definition). The winning class is the argmax with
+    a deterministic class-order tie-break; 'string' when nothing
+    reaches half the values.
+
+    Scale shape: one streaming pass; each batch emits one tiny partial
+    row per column (vectorized Arrow match_substring_regex anchored
+    full-match), driver sums. No shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    classes = list(TYPE_PATTERNS)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            arr = t.column(c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = len(arr) - arr.null_count
+            row = {"column": c, "n": np.int64(valid)}
+            for cls in classes:
+                pat = "^" + TYPE_PATTERNS[cls] + "$"
+                m = pc.match_substring_regex(arr, pat)
+                row[f"n_{cls}"] = np.int64(
+                    pc.sum(m).as_py() or 0)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    if not len(p):
+        return pd.DataFrame({"column": cols,
+                             **{k: np.zeros(len(cols), np.int64)
+                                for k in ["n"] + [f"n_{c}"
+                                                  for c in classes]},
+                             "inferred": ["string"] * len(cols)})
+    tot = p.groupby("column", sort=False).sum().reindex(cols).reset_index()
+    counts = tot[[f"n_{c}" for c in classes]].to_numpy(np.int64)
+    n = tot["n"].to_numpy(np.int64)
+    best = counts.argmax(axis=1)
+    best_n = counts[np.arange(len(cols)), best]
+    inferred = np.where(best_n * 2 > n,
+                        np.array(classes, dtype=object)[best], "string")
+    out = tot.copy()
+    for c in ["n"] + [f"n_{cls}" for cls in classes]:
+        out[c] = out[c].astype(np.int64)
+    out["inferred"] = inferred
+    return out

@@ -1807,3 +1807,78 @@ def extract_regex_all(
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def distinctive_terms_grouped(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group distinctive terms — the c-TF-IDF-style "what words
+    characterize this slice" report (per language, per source, per
+    cluster): rank each group's terms by ``tf_group · scale //
+    tf_corpus`` — an INTEGER score (floor division of exact counts), so
+    the ranking is bit-deterministic and the SQL replay exact, unlike a
+    float tf-idf whose ties ulp-flip.
+
+    Scale shape: per-batch (group, token) partial counts with zero
+    per-row Python (Arrow lower/split + list_parent_indices to carry
+    the group through the flatten); one token-grouped combine for the
+    corpus totals; one token-bucketed join; per-group top-k via a
+    per-batch partial top-k (each batch keeps ≤ k rows per group it
+    sees) + one group-bucketed final. Ties pin (score DESC, term ASC).
+    Returns (group, term, tf, score, rank≤k).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whoiswho_ray.stages.agg import group_apply, grouped_agg
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        grp = t.column(group_col).take(parent)
+        keep = pc.not_equal(flat, "")
+        df = pd.DataFrame({"g": grp.filter(keep).to_pandas(),
+                           "term": flat.filter(keep).to_pandas()})
+        out = df.groupby(["g", "term"], sort=False).size()
+        return out.rename("tf").reset_index()
+
+    tf = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=8192),
+        ["g", "term"], {"tf": ("tf", "sum")}, final="shuffle")
+    tot = grouped_agg(tf, ["term"], {"tft": ("tf", "sum")},
+                      final="shuffle")
+    joined = shuffle_hash_join(tf, tot, on="term")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tfv = df["tf"].to_numpy(np.int64)
+        s = tfv * np.int64(scale) // df["tft"].to_numpy(np.int64)
+        out = pd.DataFrame({"g": df["g"], "term": df["term"],
+                            "tf": tfv, "score": s})
+        # partial top-k per group inside the batch (combiner)
+        out = out.sort_values(["g", "score", "term"],
+                              ascending=[True, False, True], kind="stable")
+        return out.groupby("g", sort=False).head(k)
+
+    cand = joined.map_batches(score, batch_format="pandas",
+                              batch_size=131072)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["g", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("g", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = df.groupby("g", sort=False).cumcount() + 1
+        df["rank"] = df["rank"].astype(np.int64)
+        return df
+
+    return group_apply(cand, "g", final, batch_format="pandas",
+                       whole_bucket=True)
