@@ -3375,6 +3375,57 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+def q_orders_ntile_by_priority(sf_dir: str):
+    """Per-group NTILE (stages/agg.py ntile_grouped): quartile of each
+    order's price WITHIN its priority class — one key-hash bucketed
+    exchange, vectorized fill rule across all keys. Total order pinned
+    by (cents, orderkey); exact NTILE() OVER (PARTITION BY) oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import ntile_grouped
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "o_orderpriority": df["o_orderpriority"],
+            "cents": _cents(df["o_totalprice"])})
+
+    return ntile_grouped(orders.map_batches(prep, batch_format="pandas"),
+                         "o_orderpriority", ["cents", "o_orderkey"], 4)
+
+
+LPM_1D = range(1, 10)       # 1-digit prefixes: every key matches one
+LPM_2D = range(10, 30)      # 2-digit refinements
+LPM_3D = range(100, 120)    # 3-digit refinements
+
+
+def q_orders_prefix_route(sf_dir: str):
+    """Longest-prefix-match join (stages/joins.py longest_prefix_join —
+    the routing-table lookup): each orderkey's decimal string matched
+    to the longest prefix in a 3-level table (1-digit catch-alls,
+    2-digit and 3-digit refinements); broadcast prefix table, one
+    vectorized slice+isin per distinct length, longest first. Exact
+    starts_with + argmax-by-length oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.joins import longest_prefix_join
+
+    prefixes = ([str(x) for x in LPM_1D] + [str(x) for x in LPM_2D]
+                + [str(x) for x in LPM_3D])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype(np.int64)
+        return pd.DataFrame({"o_orderkey": k, "s": k.astype(str)})
+
+    out = longest_prefix_join(
+        orders.map_batches(prep, batch_format="pandas"), "s", prefixes)
+    return out.map_batches(
+        lambda df: df[["o_orderkey", "prefix"]], batch_format="pandas")
+
+
 def q_orders_infer_types(sf_dir: str):
     """String-column type inference (stages/profile.py infer_types):
     three synthesized string columns over orders — pure int ids, fixed
@@ -3902,6 +3953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_fingerprint": q_part_fingerprint,
         "q_lang_top_terms": q_lang_top_terms,
         "q_orders_infer_types": q_orders_infer_types,
+        "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
+        "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
         "q_events_impute": q_events_impute,
         "q_events_debounce": q_events_debounce,
@@ -4663,6 +4716,44 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS})
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "q_orders_ntile_by_priority": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderpriority,
+                   CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY floor(o_totalprice*100+0.5), o_orderkey)
+                       AS BIGINT) AS tile
+            FROM orders
+        """,
+        "q_orders_prefix_route": f"""
+            WITH pref AS (
+                SELECT CAST(x AS VARCHAR) AS p
+                FROM generate_series({LPM_1D.start},
+                                     {LPM_1D.stop - 1}) t(x)
+                UNION ALL
+                SELECT CAST(x AS VARCHAR)
+                FROM generate_series({LPM_2D.start},
+                                     {LPM_2D.stop - 1}) t(x)
+                UNION ALL
+                SELECT CAST(x AS VARCHAR)
+                FROM generate_series({LPM_3D.start},
+                                     {LPM_3D.stop - 1}) t(x)
+            ), m AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_orderkey AS VARCHAR) AS s
+                FROM orders
+            ), j AS (
+                SELECT o_orderkey, p FROM m
+                JOIN pref ON starts_with(s, p)
+            ), best AS (
+                SELECT o_orderkey, p, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY length(p) DESC, p) AS rn
+                FROM j
+            )
+            SELECT o_orderkey, p AS prefix FROM best WHERE rn = 1
         """,
         "q_orders_infer_types": _infer_types_oracle(),
         "q_lang_top_terms": """

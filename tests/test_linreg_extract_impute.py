@@ -250,3 +250,54 @@ class TestInferTypes:
         df = pd.DataFrame({"x": ["1", "2", "3"]})
         out = infer_types(rd.from_pandas(df), ["x"])
         assert out["inferred"].iloc[0] == "int"
+
+
+class TestNtileGrouped:
+    def test_matches_duckdb(self, ray_session):
+        from whoiswho_ray.stages.agg import ntile_grouped
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 1000),
+            "v": rng.integers(0, 500, 1000).astype(np.int64),
+            "tid": np.arange(1000, dtype=np.int64),
+        })
+        got = ntile_grouped(rd.from_pandas(df).repartition(5), "k",
+                            ["v", "tid"], 4).to_pandas()
+        want = duckdb.connect().execute("""
+            SELECT k, v, tid, CAST(NTILE(4) OVER (
+                PARTITION BY k ORDER BY v, tid) AS BIGINT) AS tile
+            FROM df
+        """).df()
+        cols = ["k", "v", "tid", "tile"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(["k", "v", "tid"], ignore_index=True),
+            want[cols].sort_values(["k", "v", "tid"], ignore_index=True),
+            check_dtype=False)
+
+    def test_small_groups_and_bad_n(self, ray_session):
+        from whoiswho_ray.stages.agg import ntile_grouped
+        df = pd.DataFrame({"k": ["a", "a", "b"],
+                           "v": np.array([1, 2, 9], dtype=np.int64)})
+        out = ntile_grouped(rd.from_pandas(df), "k", ["v"], 4).to_pandas()
+        # 2-row group with n=4: tiles 1,2 (one row each); 1-row: tile 1
+        a = out[out["k"] == "a"].sort_values("v")
+        assert a["tile"].tolist() == [1, 2]
+        assert out[out["k"] == "b"]["tile"].tolist() == [1]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            ntile_grouped(rd.from_pandas(df), "k", ["v"], 0)
+
+
+class TestLongestPrefixJoin:
+    def test_longest_wins_and_inner_semantics(self, ray_session):
+        from whoiswho_ray.stages.joins import longest_prefix_join
+        df = pd.DataFrame({"s": ["12345", "129", "9", "555", "abc"]})
+        out = longest_prefix_join(
+            rd.from_pandas(df).repartition(2), "s",
+            ["1", "12", "123", "9", "55"]).to_pandas()
+        got = dict(zip(out["s"], out["prefix"]))
+        assert got == {"12345": "123", "129": "12", "9": "9",
+                       "555": "55"}  # 'abc' dropped
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            longest_prefix_join(rd.from_pandas(df), "s", ["1", ""])

@@ -1501,3 +1501,43 @@ def robust_stats_grouped(
         "n_outliers": tot["n_outliers"].astype(np.int64),
     })
     return out
+
+
+def ntile_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    sort_cols: list[str],
+    n: int,
+    tile_col: str = "tile",
+) -> "ray.data.Dataset":
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY sort_cols)`` — the
+    per-group equi-depth binning :func:`ntile` provides globally.
+    ``sort_cols`` must totally order rows within a key (include a
+    unique tie-break). One key-hash bucketed exchange; inside each
+    bucket the kernel is one sort + transform('size') + cumcount and
+    the vectorized NTILE fill rule (first ``size % n`` tiles get one
+    extra row) across ALL keys at once — no per-key Python.
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    if n < 1:
+        raise ValueError("ntile_grouped needs n >= 1")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(**{tile_col: pd.Series([], dtype=np.int64)})
+        df = df.sort_values([key] + sort_cols, kind="stable")
+        g = df.groupby(key, sort=False, dropna=False)
+        sizes = g[key].transform("size").to_numpy(np.int64)
+        rank0 = g.cumcount().to_numpy(np.int64)
+        q, rem = sizes // n, sizes % n
+        cutoff = rem * (q + 1)
+        tile = np.where(rank0 < cutoff,
+                        rank0 // np.maximum(q + 1, 1),
+                        rem + (rank0 - cutoff) // np.maximum(q, 1))
+        out = df.copy()
+        out[tile_col] = (tile + 1).astype(np.int64)
+        return out
+
+    return group_apply(ds, key, bucket, batch_format="pandas",
+                       whole_bucket=True)

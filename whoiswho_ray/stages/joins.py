@@ -945,3 +945,47 @@ def mutual_best_match(
     rhs = best_r.map_batches(
         lambda df: df[[left_col, right_col]], batch_format="pandas")
     return shuffle_hash_join(lhs, rhs, on=[left_col, right_col])
+
+
+def longest_prefix_join(
+    ds: "ray.data.Dataset",
+    col: str,
+    prefixes,
+    out_col: str = "prefix",
+) -> "ray.data.Dataset":
+    """Longest-prefix-match join — the routing-table lookup (IP/phone
+    prefixes, URL path categories): attach to each row the LONGEST
+    entry of ``prefixes`` that prefixes ``col``; rows with no match are
+    dropped (inner semantics, like the SQL
+    ``starts_with`` + argmax-by-length replay).
+
+    Scale shape: the prefix table is the broadcast small side (grouped
+    by length once on the driver, shipped in the task closure); each
+    batch runs ONE vectorized slice + hash-isin per DISTINCT prefix
+    length, longest first, first hit wins — O(#lengths) kernels per
+    batch, no shuffle, no per-row Python.
+    """
+    by_len: dict[int, set] = {}
+    for p in prefixes:
+        if not p:
+            raise ValueError("empty prefix is not allowed")
+        by_len.setdefault(len(p), set()).add(str(p))
+    lens = sorted(by_len, reverse=True)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col].astype(str)
+        res = pd.Series([None] * len(df), index=df.index, dtype=object)
+        unmatched = np.ones(len(df), dtype=bool)
+        for length in lens:
+            if not unmatched.any():
+                break
+            cand = s.str.slice(0, length)
+            hit = cand.isin(by_len[length]).to_numpy() & unmatched
+            res[hit] = cand[hit]
+            unmatched &= ~hit
+        out = df.copy()
+        out[out_col] = res
+        return out[res.notna().to_numpy()]
+
+    return ds.map_batches(match, batch_format="pandas",
+                          batch_size=131072)
