@@ -3375,6 +3375,53 @@ def q_cust_supp_mutual_best(sf_dir: str):
         batch_format="pandas")
 
 
+PRW_W_MOD = 9   # edge weight = (custkey + suppkey) % 9 + 1
+
+
+def q_graph_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank (stages/graph.py pagerank_weighted —
+    mass leaves proportionally to w/W(src); broadcast-state bincount
+    iterations, per-edge w/W factor stamped once) over the full
+    bidirectional customer↔supplier pair graph with deterministic
+    (c+s)%9+1 weights. Ranks in integer nano-units like
+    q_graph_pagerank; the oracle unrolls the same 3 iterations."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.graph import pagerank_weighted
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = shuffle_hash_join(
+        orders, li, on="o_orderkey",
+        project=lambda m: m[["o_custkey", "l_suppkey"]].drop_duplicates())
+    pairs = distinct(joined, ["o_custkey", "l_suppkey"], final="shuffle")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = "c" + df["o_custkey"].astype(str)
+        s = "s" + df["l_suppkey"].astype(str)
+        w = ((df["o_custkey"].astype(np.int64)
+              + df["l_suppkey"].astype(np.int64)) % PRW_W_MOD + 1
+             ).astype(np.int64)
+        return pd.DataFrame({
+            "src": pd.concat([c, s], ignore_index=True),
+            "dst": pd.concat([s, c], ignore_index=True),
+            "w": pd.concat([w, w], ignore_index=True)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    out = pagerank_weighted(edges, iters=PAGERANK_ITERS,
+                            damping=PAGERANK_D)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"],
+            "rank_e9": np.rint(df["rank"].to_numpy() * 1e9)
+                       .astype(np.int64)}),
+        batch_format="pandas")
+
+
 def q_orders_ntile_by_priority(sf_dir: str):
     """Per-group NTILE (stages/agg.py ntile_grouped): quartile of each
     order's price WITHIN its priority class — one key-hash bucketed
@@ -3953,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_fingerprint": q_part_fingerprint,
         "q_lang_top_terms": q_lang_top_terms,
         "q_orders_infer_types": q_orders_infer_types,
+        "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
         "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
         "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
@@ -4687,6 +4735,52 @@ def _infer_types_oracle() -> str:
     """
 
 
+def _q_graph_pagerank_weighted_oracle_sql() -> str:
+    """Unrolled SQL replay of the 3 WEIGHTED power iterations (mirror
+    of _q_graph_pagerank_oracle_sql with w/W(src) in place of
+    1/outdeg; same nano-unit rounding discipline). The bidirectional
+    edge set keeps the dangling term exactly zero on both engines."""
+    d, iters = PAGERANK_D, PAGERANK_ITERS
+    parts = [f"""
+        eb AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS MATERIALIZED (
+            SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                   's' || CAST(s AS VARCHAR) AS dst,
+                   CAST((c + s) % {PRW_W_MOD} + 1 AS DOUBLE) AS w
+            FROM eb
+            UNION ALL
+            SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR),
+                   CAST((c + s) % {PRW_W_MOD} + 1 AS DOUBLE)
+            FROM eb),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        wd AS MATERIALIZED (
+            SELECT src AS node, sum(w) AS wm FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT n.node,
+                   (1.0 - {d!r}) / (SELECT n FROM nn)
+                   + coalesce(c.sm, 0.0) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum(({d!r} * p.r) * (e.w * (1.0 / wd.wm))) AS sm
+                FROM edges e
+                JOIN r{i - 1} p ON p.node = e.src
+                JOIN wd ON wd.node = e.src
+                GROUP BY 1) c ON c.node = n.node)""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT node, CAST(round(r * 1e9, 0) AS BIGINT) AS rank_e9
+        FROM r{iters}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from whoiswho_ray.functions.phonetic import soundex_sql
     from whoiswho_ray.functions.textnorm import fingerprint_key_sql
@@ -4717,6 +4811,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT x AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
         """,
+        "q_graph_pagerank_weighted": _q_graph_pagerank_weighted_oracle_sql(),
         "q_orders_ntile_by_priority": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    o_orderpriority,

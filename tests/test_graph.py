@@ -288,3 +288,56 @@ class TestSssp:
         assert empty.count() == 0
         with pytest.raises(Exception):  # surfaced through Ray's task error
             self._run(edges, {"a"}, 2)
+
+
+class TestPagerankWeighted:
+    @staticmethod
+    def _reference(edges: pd.DataFrame, iters: int, d: float = 0.85):
+        nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+        pos = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        W = {}
+        for r_ in edges.itertuples():
+            W[r_.src] = W.get(r_.src, 0.0) + float(r_.w)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dang = sum(r[pos[v]] for v in nodes if v not in W)
+            nxt = np.full(n, (1 - d) / n + d * dang / n)
+            for e in edges.itertuples():
+                nxt[pos[e.dst]] += d * r[pos[e.src]] * e.w / W[e.src]
+            r = nxt
+        return dict(zip(nodes, r))
+
+    def test_matches_brute(self, ray_session):
+        from whoiswho_ray.stages.graph import pagerank_weighted
+        rng = np.random.RandomState(3)
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, 25, 150)],
+            "dst": [f"n{v}" for v in rng.randint(0, 25, 150)],
+            "w": rng.randint(1, 9, 150).astype(np.int64),
+        })
+        out = pagerank_weighted(rd.from_pandas(edges).repartition(4),
+                                iters=3).to_pandas()
+        ref = self._reference(edges, iters=3)
+        assert len(out) == len(ref)
+        for row in out.itertuples():
+            assert abs(row.rank - ref[row.node]) < 1e-9, row.node
+        assert abs(out["rank"].sum() - 1.0) < 1e-9  # mass conserved
+
+    def test_weight_shifts_mass(self, ray_session):
+        from whoiswho_ray.stages.graph import pagerank_weighted
+        # a sends 9x more mass to b than to c
+        edges = pd.DataFrame({
+            "src": ["a", "a", "b", "c"], "dst": ["b", "c", "a", "a"],
+            "w": np.array([9, 1, 1, 1], dtype=np.int64)})
+        out = pagerank_weighted(rd.from_pandas(edges), iters=5
+                                ).to_pandas().set_index("node")
+        assert out.loc["b", "rank"] > out.loc["c", "rank"]
+
+    def test_rejects_nonpositive_weight(self, ray_session):
+        import pytest as _pt
+        from whoiswho_ray.stages.graph import pagerank_weighted
+        edges = pd.DataFrame({"src": ["a"], "dst": ["b"],
+                              "w": np.array([0], dtype=np.int64)})
+        with _pt.raises(Exception):
+            pagerank_weighted(rd.from_pandas(edges)).to_pandas()

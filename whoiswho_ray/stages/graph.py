@@ -1022,3 +1022,99 @@ def sssp(
         lambda df: pd.DataFrame({node_col: df[node_col],
                                  "dist": df["d"].astype(np.int64)}),
         batch_format="pandas")
+
+
+def pagerank_weighted(
+    edges: "rd.Dataset",
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> "rd.Dataset":
+    """Edge-WEIGHTED PageRank: mass leaves each node proportionally to
+    edge weight (``w(u,v) / W(u)``, ``W(u) = Σ_v w(u,v)``) instead of
+    uniformly — the variant similarity-weighted ER graphs need. Same
+    broadcast-state shape as :func:`pagerank`'s fast path: node ids are
+    dictionary-encoded once, the per-edge ``w/W(src)`` factor is stamped
+    once (so iterations never recompute it), each iteration streams the
+    encoded edges through per-destination weighted-bincount partials
+    against the ``ray.put`` rank vector, and the driver adds O(n·blocks)
+    partials. No shuffle ever touches the edges after encoding. Weights
+    must be positive; dangling mass (nodes with no out-edges)
+    redistributes uniformly as in the unweighted operator. At node
+    counts beyond driver memory the same partials ride the partitioned
+    path pagerank uses — this entry point covers the broadcast regime.
+    """
+    import ray
+
+    from whoiswho_ray.stages.agg import distinct
+
+    nodes = distinct(
+        edges.map_batches(lambda df: pd.DataFrame(
+            {"node": pd.concat([df[src_col], df[dst_col]])}),
+            batch_format="pandas"),
+        ["node"], final="shuffle").materialize()
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=object))
+    n = len(node_arr)
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "rank": pd.Series([], dtype=np.float64)}))
+    pos = {v: i for i, v in enumerate(node_arr)}
+
+    def encode(df: pd.DataFrame, _pos=pos) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("pagerank_weighted needs positive weights")
+        return pd.DataFrame({
+            "si": df[src_col].map(_pos).to_numpy(np.int64),
+            "di": df[dst_col].map(_pos).to_numpy(np.int64),
+            "w": w,
+        })
+
+    eidx = edges.map_batches(encode, batch_format="pandas").materialize()
+
+    def wdeg_partial(df: pd.DataFrame, _n=n) -> pd.DataFrame:
+        sums = np.bincount(df["si"].to_numpy(),
+                           weights=df["w"].to_numpy(), minlength=_n)
+        nz = np.flatnonzero(sums)
+        return pd.DataFrame({"i": nz.astype(np.int64), "m": sums[nz]})
+
+    dparts = eidx.map_batches(wdeg_partial,
+                              batch_format="pandas").to_pandas()
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, dparts["i"].to_numpy(), dparts["m"].to_numpy())
+    has_out = wdeg > 0
+    inv = np.zeros(n)
+    inv[has_out] = 1.0 / wdeg[has_out]
+
+    # stamp the per-edge w/W(src) factor ONCE (iterations reuse it)
+    def stamp(df: pd.DataFrame, _inv=inv) -> pd.DataFrame:
+        return pd.DataFrame({
+            "si": df["si"], "di": df["di"],
+            "f": df["w"].to_numpy() * _inv[df["si"].to_numpy()]})
+
+    ef = eidx.map_batches(stamp, batch_format="pandas").materialize()
+
+    d = float(damping)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = float(r[~has_out].sum())
+        base = (1.0 - d) / n + d * dang / n
+        ref = ray.put(d * r)
+
+        def partial(df: pd.DataFrame, _ref=ref, _n=n) -> pd.DataFrame:
+            sv = ray.get(_ref)
+            sums = np.bincount(
+                df["di"].to_numpy(),
+                weights=sv[df["si"].to_numpy()] * df["f"].to_numpy(),
+                minlength=_n)
+            nz = np.flatnonzero(sums)
+            return pd.DataFrame({"i": nz.astype(np.int64), "c": sums[nz]})
+
+        parts = ef.map_batches(partial, batch_format="pandas").to_pandas()
+        r = np.full(n, base)
+        np.add.at(r, parts["i"].to_numpy(), parts["c"].to_numpy())
+
+    return rd.from_pandas(pd.DataFrame({"node": node_arr, "rank": r}))
