@@ -3422,6 +3422,57 @@ def q_graph_pagerank_weighted(sf_dir: str):
         batch_format="pandas")
 
 
+def q_graph_ppr(sf_dir: str):
+    """Personalized PageRank (stages/graph.py pagerank_personalized —
+    teleport confined to the seed set, the ego-relevance score an ER
+    graph ranks candidates with) from the custkey%10==0 seed customers
+    over the weighted pair graph. Unreached nodes are absent (rank
+    exactly 0 drops), so the output doubles as soft reachability.
+    Unrolled 3-iteration nano-unit oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import distinct
+    from whoiswho_ray.stages.graph import pagerank_personalized
+    from whoiswho_ray.stages.joins import shuffle_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+                    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = shuffle_hash_join(
+        orders, li, on="o_orderkey",
+        project=lambda m: m[["o_custkey", "l_suppkey"]].drop_duplicates())
+    pairs = distinct(joined, ["o_custkey", "l_suppkey"], final="shuffle")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = "c" + df["o_custkey"].astype(str)
+        s = "s" + df["l_suppkey"].astype(str)
+        w = ((df["o_custkey"].astype(np.int64)
+              + df["l_suppkey"].astype(np.int64)) % PRW_W_MOD + 1
+             ).astype(np.int64)
+        return pd.DataFrame({
+            "src": pd.concat([c, s], ignore_index=True),
+            "dst": pd.concat([s, c], ignore_index=True),
+            "w": pd.concat([w, w], ignore_index=True)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+
+    def pick_sources(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["o_custkey"].astype(np.int64) % BFS_SRC_MOD == 0
+        return pd.DataFrame(
+            {"node": "c" + df.loc[keep, "o_custkey"].astype(str)})
+
+    sources = pairs.map_batches(pick_sources, batch_format="pandas")
+    out = pagerank_personalized(edges, sources, iters=PAGERANK_ITERS,
+                                damping=PAGERANK_D)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"],
+            "rank_e9": np.rint(df["rank"].to_numpy() * 1e9)
+                       .astype(np.int64)}),
+        batch_format="pandas")
+
+
 def q_orders_ntile_by_priority(sf_dir: str):
     """Per-group NTILE (stages/agg.py ntile_grouped): quartile of each
     order's price WITHIN its priority class — one key-hash bucketed
@@ -4001,6 +4052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_top_terms": q_lang_top_terms,
         "q_orders_infer_types": q_orders_infer_types,
         "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "q_graph_ppr": q_graph_ppr,
         "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
         "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
@@ -4781,6 +4833,59 @@ def _q_graph_pagerank_weighted_oracle_sql() -> str:
     """
 
 
+def _q_graph_ppr_oracle_sql() -> str:
+    """Unrolled personalized-PageRank replay: teleport vector confined
+    to the seed set; the bidirectional edge set keeps dangling mass
+    exactly zero, and unreached nodes stay exactly 0.0 (dropped, like
+    the operator)."""
+    d, iters = PAGERANK_D, PAGERANK_ITERS
+    parts = [f"""
+        eb AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS MATERIALIZED (
+            SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                   's' || CAST(s AS VARCHAR) AS dst,
+                   CAST((c + s) % {PRW_W_MOD} + 1 AS DOUBLE) AS w
+            FROM eb
+            UNION ALL
+            SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR),
+                   CAST((c + s) % {PRW_W_MOD} + 1 AS DOUBLE)
+            FROM eb),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+        srcs AS MATERIALIZED (
+            SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS node FROM eb
+            WHERE c % {BFS_SRC_MOD} = 0),
+        ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM srcs),
+        tv AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 0.0
+                        ELSE 1.0 / (SELECT k FROM ns) END AS t
+            FROM nodes n LEFT JOIN srcs s ON s.node = n.node),
+        wd AS MATERIALIZED (
+            SELECT src AS node, sum(w) AS wm FROM edges GROUP BY 1),
+        r0 AS (SELECT node, t AS r FROM tv)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT tv.node,
+                   (1.0 - {d!r}) * tv.t + coalesce(c.sm, 0.0) AS r
+            FROM tv LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum(({d!r} * p.r) * (e.w * (1.0 / wd.wm))) AS sm
+                FROM edges e
+                JOIN r{i - 1} p ON p.node = e.src
+                JOIN wd ON wd.node = e.src
+                GROUP BY 1) c ON c.node = tv.node)""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT node, CAST(round(r * 1e9, 0) AS BIGINT) AS rank_e9
+        FROM r{iters} WHERE r <> 0.0
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from whoiswho_ray.functions.phonetic import soundex_sql
     from whoiswho_ray.functions.textnorm import fingerprint_key_sql
@@ -4812,6 +4917,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY 1
         """,
         "q_graph_pagerank_weighted": _q_graph_pagerank_weighted_oracle_sql(),
+        "q_graph_ppr": _q_graph_ppr_oracle_sql(),
         "q_orders_ntile_by_priority": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    o_orderpriority,

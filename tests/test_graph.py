@@ -341,3 +341,62 @@ class TestPagerankWeighted:
                               "w": np.array([0], dtype=np.int64)})
         with _pt.raises(Exception):
             pagerank_weighted(rd.from_pandas(edges)).to_pandas()
+
+
+class TestPagerankPersonalized:
+    @staticmethod
+    def _reference(edges: pd.DataFrame, srcs, iters: int, d: float = 0.85):
+        nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+        pos = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        t = np.zeros(n)
+        for s in srcs:
+            t[pos[s]] = 1.0 / len(srcs)
+        W = {}
+        for e in edges.itertuples():
+            W[e.src] = W.get(e.src, 0.0) + float(e.w)
+        r = t.copy()
+        for _ in range(iters):
+            dang = sum(r[pos[v]] for v in nodes if v not in W)
+            nxt = (1 - d) * t + d * dang * t
+            for e in edges.itertuples():
+                nxt[pos[e.dst]] += d * r[pos[e.src]] * e.w / W[e.src]
+            r = nxt
+        return {v: r[pos[v]] for v in nodes if r[pos[v]] != 0.0}
+
+    def test_matches_brute_and_locality(self, ray_session):
+        from whoiswho_ray.stages.graph import pagerank_personalized
+        rng = np.random.RandomState(12)
+        edges = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.randint(0, 30, 200)],
+            "dst": [f"n{v}" for v in rng.randint(0, 30, 200)],
+            "w": rng.randint(1, 9, 200).astype(np.int64),
+        })
+        srcs = ["n0", "n1"]
+        out = pagerank_personalized(
+            rd.from_pandas(edges).repartition(4),
+            rd.from_pandas(pd.DataFrame({"node": srcs})),
+            iters=3).to_pandas()
+        ref = self._reference(edges, srcs, iters=3)
+        assert len(out) == len(ref)
+        for row in out.itertuples():
+            assert abs(row.rank - ref[row.node]) < 1e-9, row.node
+        # seed nodes carry the teleport floor; mass conserved
+        got = dict(zip(out["node"], out["rank"]))
+        assert got["n0"] >= (1 - 0.85) / 2
+        assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+    def test_unreached_absent_and_no_source_raises(self, ray_session):
+        import pytest as _pt
+        from whoiswho_ray.stages.graph import pagerank_personalized
+        edges = pd.DataFrame({"src": ["a", "x"], "dst": ["b", "y"],
+                              "w": np.array([1, 1], dtype=np.int64)})
+        out = pagerank_personalized(
+            rd.from_pandas(edges),
+            rd.from_pandas(pd.DataFrame({"node": ["a"]})),
+            iters=4).to_pandas()
+        assert set(out["node"]) == {"a", "b"}  # x, y unreached
+        with _pt.raises(ValueError):
+            pagerank_personalized(
+                rd.from_pandas(edges),
+                rd.from_pandas(pd.DataFrame({"node": ["zzz"]})))
