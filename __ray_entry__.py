@@ -3422,6 +3422,43 @@ def q_graph_pagerank_weighted(sf_dir: str):
         batch_format="pandas")
 
 
+FDR_CORRUPT_MOD = 11
+FDR_DEP_MOD = 7
+FDR_SENTINEL = 99
+
+
+def q_orders_fd_repair(sf_dir: str):
+    """FD repair (stages/profile.py fd_repair — majority-vote
+    minimal-change repair, the step after fd_violations): plant a
+    corrupted dependent (custkey%7, overwritten with 99 on
+    orderkey%11==0) and restore each custkey group's modal value;
+    all-corrupt groups keep the sentinel (majority IS the sentinel
+    there). Mode table combiner + broadcast streaming repair; exact
+    row-level oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.profile import fd_repair
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype(np.int64)
+        c = df["o_custkey"].astype(np.int64)
+        v = np.where(k % FDR_CORRUPT_MOD == 0, FDR_SENTINEL,
+                     c % FDR_DEP_MOD).astype(np.int64)
+        return pd.DataFrame({"o_orderkey": k, "o_custkey": c, "v": v})
+
+    out = fd_repair(orders.map_batches(prep, batch_format="pandas"),
+                    det="o_custkey", dep="v")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "o_custkey": df["o_custkey"].astype(np.int64),
+            "v": df["v"].astype(np.int64),
+            "repaired": df["repaired"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def q_graph_ppr(sf_dir: str):
     """Personalized PageRank (stages/graph.py pagerank_personalized —
     teleport confined to the seed set, the ego-relevance score an ER
@@ -4053,6 +4090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_infer_types": q_orders_infer_types,
         "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
         "q_graph_ppr": q_graph_ppr,
+        "q_orders_fd_repair": q_orders_fd_repair,
         "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
         "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
@@ -4918,6 +4956,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_pagerank_weighted": _q_graph_pagerank_weighted_oracle_sql(),
         "q_graph_ppr": _q_graph_ppr_oracle_sql(),
+        "q_orders_fd_repair": f"""
+            WITH b AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_custkey AS BIGINT) AS o_custkey,
+                       CAST(CASE WHEN o_orderkey % {FDR_CORRUPT_MOD} = 0
+                                 THEN {FDR_SENTINEL}
+                                 ELSE o_custkey % {FDR_DEP_MOD} END
+                            AS BIGINT) AS v
+                FROM orders
+            ), m AS (
+                SELECT o_custkey, v AS mv FROM (
+                    SELECT o_custkey, v, row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY count(*) DESC, v) AS rn
+                    FROM b GROUP BY o_custkey, v)
+                WHERE rn = 1
+            )
+            SELECT b.o_orderkey, b.o_custkey, m.mv AS v,
+                   CAST(CASE WHEN b.v <> m.mv THEN 1 ELSE 0 END
+                        AS BIGINT) AS repaired
+            FROM b JOIN m USING (o_custkey)
+        """,
         "q_orders_ntile_by_priority": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    o_orderpriority,

@@ -301,3 +301,29 @@ class TestLongestPrefixJoin:
         import pytest as _pt
         with _pt.raises(ValueError):
             longest_prefix_join(rd.from_pandas(df), "s", ["1", ""])
+
+
+class TestFdRepair:
+    def test_majority_repair(self, ray_session):
+        from whoiswho_ray.stages.profile import fd_repair
+        df = pd.DataFrame({
+            "det": ["a", "a", "a", "b", "b", "c"],
+            "dep": [1.0, 1.0, 9.0, 2.0, 2.0, 7.0],
+        })
+        out = fd_repair(rd.from_pandas(df).repartition(3), "det", "dep"
+                        ).to_pandas().sort_values(["det", "dep"],
+                                                  ignore_index=True)
+        # a's 9 repaired to 1; b consistent; c singleton untouched
+        assert out[out["det"] == "a"]["dep"].tolist() == [1.0, 1.0, 1.0]
+        assert out["repaired"].sum() == 1
+        assert (out[out["det"] != "a"]["repaired"] == 0).all()
+
+    def test_tie_breaks_smallest_and_null_dep(self, ray_session):
+        from whoiswho_ray.stages.profile import fd_repair
+        df = pd.DataFrame({
+            "det": ["t", "t", "t"],
+            "dep": [5.0, 3.0, np.nan],  # tie 1-1 -> smallest (3) wins
+        })
+        out = fd_repair(rd.from_pandas(df), "det", "dep").to_pandas()
+        assert (out["dep"] == 3.0).all()
+        assert out["repaired"].sum() == 2  # the 5 and the NULL

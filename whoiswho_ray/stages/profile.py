@@ -324,3 +324,43 @@ def infer_types(
         out[c] = out[c].astype(np.int64)
     out["inferred"] = inferred
     return out
+
+
+def fd_repair(
+    ds: "ray.data.Dataset",
+    det: str,
+    dep: str,
+    flag_col: str = "repaired",
+) -> "ray.data.Dataset":
+    """Constraint-based repair for a functional dependency det → dep
+    (the minimal-change repair HoloClean-style cleaners apply after
+    :func:`fd_violations` finds inconsistent groups): within each
+    determinant group, every row's ``dep`` is set to the group's MOST
+    FREQUENT value (ties → smallest, the mode_per_group contract), and
+    changed rows are flagged. Majority-repair is the minimum-edit
+    repair for a single FD.
+
+    Scale shape: exactly :func:`impute_mode`'s — one (det, dep) count
+    combiner + key-bucket combine builds the O(distinct det) mode
+    table, broadcast into one streaming repair pass. NULL deps never
+    win the vote (they are excluded from the mode) and are repaired
+    like any other disagreeing value.
+    """
+    from whoiswho_ray.stages.agg import mode_per_group
+
+    nonnull = ds.map_batches(
+        lambda df: df.loc[df[dep].notna(), [det, dep]],
+        batch_format="pandas")
+    modes = mode_per_group(nonnull, det, dep).to_pandas()
+    lut = dict(zip(modes[det], modes["mode_val"]))
+
+    def repair(df: pd.DataFrame) -> pd.DataFrame:
+        target = df[det].map(lut)
+        cur = df[dep]
+        changed = ~(cur.eq(target) | (cur.isna() & target.isna()))
+        out = df.copy()
+        out[dep] = cur.where(~changed, target)
+        out[flag_col] = changed.to_numpy().astype(np.int64)
+        return out
+
+    return ds.map_batches(repair, batch_format="pandas")
