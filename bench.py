@@ -62,6 +62,16 @@ BENCH_QUERIES = [
     "q_doc_fs_linkage",
     "q_part_soundex",
     "q_linreg_by_flag",
+    "q_quantity_robust",
+    "q_part_fuzzy_dedupe",
+    "q_part_fingerprint",
+    "q_lang_top_terms",
+    "q_orders_infer_types",
+    "q_orders_ntile_by_priority",
+    "q_orders_prefix_route",
+    "q_graph_pagerank_weighted",
+    "q_graph_ppr",
+    "q_orders_fd_repair",
     "rnd_assign",
     "ind_detect",
 ]
