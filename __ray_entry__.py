@@ -3422,6 +3422,31 @@ def q_graph_pagerank_weighted(sf_dir: str):
         batch_format="pandas")
 
 
+def q_discount_weighted_median(sf_dir: str):
+    """Grouped lower WEIGHTED median (stages/agg.py
+    weighted_median_grouped): median discount (cents) weighted by
+    quantity per returnflag — the no-interpolation definition whose
+    comparisons are all exact integers (2·cumweight ≥ total), so the
+    SQL window-cumsum replay is bit-exact. (key,value) combiner +
+    one bucketed exchange + vectorized cumsum/reduceat pluck."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import weighted_median_grouped
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_discount", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "v": _cents(df["l_discount"]),
+            "w": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64)})
+
+    return weighted_median_grouped(
+        li.map_batches(prep, batch_format="pandas"),
+        "l_returnflag", "v", "w")
+
+
 FDR_CORRUPT_MOD = 11
 FDR_DEP_MOD = 7
 FDR_SENTINEL = 99
@@ -4091,6 +4116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
         "q_graph_ppr": q_graph_ppr,
         "q_orders_fd_repair": q_orders_fd_repair,
+        "q_discount_weighted_median": q_discount_weighted_median,
         "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
         "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
@@ -4956,6 +4982,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_pagerank_weighted": _q_graph_pagerank_weighted_oracle_sql(),
         "q_graph_ppr": _q_graph_ppr_oracle_sql(),
+        "q_discount_weighted_median": f"""
+            WITH b AS (
+                SELECT l_returnflag AS k,
+                       {cents.format(x='l_discount')} AS v,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+                FROM lineitem
+            ), g AS (
+                SELECT k, v, sum(w) AS ws FROM b GROUP BY 1, 2
+            ), c AS (
+                SELECT k, v,
+                       sum(ws) OVER (PARTITION BY k ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(ws) OVER (PARTITION BY k) AS tot
+                FROM g
+            )
+            SELECT k AS l_returnflag,
+                   CAST(min(v) FILTER (WHERE 2 * cum >= tot)
+                        AS BIGINT) AS wmedian,
+                   CAST(max(tot) AS BIGINT) AS total_weight
+            FROM c GROUP BY k
+        """,
         "q_orders_fd_repair": f"""
             WITH b AS (
                 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

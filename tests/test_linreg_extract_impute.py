@@ -327,3 +327,45 @@ class TestFdRepair:
         out = fd_repair(rd.from_pandas(df), "det", "dep").to_pandas()
         assert (out["dep"] == 3.0).all()
         assert out["repaired"].sum() == 2  # the 5 and the NULL
+
+
+class TestWeightedMedianGrouped:
+    def test_matches_duckdb(self, ray_session):
+        from whoiswho_ray.stages.agg import weighted_median_grouped
+        rng = np.random.default_rng(14)
+        n = 5000
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 30, n).astype(np.int64),
+            "w": rng.integers(1, 20, n).astype(np.int64),
+        })
+        got = weighted_median_grouped(
+            rd.from_pandas(df).repartition(7), "k", "v", "w"
+        ).to_pandas().sort_values("k", ignore_index=True)
+        want = duckdb.connect().execute("""
+            WITH g AS (SELECT k, v, sum(w) ws FROM df GROUP BY 1, 2),
+            c AS (SELECT k, v,
+                         sum(ws) OVER (PARTITION BY k ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) cum,
+                         sum(ws) OVER (PARTITION BY k) tot FROM g)
+            SELECT k, CAST(min(v) FILTER (WHERE 2*cum >= tot)
+                           AS BIGINT) wmedian,
+                   CAST(max(tot) AS BIGINT) total_weight
+            FROM c GROUP BY k ORDER BY k
+        """).df()
+        assert got["wmedian"].tolist() == want["wmedian"].tolist()
+        assert got["total_weight"].tolist() == want["total_weight"].tolist()
+
+    def test_hand_cases(self, ray_session):
+        from whoiswho_ray.stages.agg import weighted_median_grouped
+        # one heavy value dominates; exact-half boundary picks the
+        # SMALLEST v with 2*cum >= tot
+        df = pd.DataFrame({
+            "k": ["x"] * 3 + ["y"] * 2,
+            "v": np.array([1, 2, 3, 5, 9], dtype=np.int64),
+            "w": np.array([1, 1, 10, 3, 3], dtype=np.int64),
+        })
+        out = weighted_median_grouped(rd.from_pandas(df), "k", "v", "w"
+                                      ).to_pandas().set_index("k")
+        assert out.loc["x", "wmedian"] == 3      # 10/12 mass at 3
+        assert out.loc["y", "wmedian"] == 5      # 2*3 >= 6 at v=5

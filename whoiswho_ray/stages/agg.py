@@ -1541,3 +1541,67 @@ def ntile_grouped(
 
     return group_apply(ds, key, bucket, batch_format="pandas",
                        whole_bucket=True)
+
+
+def weighted_median_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    weight_col: str,
+) -> "ray.data.Dataset":
+    """Per-group LOWER WEIGHTED MEDIAN of integer values: the smallest
+    value v with ``2·cumweight(v) ≥ totalweight`` under ascending value
+    order — the no-interpolation definition whose comparisons are all
+    exact integers, so the SQL window-cumsum replay matches bit-for-bit
+    (a float-interpolated weighted median has no SQL counterpart).
+
+    Scale shape: per-batch (key, value) weight-sum partials (the
+    combiner — moving rows bounded by batch-distinct pairs), one
+    key-hash bucketed exchange, then one vectorized pass per bucket:
+    lexsort, per-key weight cumsum via boundary-offset subtraction, and
+    a searchsorted pluck of each key's first qualifying value. Returns
+    ``(key, wmedian, total_weight)``.
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({key: df[key], "v": df[value_col],
+                          "w": df[weight_col].astype(np.int64)})
+        return (t.groupby([key, "v"], sort=False, dropna=False)["w"]
+                .sum().reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=131072)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.column(key).type),
+                             "wmedian": pa.array([], pa.int64()),
+                             "total_weight": pa.array([], pa.int64())})
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        sk, sv, sw = keys[order], vals[order], w[order]
+        # combine duplicate (key, value) partials, then cumsum per key
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        starts = bounds[:-1]
+        cum = np.cumsum(sw)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]]
+                         if len(starts) > 1 else [0],
+                         np.diff(bounds))
+        kcum = cum - base
+        tot = kcum[bounds[1:] - 1]
+        tot_row = np.repeat(tot, np.diff(bounds))
+        ok = 2 * kcum >= tot_row
+        # first qualifying row per key: ok is monotone within a key
+        first = np.minimum.reduceat(
+            np.where(ok, np.arange(len(sk)), len(sk)), starts)
+        return pa.table({
+            key: pa.array(sk[starts], t.column(key).type),
+            "wmedian": pa.array(sv[first].astype(np.int64)),
+            "total_weight": pa.array(tot.astype(np.int64)),
+        })
+
+    return group_apply(parts, key, bucket, batch_format="pyarrow",
+                       whole_bucket=True)
