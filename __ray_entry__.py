@@ -3422,6 +3422,35 @@ def q_graph_pagerank_weighted(sf_dir: str):
         batch_format="pandas")
 
 
+def q_events_topk_ties(sf_dir: str):
+    """Per-user top-3 event values WITH TIES (stages/agg.py
+    top_k_ties_grouped — SQL RANK() ≤ k, tie groups kept whole so no
+    tie-break column is needed): rank-monotone per-batch prune
+    (combiner) + one key-bucket exact rank pass. Integer cents values;
+    exact RANK() oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import top_k_ties_grouped
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "event_id": df["event_id"].astype(np.int64),
+            "cents": _cents(df["value"]) % 1000})  # force tie collisions
+
+    out = top_k_ties_grouped(ev.map_batches(prep, batch_format="pandas"),
+                             "user_id", "cents", k=3, desc=True)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"],
+            "event_id": df["event_id"].astype(np.int64),
+            "cents": df["cents"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def q_discount_weighted_median(sf_dir: str):
     """Grouped lower WEIGHTED median (stages/agg.py
     weighted_median_grouped): median discount (cents) weighted by
@@ -4117,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_ppr": q_graph_ppr,
         "q_orders_fd_repair": q_orders_fd_repair,
         "q_discount_weighted_median": q_discount_weighted_median,
+        "q_events_topk_ties": q_events_topk_ties,
         "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
         "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
@@ -4982,6 +5012,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_pagerank_weighted": _q_graph_pagerank_weighted_oracle_sql(),
         "q_graph_ppr": _q_graph_ppr_oracle_sql(),
+        "q_events_topk_ties": f"""
+            WITH b AS (
+                SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+                       {cents.format(x='value')} % 1000 AS cents
+                FROM events
+            ), r AS (
+                SELECT user_id, event_id, CAST(cents AS BIGINT) AS cents,
+                       CAST(RANK() OVER (PARTITION BY user_id
+                                         ORDER BY cents DESC)
+                            AS BIGINT) AS rank
+                FROM b
+            )
+            SELECT * FROM r WHERE rank <= 3
+        """,
         "q_discount_weighted_median": f"""
             WITH b AS (
                 SELECT l_returnflag AS k,

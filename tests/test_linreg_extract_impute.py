@@ -369,3 +369,39 @@ class TestWeightedMedianGrouped:
                                       ).to_pandas().set_index("k")
         assert out.loc["x", "wmedian"] == 3      # 10/12 mass at 3
         assert out.loc["y", "wmedian"] == 5      # 2*3 >= 6 at v=5
+
+
+class TestTopKTiesGrouped:
+    def test_matches_duckdb_with_heavy_ties(self, ray_session):
+        from whoiswho_ray.stages.agg import top_k_ties_grouped
+        rng = np.random.default_rng(19)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 2000),
+            "v": rng.integers(0, 8, 2000).astype(np.int64),  # many ties
+            "tid": np.arange(2000, dtype=np.int64),
+        })
+        got = top_k_ties_grouped(rd.from_pandas(df).repartition(6),
+                                 "k", "v", k=2).to_pandas()
+        want = duckdb.connect().execute("""
+            SELECT * FROM (
+                SELECT k, v, tid, CAST(RANK() OVER (
+                    PARTITION BY k ORDER BY v DESC) AS BIGINT) AS rank
+                FROM df) WHERE rank <= 2
+        """).df()
+        cols = ["k", "v", "tid", "rank"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols, ignore_index=True),
+            want[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False)
+
+    def test_tie_group_kept_whole_and_asc(self, ray_session):
+        from whoiswho_ray.stages.agg import top_k_ties_grouped
+        df = pd.DataFrame({"k": ["g"] * 5,
+                           "v": np.array([9, 9, 9, 5, 1], np.int64),
+                           "tid": np.arange(5, dtype=np.int64)})
+        out = top_k_ties_grouped(rd.from_pandas(df), "k", "v", k=1
+                                 ).to_pandas()
+        assert sorted(out["v"]) == [9, 9, 9]  # whole tie group at rank 1
+        asc = top_k_ties_grouped(rd.from_pandas(df), "k", "v", k=2,
+                                 desc=False).to_pandas()
+        assert sorted(asc["v"]) == [1, 5]

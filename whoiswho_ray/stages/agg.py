@@ -1605,3 +1605,52 @@ def weighted_median_grouped(
 
     return group_apply(parts, key, bucket, batch_format="pyarrow",
                        whole_bucket=True)
+
+
+def top_k_ties_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    k: int,
+    desc: bool = True,
+) -> "ray.data.Dataset":
+    """Per-group top-k WITH TIES: every row whose SQL
+    ``RANK() OVER (PARTITION BY key ORDER BY order_col [DESC])`` is
+    ≤ k — unlike row_number-based caps (``cap_per_group``), tie groups
+    straddling the cut are kept whole, so the result is deterministic
+    without a tie-break column. Emits the rank.
+
+    Scale shape: the prune is rank-monotone — a row's rank within any
+    SUBSET of its group is a lower bound on its global rank, so each
+    batch can safely keep only its own rank-≤-k rows (the combiner;
+    ties may make that more than k rows, never fewer than needed);
+    one key-hash bucketed exchange then computes the exact global rank
+    per key, vectorized across keys (lexsort + boundary masks).
+    """
+    if k < 1:
+        raise ValueError("top_k_ties_grouped needs k >= 1")
+    asc = not desc
+
+    def ranked(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col],
+                            ascending=[True, asc], kind="stable")
+        kv = df[key]
+        new_key = ~(kv.eq(kv.shift()) | (kv.isna() & kv.shift().isna()))
+        ov = df[order_col]
+        new_val = ~(ov.eq(ov.shift()) | (ov.isna() & ov.shift().isna()))
+        pos = np.arange(len(df), dtype=np.int64)
+        boundary = (new_key | new_val).to_numpy()
+        start_of_key = np.where(new_key.to_numpy(), pos, -1)
+        start_of_key = np.maximum.accumulate(start_of_key)
+        rank_anchor = np.where(boundary, pos, -1)
+        rank_anchor = np.maximum.accumulate(rank_anchor)
+        rank = rank_anchor - start_of_key + 1
+        out = df.copy()
+        out["rank"] = rank
+        return out[rank <= k]
+
+    partial = ds.map_batches(
+        lambda df: ranked(df).drop(columns=["rank"]),
+        batch_format="pandas", batch_size=131072)
+    return group_apply(partial, key, ranked, batch_format="pandas",
+                       whole_bucket=True)
