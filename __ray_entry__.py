@@ -2608,8 +2608,15 @@ def q_orders_overlap_windows(sf_dir: str):
     r = orders.map_batches(
         lambda df: win(df, 103, 1, 7, "r_key", "r_lo", "r_hi"),
         batch_format="pandas")
-    return interval_overlap_join(l, r, "l_key", "l_lo", "l_hi",
-                                 "r_key", "r_lo", "r_hi", step=8)
+    out = interval_overlap_join(l, r, "l_key", "l_lo", "l_hi",
+                                "r_key", "r_lo", "r_hi", step=8)
+    if not out.count():
+        # tiny scales can draw zero overlapping pairs; Ray's 0-row
+        # to_pandas drops columns — hand back a typed empty frame
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["l_key", "l_lo", "l_hi",
+                                       "r_key", "r_lo", "r_hi"]})
+    return out
 
 
 def q_doc_phrase(sf_dir: str):

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q_graph_pagerank_weighted",
     "q_graph_ppr",
     "q_orders_fd_repair",
+    "q_discount_weighted_median",
+    "q_events_topk_ties",
     "rnd_assign",
     "ind_detect",
 ]
