@@ -3429,6 +3429,29 @@ def q_graph_pagerank_weighted(sf_dir: str):
         batch_format="pandas")
 
 
+PATH_STEPS = 5
+
+
+def q_events_paths(sf_dir: str):
+    """User-journey path frequencies (stages/windows.py user_paths):
+    each user's first 5 event types under (ts, event_id) concatenated
+    into a path string, then the exact frequency of every distinct
+    path — the sequence table funnel/path analysis reads. One bucketed
+    path pass + one path-count combine; exact string_agg oracle."""
+    from whoiswho_ray.sources.tables import read_table
+    from whoiswho_ray.stages.agg import grouped_agg
+    from whoiswho_ray.stages.windows import user_paths
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    paths = user_paths(ev, "user_id", ["ts", "event_id"], "event_type",
+                       max_steps=PATH_STEPS)
+    out = grouped_agg(paths, ["path"], {"n": (None, "count")},
+                      final="driver")
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_events_topk_ties(sf_dir: str):
     """Per-user top-3 event values WITH TIES (stages/agg.py
     top_k_ties_grouped — SQL RANK() ≤ k, tie groups kept whole so no
@@ -4154,6 +4177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_fd_repair": q_orders_fd_repair,
         "q_discount_weighted_median": q_discount_weighted_median,
         "q_events_topk_ties": q_events_topk_ties,
+        "q_events_paths": q_events_paths,
         "q_orders_ntile_by_priority": q_orders_ntile_by_priority,
         "q_orders_prefix_route": q_orders_prefix_route,
         "q_doc_extract_words": q_doc_extract_words,
@@ -5019,6 +5043,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_pagerank_weighted": _q_graph_pagerank_weighted_oracle_sql(),
         "q_graph_ppr": _q_graph_ppr_oracle_sql(),
+        "q_events_paths": f"""
+            WITH o AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM o WHERE rn <= {PATH_STEPS} GROUP BY 1
+            )
+            SELECT path, count(*) AS n FROM p GROUP BY 1
+        """,
         "q_events_topk_ties": f"""
             WITH b AS (
                 SELECT user_id, CAST(event_id AS BIGINT) AS event_id,

@@ -405,3 +405,37 @@ class TestTopKTiesGrouped:
         asc = top_k_ties_grouped(rd.from_pandas(df), "k", "v", k=2,
                                  desc=False).to_pandas()
         assert sorted(asc["v"]) == [1, 5]
+
+
+class TestUserPaths:
+    def test_matches_duckdb(self, ray_session):
+        from whoiswho_ray.stages.windows import user_paths
+        rng = np.random.default_rng(23)
+        n = 3000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 100, n),
+            "o": rng.permutation(n).astype(np.int64),
+            "tid": np.arange(n, dtype=np.int64),
+            "lab": rng.choice(["a", "b", "c"], n),
+        })
+        got = user_paths(rd.from_pandas(df).repartition(6), "k",
+                         ["o", "tid"], "lab", max_steps=4).to_pandas()
+        want = duckdb.connect().execute("""
+            WITH o AS (SELECT k, lab, row_number() OVER (
+                           PARTITION BY k ORDER BY o, tid) rn FROM df)
+            SELECT k, string_agg(lab, '>' ORDER BY rn) AS path
+            FROM o WHERE rn <= 4 GROUP BY 1 ORDER BY k
+        """).df()
+        g = got.sort_values("k", ignore_index=True)
+        assert g["path"].tolist() == want["path"].tolist()
+
+    def test_truncation_and_short_keys(self, ray_session):
+        from whoiswho_ray.stages.windows import user_paths
+        df = pd.DataFrame({"k": ["u", "u", "u", "v"],
+                           "o": np.array([3, 1, 2, 7], np.int64),
+                           "tid": np.arange(4, dtype=np.int64),
+                           "lab": ["C", "A", "B", "X"]})
+        out = user_paths(rd.from_pandas(df), "k", ["o", "tid"], "lab",
+                         max_steps=2).to_pandas().set_index("k")
+        assert out.loc["u", "path"] == "A>B"   # sorted, truncated
+        assert out.loc["v", "path"] == "X"     # shorter than max_steps

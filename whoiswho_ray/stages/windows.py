@@ -676,3 +676,42 @@ def date_spine_gaps(
         "gap_day": gaps,
         "gap_date": gaps.astype("datetime64[D]").astype(str),
     })
+
+
+def user_paths(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: list[str],
+    label_col: str,
+    max_steps: int,
+    sep: str = ">",
+) -> "ray.data.Dataset":
+    """User-journey path extraction — the sequence view behind funnel /
+    path analysis: per key, the first ``max_steps`` labels under the
+    (order_cols) total order concatenated into one path string
+    (``view>click>purchase``). Truncation keeps the path vocabulary
+    finite so downstream frequency counts actually collide.
+
+    Scale shape: ONE key-hash bucketed exchange (order within a key is
+    inherently global); inside each bucket one sort + groupby-head +
+    a single C-level per-group join — no per-ROW Python. Returns
+    ``(key, path)``; pair with a grouped count for path frequencies.
+    """
+    from whoiswho_ray.stages.agg import group_apply
+
+    if max_steps < 1:
+        raise ValueError("user_paths needs max_steps >= 1")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "path": pd.Series(dtype=object)})
+        df = df.sort_values([key, *order_cols], kind="stable")
+        head = df.groupby(key, sort=False, dropna=False).head(max_steps)
+        agg = (head.groupby(key, sort=False, dropna=False)[label_col]
+               .agg(sep.join))
+        return pd.DataFrame({key: agg.index.to_numpy(),
+                             "path": agg.to_numpy()})
+
+    return group_apply(ds, key, bucket, batch_format="pandas",
+                       whole_bucket=True)
