@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q_orders_fd_repair",
     "q_discount_weighted_median",
     "q_events_topk_ties",
+    "q_events_paths",
     "rnd_assign",
     "ind_detect",
 ]
